@@ -1,0 +1,72 @@
+package graft.extract
+
+import graft.model.Mention
+
+/** Mention detection + entity-link scoring (north-rule KG-construction stages).
+  *
+  * Detection: greedy longest-match scan of the dictionary's surface forms at
+  * word boundaries, case-sensitive, left to right — deterministic and
+  * batched per partition (the dictionary rides in a broadcast upstream).
+  *
+  * Linking: every candidate entity of a surface is scored
+  * `prior + 0.5 * |context words present in the sentence|`; argmax wins, ties
+  * break on lexicographic IRI. Pure function of (sentence, surface).
+  */
+object Mentions {
+
+  final case class Found(surface: String, start: Int, end: Int)
+
+  private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+
+  /** All dictionary mentions in `text`, greedy longest-match, non-overlapping. */
+  def detect(text: String, surfaces: Seq[String] = Dict.surfacesByLength): Vector[Found] = {
+    val out = Vector.newBuilder[Found]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (isWordChar(text.charAt(i)) && (i == 0 || !isWordChar(text.charAt(i - 1)))) {
+        var matched: String = null
+        val it = surfaces.iterator
+        while (matched == null && it.hasNext) {
+          val s = it.next()
+          if (text.startsWith(s, i) &&
+              (i + s.length == n || !isWordChar(text.charAt(i + s.length)))) {
+            matched = s
+          }
+        }
+        if (matched != null) {
+          out += Found(matched, i, i + matched.length)
+          i += matched.length
+        } else {
+          while (i < n && isWordChar(text.charAt(i))) i += 1
+        }
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** Entity-link score for one candidate against the sentence's word set. */
+  def score(cand: Dict.Candidate, sentenceWords: Set[String]): Double =
+    cand.prior + 0.5 * cand.context.count(sentenceWords.contains)
+
+  def sentenceWords(sentence: String): Set[String] =
+    sentence.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+
+  /** Link a detected surface to its best entity IRI within a context:
+    * highest score wins, ties break on lexicographically smallest IRI.
+    */
+  def link(surface: String, contextWords: Set[String]): Option[(String, Double)] =
+    Dict.entities.get(surface).map { cands =>
+      cands.map(c => (c.iri, score(c, contextWords))).sortBy { case (iri, s) => (-s, iri) }.head
+    }
+
+  /** Mentions of a page text with linked entities and scores. */
+  def mentionsOf(srcUrl: String, text: String): Vector[Mention] = {
+    val pageWords = sentenceWords(text)
+    detect(text).flatMap { f =>
+      link(f.surface, pageWords).map { case (iri, s) =>
+        Mention(srcUrl, f.surface, f.start, f.end, iri, s)
+      }
+    }
+  }
+}

@@ -1,0 +1,214 @@
+package graft.ns
+
+import java.net.URI
+import scala.collection.immutable.TreeMap
+
+/** Provenance of a namespace registration (reference `src/ns_trie.rs:8-14`). */
+sealed abstract class NsSource(val name: String) extends Serializable
+object NsSource {
+  case object User extends NsSource("user")
+  case object Community extends NsSource("community")
+  case object GraphFile extends NsSource("graph_file")
+  case object Inference extends NsSource("inference")
+  def fromString(s: String): NsSource = s match {
+    case "user"       => User
+    case "community"  => Community
+    case "graph_file" => GraphFile
+    case "inference"  => Inference
+  }
+}
+
+final case class NsEntry(alias: String, source: NsSource) extends Serializable
+
+/** The namespace registry: prefix -> (alias, source), with longest-prefix
+  * resolution compiled into a broadcastable [[PrefixTrie]].
+  *
+  * Driver-side construction mirrors the reference's insert discipline:
+  *   - inserts are processed shortest-namespace-first (`src/prefixes/community.rs:48-61`);
+  *   - an exact duplicate namespace is skipped;
+  *   - with `allowSubNs = false` (always, cf. `src/main.rs:79`) a namespace that
+  *     extends an already-registered one is skipped, so the registry is prefix-free.
+  */
+final class Registry private (
+    val byNs: TreeMap[String, NsEntry],
+    val trie: PrefixTrie[NsEntry]
+) extends Serializable {
+
+  /** alias -> (namespace, source); aliases are unique by construction. */
+  def aliasMap: Map[String, (String, NsSource)] =
+    byNs.map { case (ns, e) => e.alias -> (ns, e.source) }
+
+  def size: Int = byNs.size
+
+  /** Longest-prefix namespace resolution — the engine's hot scalar function
+    * (reference `src/normalize.rs:547-564`). Empty-prefix matches are misses.
+    */
+  def resolve(iri: String): Option[(String, NsEntry)] = trie.resolve(iri)
+
+  def resolveAlias(iri: String): Option[String] = resolve(iri).map(_._2.alias)
+
+  def withNamespaces(
+      inferred: Seq[(String, Long, NsSource)],
+      allowSubNs: Boolean = false
+  ): (Registry, Seq[String]) = Registry.addNamespaces(this, inferred, allowSubNs)
+
+  /** JSON for `all-prefixes.json` (reference `src/ns_trie.rs:34-48`):
+    * `{alias: [namespace, source]}` sorted by alias.
+    */
+  def toJson: String = {
+    val items = aliasMap.toSeq.sortBy(_._1).map { case (alias, (ns, src)) =>
+      s"""  ${Registry.jstr(alias)}: [${Registry.jstr(ns)}, ${Registry.jstr(src.name)}]"""
+    }
+    items.mkString("{\n", ",\n", "\n}")
+  }
+}
+
+object Registry {
+
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case '\n'          => "\\n"
+      case '\r'          => "\\r"
+      case '\t'          => "\\t"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
+  /** Community prefix-map fixture (replaces the linkml prefixmaps download,
+    * reference `src/prefixes/community.rs:86-97`; zero-egress sandbox). Pairs per
+    * FIXTURES.md §3. The reference's `fix_pv` filters (canonical-only, the two bad
+    * pairs, `#.*#` namespaces) are already applied to this static list.
+    */
+  val communityPairs: Seq[(String, String)] = Seq(
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#",
+    "foaf" -> "http://xmlns.com/foaf/0.1/",
+    "dbr" -> "http://dbpedia.org/resource/",
+    "dbo" -> "http://dbpedia.org/ontology/",
+    "schema" -> "https://schema.org/",
+    "wd" -> "http://www.wikidata.org/entity/",
+    "example" -> "http://example.org/"
+  )
+
+  def community(): Registry = fromPairs(communityPairs, NsSource.Community)
+
+  def empty: Registry = new Registry(TreeMap.empty, PrefixTrie.empty)
+
+  /** Build from (alias, namespace) pairs, shortest-namespace-first with
+    * subsumption skip (reference `vec_to_trie`, `src/prefixes/community.rs:48-84`).
+    */
+  def fromPairs(
+      pairs: Seq[(String, String)],
+      source: NsSource,
+      allowSubNs: Boolean = false
+  ): Registry = {
+    val sorted = pairs.sortBy { case (_, ns) => (ns.length, ns) }
+    var byNs = TreeMap.empty[String, NsEntry]
+    var trie = PrefixTrie.empty[NsEntry]
+    var dirty = false
+    def rebuilt(): PrefixTrie[NsEntry] = {
+      if (dirty) { trie = PrefixTrie(byNs.map { case (k, v) => (k, v) }); dirty = false }
+      trie
+    }
+    sorted.foreach { case (alias, ns) =>
+      rebuilt().longestPrefix(ns, mustBeTerminal = true) match {
+        case Some((existing, _)) if existing == ns       => // duplicate, keep first
+        case Some((existing, _))
+            if existing.nonEmpty && !allowSubNs          => // contained in existing
+        case _ =>
+          byNs += (ns -> NsEntry(alias, source)); dirty = true
+      }
+    }
+    new Registry(byNs, rebuilt())
+  }
+
+  /** Add inferred namespaces (reference `add_namespaces`, `src/ns_trie.rs:71-135`).
+    * Returns (new registry, namespaces actually added).
+    */
+  def addNamespaces(
+      reg: Registry,
+      inferred: Seq[(String, Long, NsSource)],
+      allowSubNs: Boolean = false
+  ): (Registry, Seq[String]) = {
+    var byNs = reg.byNs
+    var aliases: Map[String, (String, NsSource)] = reg.aliasMap
+    var trie = reg.trie
+    var dirty = false
+    def rebuilt(): PrefixTrie[NsEntry] = {
+      if (dirty) { trie = PrefixTrie(byNs.map { case (k, v) => (k, v) }); dirty = false }
+      trie
+    }
+    val added = Vector.newBuilder[String]
+    inferred.foreach { case (ns, _, source) =>
+      hostOf(ns) match {
+        case None => // unparseable or hostless IRI: skipped with a warning in the reference
+        case Some(_) =>
+          val hit = rebuilt().longestPrefix(ns, mustBeTerminal = true)
+          val blocked = hit.exists { case (existing, _) =>
+            existing == ns || (existing.nonEmpty && !allowSubNs)
+          }
+          if (!blocked) {
+            genAlias(ns, aliases).foreach { alias =>
+              byNs += (ns -> NsEntry(alias, source))
+              aliases += (alias -> (ns, source))
+              dirty = true
+              added += ns
+            }
+          }
+      }
+    }
+    (new Registry(byNs, rebuilt()), added.result())
+  }
+
+  private[ns] def parseUri(s: String): Option[URI] =
+    try Some(new URI(s)) catch { case _: Exception => None }
+
+  /** Host of an absolute IRI, or None (reference gates on `Url::has_host`). */
+  def hostOf(iri: String): Option[String] =
+    parseUri(iri).flatMap(u => Option(u.getHost)).filter(_.nonEmpty)
+
+  private def lastPathSegment(u: URI): Option[String] =
+    Option(u.getPath).map(_.split('/').filter(_.nonEmpty)).flatMap(_.lastOption)
+
+  /** Generate a fresh alias for a namespace (reference `gen_alias`,
+    * `src/ns_trie.rs:138-207`): first host label; on conflict a 5-char
+    * abbreviation + TLD, then + last path segment, then a numeric suffix.
+    *
+    * Intentional divergence from the reference (documented, P/R-tolerated):
+    * on a TLD clash the reference appends the *conflicting* namespace's TLD
+    * (`src/ns_trie.rs:178` uses `confl_tld`) — an apparent bug; we append the
+    * candidate's own TLD, which is the evident intent.
+    */
+  def genAlias(ns: String, aliases: Map[String, (String, NsSource)]): Option[String] = {
+    val uri = parseUri(ns).getOrElse(return None)
+    val host = Option(uri.getHost).filter(_.nonEmpty).getOrElse(return None)
+    val labels = host.split('.')
+    val first = labels.head
+    val tld = if (labels.length > 1) Some(labels.last) else None
+    val abbrv = first.take(5)
+
+    aliases.get(first) match {
+      case None => Some(first)
+      case Some((conflNs, _)) =>
+        if (conflNs == ns) return None
+        val conflTld = hostOf(conflNs).map(_.split('.').last)
+        if (tld.isDefined && conflTld.isDefined && tld != conflTld) {
+          val cand = abbrv + tld.get
+          if (!aliases.contains(cand)) return Some(cand)
+        }
+        val lastSeg = lastPathSegment(uri)
+        val conflLastSeg = parseUri(conflNs).flatMap(lastPathSegment)
+        if (lastSeg.isDefined && conflLastSeg.isDefined && lastSeg != conflLastSeg) {
+          val cand = abbrv + lastSeg.get
+          if (!aliases.contains(cand)) return Some(cand)
+        }
+        var count = 2
+        var cand = abbrv + count
+        while (aliases.contains(cand)) { count += 1; cand = abbrv + count }
+        Some(cand)
+    }
+  }
+}

@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import graft.extract.OpenIE
+import graft.model.{Kind, Page, Triple}
+import graft.ns.{Inference, NsSource, Registry}
+import graft.sinks.{Snapshot, TtlSink, VisJson}
+import graft.summarize.Normalize
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import java.nio.file.Paths
+
+/** End-to-end KG-construction + namespace-summarization pipeline
+  * (BASELINE.json north_rule), the Spark re-expression of chilon's three-stage
+  * run (`/root/reference/src/main.rs:38-165`):
+  *
+  *   Stage A  pages -> triples (flatMap generator: extractText check, mentions,
+  *            entity linking, OpenIE, canonicalization) — checkpointed snapshot
+  *   Stage B  namespace inference rounds over still-unresolved IRIs
+  *            (salted prefix aggregation -> driver expansion -> registry)
+  *   Stage C  normalization + summary group-count
+  *   Stage D  sinks: output.ttl, all-prefixes.json, vis-data.json, tasks.json,
+  *            summary Parquet snapshot
+  *
+  * Unlike the reference's arrival-order-dependent mid-stream maintenance
+  * (`src/prefixes.rs:209-247`), inference computes the order-independent fixed
+  * point: rounds repeat on the remaining unresolved IRIs until no namespace is
+  * added (bounded by `maxInferenceRounds`).
+  */
+object Pipeline {
+
+  final case class Config(
+      outDir: String,
+      minOccurs: Int = 10,
+      inferNs: Boolean = true,
+      ignoreUnknown: Boolean = false,
+      maxInferenceRounds: Int = 2,
+      salt: Int = 0,
+      minNsSize: Long = Inference.MinNsSize,
+      minDomainOccurs: Long = Inference.MinDomainOccurs,
+      maxNs: Int = Inference.MaxNs,
+      resume: Boolean = true
+  )
+
+  final case class StageMetrics(name: String, rows: Long, wallMs: Long)
+
+  final case class Result(
+      summary: DataFrame,
+      registry: Registry,
+      triples: DataFrame,
+      metrics: Seq[StageMetrics],
+      inferredNamespaces: Seq[String]
+  )
+
+  /** Stage A: pages -> canonicalized triple table. */
+  def extractTriples(pages: Dataset[Page]): Dataset[Triple] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.flatMap(p => OpenIE.extract(p.url, p.text))
+  }
+
+  def run(spark: SparkSession, pages: Dataset[Page], cfg: Config): Result = {
+    import spark.implicits._
+    val metrics = Vector.newBuilder[StageMetrics]
+    def timed[A](name: String)(f: => (A, Long)): A = {
+      val t0 = System.nanoTime()
+      val (a, rows) = f
+      metrics += StageMetrics(name, rows, (System.nanoTime() - t0) / 1000000)
+      a
+    }
+
+    // ---- Stage A: extraction (snapshot + resume) -------------------------
+    val triplesDir = Paths.get(cfg.outDir, "triples").toString
+    val triples = timed("extract") {
+      val df =
+        if (cfg.resume)
+          Snapshot.resumeOrWrite(spark, triplesDir, "triples", Seq("pages")) {
+            extractTriples(pages).toDF()
+          }
+        else extractTriples(pages).toDF()
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cached, cached.count())
+    }
+
+    // ---- Stage B: registry + inference rounds ----------------------------
+    var registry = Registry.community()
+    val inferredAll = Vector.newBuilder[String]
+    if (cfg.inferNs) {
+      var round = 0
+      var added = true
+      while (added && round < cfg.maxInferenceRounds) {
+        round += 1
+        added = timed(s"infer_round_$round") {
+          val bc = spark.sparkContext.broadcast(registry)
+          val resolve = Normalize.resolveUdf(bc)
+          // unresolved IRIs from all three positions, one row per occurrence
+          // (reference inserts only registry-misses into the IriTrie,
+          // src/prefixes.rs:193-207)
+          val iris = triples
+            .select(F.explode(F.array(
+              F.when(F.col("sKind") === Kind.IRI, F.col("s")),
+              F.col("p"),
+              F.when(F.col("oKind") === Kind.IRI, F.col("o"))
+            )).as("iri"))
+            .filter(F.col("iri").isNotNull)
+            .filter(resolve(F.col("iri")).isNull)
+          val (inferred, _) =
+            Inference.inferFromIris(iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs)
+          val (reg2, addedNs) = registry.withNamespaces(inferred)
+          registry = reg2
+          inferredAll ++= addedNs
+          (addedNs.nonEmpty, addedNs.size.toLong)
+        }
+      }
+    }
+
+    // ---- Stage C: normalize + summarize ----------------------------------
+    val bcFinal = spark.sparkContext.broadcast(registry)
+    val (summary, normalized) = timed("summarize") {
+      val norm = Normalize.normalize(triples, bcFinal, cfg.ignoreUnknown)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = Normalize.summarize(norm)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ((s, norm), s.count())
+    }
+
+    // ---- Stage D: sinks ---------------------------------------------------
+    timed("sinks") {
+      val rows = TtlSink.collectRows(summary)
+      val (groups, _, _) = Normalize.usedGroups(normalized)
+      TtlSink.write(Paths.get(cfg.outDir, "output.ttl"),
+        TtlSink.render(rows, groups, cfg.minOccurs))
+      TtlSink.write(Paths.get(cfg.outDir, "all-prefixes.json"), registry.toJson)
+      val visRows = rows.filter(_.occurs >= cfg.minOccurs)
+      val vis = VisJson.build(visRows, groups.toMap)
+      TtlSink.write(Paths.get(cfg.outDir, "vis-data.json"), VisJson.toJson(vis))
+      Snapshot.write(summary, Paths.get(cfg.outDir, "summary").toString, "summary", Seq(triplesDir))
+      ((), rows.size.toLong)
+    }
+
+    normalized.unpersist()
+    val ms = metrics.result()
+    TtlSink.write(Paths.get(cfg.outDir, "tasks.json"), metricsJson(ms))
+    Result(summary, registry, triples, ms, inferredAll.result())
+  }
+
+  def metricsJson(ms: Seq[StageMetrics]): String =
+    ms.map { m =>
+      s"""  {"stage": ${Registry.jstr(m.name)}, "rows": ${m.rows}, "wall_ms": ${m.wallMs}}"""
+    }.mkString("[\n", ",\n", "\n]")
+}

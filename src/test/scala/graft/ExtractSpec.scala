@@ -1,0 +1,119 @@
+package graft
+
+import graft.extract._
+import graft.model.Kind
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtractSpec extends AnyFunSuite {
+
+  test("extractText strips tags, scripts, comments, entities deterministically") {
+    val html =
+      """<html><head><title>T</title><script>var x = "<p>";</script></head>
+        |<body><!-- c --><h1>Hello &amp; welcome</h1>
+        |<p>Line   one.</p><p>Two &lt;3.</p>
+        |<div>  spaced   out  </div></body></html>""".stripMargin
+    assert(HtmlText.extractText(html) == "Hello & welcome\nLine one.\nTwo <3.\nspaced out")
+  }
+
+  test("extractText handles numeric entities and nbsp") {
+    assert(HtmlText.extractText("<p>a&#65;&#x42;&nbsp;c</p>") == "aAB c")
+  }
+
+  test("per-row invariant: extractText(html) == text for synthesized pages") {
+    (0L until 500L).foreach { id =>
+      val p = Synth.page(id)
+      val got = HtmlText.extractText(p.html)
+      assert(got == p.text, s"page $id:\n---got---\n$got\n---want---\n${p.text}")
+    }
+  }
+
+  test("synthesis is deterministic across calls") {
+    val a = Synth.page(123L)
+    val b = Synth.page(123L)
+    assert(a.url == b.url && a.text == b.text && java.util.Arrays.equals(a.html, b.html)
+      && a.warc_ts == b.warc_ts && a.lang == b.lang)
+  }
+
+  test("grapheme truncation caps at 200 clusters (prefixes.rs:431-444)") {
+    val longIri = "http://x.org/" + "a" * 300
+    assert(Canonical.graphemeTruncate(longIri).length == 200)
+    val short = "http://x.org/abc"
+    assert(Canonical.graphemeTruncate(short) eq short)
+    // combining sequence: e + U+0301 is ONE grapheme; 200 such = 400 chars survive
+    val combining = "é" * 250
+    val truncated = Canonical.graphemeTruncate(combining)
+    assert(truncated == "é" * 200)
+  }
+
+  test("mention detection: greedy longest match at word boundaries") {
+    val ms = Mentions.detect("Ada Lovelace knows Alan Turing.")
+    assert(ms.map(_.surface) == Vector("Ada Lovelace", "Alan Turing"))
+    // no partial-word match
+    assert(Mentions.detect("XLondonY is not a mention").isEmpty)
+    assert(Mentions.detect("but London is").map(_.surface) == Vector("London"))
+  }
+
+  test("entity linking: prior wins without context, context flips the choice") {
+    val noCtx = Mentions.link("Mercury", Set("it", "shines"))
+    assert(noCtx.map(_._1).contains(Dict.dbr + "Mercury_(planet)"))
+    val metalCtx = Mentions.link("Mercury", Set("liquid", "metal"))
+    assert(metalCtx.map(_._1).contains(Dict.dbr + "Mercury_(element)"))
+    assert(metalCtx.exists(_._2 > 1.3))
+  }
+
+  test("OpenIE R1: relation between two mentions") {
+    val ts = OpenIE.extract("http://u", "Ada Lovelace was born in London.")
+    val rel = ts.filter(_.p == Dict.dbo + "birthPlace")
+    assert(rel.size == 1)
+    assert(rel.head.s == Dict.dbr + "Ada_Lovelace")
+    assert(rel.head.o == Dict.dbr + "London")
+    assert(rel.head.sKind == Kind.IRI && rel.head.oKind == Kind.IRI)
+  }
+
+  test("OpenIE R2: birth-year typed literal") {
+    val ts = OpenIE.extract("http://u", "Grace Hopper was born in 1906.")
+    val lit = ts.filter(_.p == Dict.dbo + "birthYear")
+    assert(lit.size == 1)
+    assert(lit.head.o == "1906" && lit.head.oKind == Kind.LIT_TYPED)
+    assert(lit.head.oDt.contains(Dict.xsd + "integer"))
+  }
+
+  test("OpenIE R3/R5/R6: abstract plain literal, label lang literal, provenance IRI") {
+    val ts = OpenIE.extract("http://u/1", "Alan Turing is described on page 7.")
+    assert(ts.exists(t => t.p == Dict.dbo + "abstract" && t.oKind == Kind.LIT_PLAIN))
+    val label = ts.filter(_.p == Dict.rdfs + "label")
+    assert(label.size == 1 && label.head.oKind == Kind.LIT_LANG
+      && label.head.oLang.contains("en") && label.head.o == "Alan Turing")
+    assert(ts.exists(t => t.p == Dict.schemaNs + "mainEntityOfPage" && t.o == "http://u/1"))
+  }
+
+  test("OpenIE R4: blank-node subject") {
+    val ts = OpenIE.extract("http://u", "Someone knows Data Forge.")
+    val blanks = ts.filter(_.sKind == Kind.BLANK)
+    assert(blanks.size == 1)
+    assert(blanks.head.p == Dict.foaf + "knows")
+    assert(blanks.head.o == Dict.inferNs + "Data_Forge")
+  }
+
+  test("OpenIE is deterministic and pure per page") {
+    val spec = Synth.pageSpec(42L)
+    val text = Synth.textOf(spec)
+    val a = OpenIE.extract(spec.url, text)
+    val b = OpenIE.extract(spec.url, text)
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("expected triples exist for every synthetic page (P/R support)") {
+    (0L until 200L).foreach { id =>
+      val p = Synth.page(id)
+      val ts = OpenIE.extract(p.url, p.text)
+      // every page has: >=2 relation sentences, birthYear, abstract, blank, label, provenance
+      assert(ts.count(_.oKind == Kind.IRI) >= 3, s"page $id")
+      assert(ts.exists(_.oKind == Kind.LIT_TYPED), s"page $id")
+      assert(ts.exists(_.oKind == Kind.LIT_PLAIN), s"page $id")
+      assert(ts.exists(_.oKind == Kind.LIT_LANG), s"page $id")
+      assert(ts.exists(_.sKind == Kind.BLANK), s"page $id")
+    }
+  }
+}

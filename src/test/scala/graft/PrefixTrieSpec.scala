@@ -1,0 +1,97 @@
+package graft
+
+import graft.ns.PrefixTrie
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference trie tests (chilon_rs `src/trie.rs:396-796`),
+  * specifically the longest-prefix / find variants at `:664-772`.
+  */
+class PrefixTrieSpec extends AnyFunSuite {
+
+  private val words = PrefixTrie(Seq(
+    "this is words" -> 1,
+    "this is more" -> 2,
+    "this is more words" -> 3
+  ))
+
+  test("longest_prefix terminal-required picks deepest terminal (trie.rs:664-679)") {
+    val r = words.longestPrefix("this is more wo", mustBeTerminal = true)
+    assert(r.contains(("this is more", 2)))
+  }
+
+  test("longest_prefix non-terminal returns the walk frontier (trie.rs:681-694)") {
+    val r = words.longestPrefix("this is more wo", mustBeTerminal = false)
+    assert(r.map(_._1).contains("this is more wo"))
+  }
+
+  test("longest_prefix terminal-required fails when no terminal passed (trie.rs:696-703)") {
+    assert(words.longestPrefix("this is", mustBeTerminal = true).isEmpty)
+  }
+
+  test("longest_prefix non-terminal on partial query returns query frontier") {
+    val r = words.longestPrefix("this is", mustBeTerminal = false)
+    assert(r.map(_._1).contains("this is"))
+  }
+
+  test("find exact terminal (trie.rs:714-733)") {
+    assert(words.find("this is more", mustBeTerminal = true).contains(("this is more", 2)))
+    assert(words.find("this is more words", mustBeTerminal = true).contains(("this is more words", 3)))
+  }
+
+  test("find requires full match") {
+    assert(words.find("this is more wo", mustBeTerminal = true).isEmpty)
+    assert(words.find("this is mo", mustBeTerminal = true).isEmpty)
+  }
+
+  test("find non-terminal interior node succeeds when terminality not required") {
+    assert(words.find("this is", mustBeTerminal = false).map(_._1).contains("this is"))
+  }
+
+  test("contains_key (trie.rs:653-662)") {
+    assert(words.containsKey("this is words"))
+    assert(!words.containsKey("this is"))
+    assert(!words.containsKey("absent"))
+  }
+
+  test("empty trie") {
+    val t = PrefixTrie.empty[Int]
+    assert(t.longestPrefix("anything", mustBeTerminal = true).isEmpty)
+    assert(t.find("", mustBeTerminal = false).map(_._1).contains(""))
+  }
+
+  test("single char and unicode keys") {
+    val t = PrefixTrie(Seq("a" -> 10, "日本語/" -> 11))
+    assert(t.longestPrefix("abc", mustBeTerminal = true).contains(("a", 10)))
+    assert(t.longestPrefix("日本語/x", mustBeTerminal = true).contains(("日本語/", 11)))
+  }
+
+  test("resolve treats empty-prefix match as miss (prefixes.rs:195-196)") {
+    val t = PrefixTrie(Seq("" -> 0, "http://x/" -> 1))
+    assert(t.resolve("zzz").isEmpty)
+    assert(t.resolve("http://x/y").contains(("http://x/", 1)))
+  }
+
+  test("entries round-trips lexicographically") {
+    assert(words.entries.map(_._1) == Vector("this is more", "this is more words", "this is words"))
+  }
+
+  test("overlapping namespaces pick the longest") {
+    val t = PrefixTrie(Seq(
+      "http://dbpedia.org/" -> "a",
+      "http://dbpedia.org/resource/" -> "b",
+      "http://dbpedia.org/resource/Category:" -> "c"
+    ))
+    assert(t.resolve("http://dbpedia.org/resource/Category:X").map(_._2).contains("c"))
+    assert(t.resolve("http://dbpedia.org/resource/X").map(_._2).contains("b"))
+    assert(t.resolve("http://dbpedia.org/ontology/X").map(_._2).contains("a"))
+    assert(t.resolve("http://example.org/").isEmpty)
+  }
+
+  test("serializable (broadcast requirement)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(words)
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val t2 = in.readObject().asInstanceOf[PrefixTrie[Int]]
+    assert(t2.longestPrefix("this is more wo", mustBeTerminal = true).contains(("this is more", 2)))
+  }
+}

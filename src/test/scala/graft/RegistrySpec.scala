@@ -1,0 +1,103 @@
+package graft
+
+import graft.ns.{NsSource, Registry}
+import org.scalatest.funsuite.AnyFunSuite
+
+class RegistrySpec extends AnyFunSuite {
+
+  test("community registry resolves longest prefix") {
+    val reg = Registry.community()
+    assert(reg.resolveAlias("http://dbpedia.org/resource/Ada_Lovelace").contains("dbr"))
+    assert(reg.resolveAlias("http://dbpedia.org/ontology/birthPlace").contains("dbo"))
+    assert(reg.resolveAlias("https://schema.org/worksFor").contains("schema"))
+    assert(reg.resolveAlias("http://nowhere.example.net/x").isEmpty)
+  }
+
+  test("insert skips duplicate namespace, keeps first alias (community.rs:62-70)") {
+    val reg = Registry.fromPairs(
+      Seq("a" -> "http://x.org/", "b" -> "http://x.org/"), NsSource.Community)
+    assert(reg.size == 1)
+    assert(reg.resolveAlias("http://x.org/y").contains("a"))
+  }
+
+  test("insert skips sub-namespace when allowSubNs=false (community.rs:71-78)") {
+    val reg = Registry.fromPairs(
+      Seq("long" -> "http://x.org/deep/", "short" -> "http://x.org/"), NsSource.Community)
+    assert(reg.size == 1)
+    assert(reg.resolveAlias("http://x.org/deep/z").contains("short"))
+  }
+
+  test("gen_alias: first host label (ns_trie.rs:144-161)") {
+    assert(Registry.genAlias("http://example.org/", Map.empty).contains("example"))
+    assert(Registry.genAlias("http://www.example.com/", Map.empty).contains("www"))
+  }
+
+  test("gen_alias: exact-duplicate namespace yields None (ns_trie.rs:164-167)") {
+    val aliases = Map("example" -> ("http://example.org/", NsSource.Community: NsSource))
+    assert(Registry.genAlias("http://example.org/", aliases).isEmpty)
+  }
+
+  test("gen_alias: TLD disambiguation on conflict (ns_trie.rs:170-183)") {
+    val aliases = Map("example" -> ("http://example.org/", NsSource.Community: NsSource))
+    // divergence from reference bug documented in Registry.genAlias: own TLD used
+    assert(Registry.genAlias("http://example.com/", aliases).contains("exampcom"))
+  }
+
+  test("gen_alias: path-segment disambiguation (ns_trie.rs:186-197)") {
+    val aliases = Map(
+      "example" -> ("http://example.org/a/", NsSource.Community: NsSource),
+      "examporg" -> ("http://example.org/taken/", NsSource.Community: NsSource))
+    // same TLD -> falls to last-path-segment rule
+    assert(Registry.genAlias("http://example.org/b/", aliases).contains("exampb"))
+  }
+
+  test("gen_alias: numeric fallback (ns_trie.rs:199-206)") {
+    val aliases = Map(
+      "example" -> ("http://example.org/a/", NsSource.Community: NsSource),
+      "examp2" -> ("http://example.org/x/", NsSource.Community: NsSource))
+    // same TLD, same last segment -> numeric; 2 taken -> 3
+    val got = Registry.genAlias("http://example.org/a/", aliases)
+    assert(got.isEmpty) // exact duplicate ns -> None
+    val got2 = Registry.genAlias("http://example.org/b/", Map(
+      "example" -> ("http://example.org/b/x", NsSource.Community),
+      "exampb" -> ("http://other.org/", NsSource.Community),
+      "examp2" -> ("http://other2.org/", NsSource.Community)))
+    assert(got2.contains("examp3"))
+  }
+
+  test("addNamespaces: skips contained, hostless, and duplicates (ns_trie.rs:71-135)") {
+    val reg = Registry.community()
+    val (reg2, added) = reg.withNamespaces(Seq(
+      ("http://dbpedia.org/resource/Category:", 5000L, NsSource.Inference), // contained in dbr
+      ("http://dbpedia.org/resource/", 5000L, NsSource.Inference), // exact duplicate
+      ("urn:isbn:", 5000L, NsSource.Inference), // no host
+      ("http://kgraft.example.net/res/", 5000L, NsSource.Inference) // fresh
+    ))
+    assert(added == Seq("http://kgraft.example.net/res/"))
+    assert(reg2.resolveAlias("http://kgraft.example.net/res/Thing").contains("kgraft"))
+    assert(reg2.size == reg.size + 1)
+  }
+
+  test("alias uniqueness holds under arbitrary sequences of additions (property)") {
+    val hosts = Seq("alpha.org", "alpha.com", "beta.net", "alpha.beta.org", "gamma.io")
+    // seeded pseudo-random exploration via scalacheck's generator machinery
+    val genPicks = org.scalacheck.Gen.listOfN(20, org.scalacheck.Gen.choose(0, hosts.size - 1))
+    (1 to 50).foreach { trial =>
+      val seed = org.scalacheck.rng.Seed(trial.toLong)
+      val picks = genPicks(org.scalacheck.Gen.Parameters.default, seed).getOrElse(Nil)
+      var reg = Registry.community()
+      picks.zipWithIndex.foreach { case (p, i) =>
+        val ns = s"http://${hosts(p)}/p$i/"
+        reg = reg.withNamespaces(Seq((ns, 1000L, NsSource.Inference)))._1
+      }
+      val aliases = reg.aliasMap.keys.toSeq
+      assert(aliases.distinct.size == aliases.size, s"trial $trial")
+    }
+  }
+
+  test("all-prefixes.json shape") {
+    val json = Registry.community().toJson
+    assert(json.contains(""""dbr": ["http://dbpedia.org/resource/", "community"]"""))
+    assert(json.trim.startsWith("{") && json.trim.endsWith("}"))
+  }
+}
