@@ -43,7 +43,8 @@ object Snapshot {
 }"""
   }
 
-  def manifestPath(dir: String): Path = Paths.get(dir, "manifest.json")
+  // underscore prefix: Spark's file readers ignore it inside the data dir
+  def manifestPath(dir: String): Path = Paths.get(dir, "_manifest.json")
 
   def isComplete(dir: String): Boolean = Files.exists(manifestPath(dir))
 

@@ -1,0 +1,129 @@
+package graft
+
+import graft.extract.{Dict, OpenIE, Synth}
+import graft.model.Kind
+import graft.ns.Inference
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  test("distributed prefix counts match a local computation") {
+    val iris = Seq(
+      "http://www.example.com/path/1/more",
+      "http://www.example.pt/2",
+      "http://www.example.com/path/2",
+      "http://www.example.com/path/2" // multiplicity counts occurrences
+    )
+    val df = iris.toDF("iri")
+    val got = Inference.prefixCounts(df).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = iris.flatMap(i => Inference.segPrefixes(i).zipWithIndex)
+      .groupBy(identity).map { case ((p, d), xs) => (p, d + 1, xs.size.toLong) }.toSet
+    assert(got == expected)
+    assert(got.contains(("http://www.example.com/", 1, 3L)))
+    assert(got.contains(("http://www.example.com/path/2", 3, 2L)))
+    // salted two-phase agg computes the same relation
+    val salted = Inference.prefixCounts(df, salt = 8).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(salted == expected)
+  }
+
+  test("end-to-end pipeline on 400 synthetic pages: summary, inference, sinks") {
+    val out = SparkSuite.tmpDir("graft-e2e")
+    val pages = Synth.pages(spark, 400)
+    // scale inference thresholds down to the corpus size: the kgraft namespace
+    // appears on ~4/11 of pages, several mentions each
+    val cfg = Pipeline.Config(outDir = out, minOccurs = 10,
+      minNsSize = 100, minDomainOccurs = 10)
+    val res = Pipeline.run(spark, pages, cfg)
+
+    // inference discovered the unregistered high-frequency namespaces
+    assert(res.inferredNamespaces.contains(Dict.inferNs),
+      s"inferred = ${res.inferredNamespaces}")
+    assert(res.inferredNamespaces.exists(_.startsWith("https://pages.example.com/")))
+
+    // summary is small and well-formed
+    val rows = res.summary.collect()
+    assert(rows.nonEmpty && rows.length < 200)
+    val total = rows.map(_.getLong(4)).sum
+    val nTriples = res.triples.count()
+    assert(total == nTriples) // every triple lands in exactly one signature
+
+    // sinks exist and are non-trivial
+    val ttl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "output.ttl")), "UTF-8")
+    assert(ttl.startsWith("@base <http://andrefs.com/graph-summ/v1> ."))
+    assert(ttl.contains("<#namespacePrefix>"))
+    assert(ttl.contains("#t0001"))
+    assert(ttl.contains("\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+    val vis = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "vis-data.json")), "UTF-8")
+    assert(vis.contains("\"nodes\"") && vis.contains("\"link_num\""))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "all-prefixes.json")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "tasks.json")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "summary", "_manifest.json")))
+  }
+
+  test("determinism: identical summary + ttl at different parallelism (north rule)") {
+    def runAt(parts: Int): (String, Seq[(String, String, String, Boolean, Long)]) = {
+      val out = SparkSuite.tmpDir(s"graft-det$parts")
+      val pages = Synth.pages(spark, 300, partitions = parts)
+      val cfg = Pipeline.Config(outDir = out, minOccurs = 5,
+        minNsSize = 100, minDomainOccurs = 10, resume = false)
+      val res = Pipeline.run(spark, pages, cfg)
+      val ttl = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "output.ttl")), "UTF-8")
+      val rows = res.summary.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2, t._3, t._4))
+        .toSeq
+      (ttl, rows)
+    }
+    val (ttl2, rows2) = runAt(2)
+    val (ttl8, rows8) = runAt(8)
+    assert(rows2 == rows8)
+    assert(ttl2 == ttl8) // byte-identical output across parallelism levels
+  }
+
+  test("P/R vs pinned reference extraction == 1.0 on the synthetic corpus") {
+    val pages = Synth.pages(spark, 200)
+    val emitted = Pipeline.extractTriples(pages)
+      .select("s", "p", "o").as[(String, String, String)].collect().toSet
+    // reference set: driver-side extraction over the same specs
+    val expected = (0L until 200L).flatMap { id =>
+      val spec = Synth.pageSpec(id)
+      OpenIE.extract(spec.url, Synth.textOf(spec)).map(t => (t.s, t.p, t.o))
+    }.toSet
+    val tp = (emitted intersect expected).size.toDouble
+    val precision = tp / emitted.size
+    val recall = tp / expected.size
+    assert(precision >= 0.95 && recall >= 0.95, s"P=$precision R=$recall")
+    assert(precision == 1.0 && recall == 1.0)
+  }
+
+  test("resume: second run reuses the triples snapshot") {
+    val out = SparkSuite.tmpDir("graft-resume")
+    val pages = Synth.pages(spark, 100)
+    val cfg = Pipeline.Config(outDir = out, minNsSize = 50, minDomainOccurs = 5)
+    val r1 = Pipeline.run(spark, pages, cfg)
+    val manifest = java.nio.file.Paths.get(out, "triples", "_manifest.json")
+    val mtime1 = java.nio.file.Files.getLastModifiedTime(manifest)
+    val r2 = Pipeline.run(spark, pages, cfg)
+    val mtime2 = java.nio.file.Files.getLastModifiedTime(manifest)
+    assert(mtime1 == mtime2) // snapshot untouched on resume
+    assert(r1.triples.count() == r2.triples.count())
+  }
+
+  test("blank and literal kinds survive the distributed round trip") {
+    val pages = Synth.pages(spark, 50)
+    val triples = Pipeline.extractTriples(pages).toDF()
+    val kinds = triples.select(F.col("oKind")).distinct().collect().map(_.getByte(0)).toSet
+    assert(kinds == Set(Kind.IRI, Kind.LIT_PLAIN, Kind.LIT_LANG, Kind.LIT_TYPED))
+    val sKinds = triples.select(F.col("sKind")).distinct().collect().map(_.getByte(0)).toSet
+    assert(sKinds == Set(Kind.IRI, Kind.BLANK))
+  }
+}
