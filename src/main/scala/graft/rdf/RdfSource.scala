@@ -1,0 +1,69 @@
+package graft.rdf
+
+import graft.model.{PrefixDecl, Triple}
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** RDF file sources (reference S1-S4, chilon_rs `src/extract.rs:44-66`,
+  * `src/parse.rs:63-86`).
+  *
+  * Format dispatch by extension after stripping `.gz`/`.bz2` (Hadoop codecs
+  * decompress transparently):
+  *   - `.nt` / `.nq`: line-delimited, parsed fully distributed via
+  *     `spark.read.textFile(...).flatMap` — no per-file state, clean splits;
+  *   - `.ttl` (and anything else, like the reference's fallback): stateful
+  *     `@prefix`, parsed one file per task via `wholeTextFiles`.
+  *
+  * `@prefix` declarations are a side output merged into the driver registry
+  * (reference `handle_pref_decls`, `src/prefixes.rs:249-277`).
+  */
+object RdfSource {
+
+  private def stem(path: String): String = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    name.stripSuffix(".gz").stripSuffix(".bz2")
+  }
+
+  def isLineFormat(path: String): Boolean = {
+    val s = stem(path)
+    s.endsWith(".nt") || s.endsWith(".nq")
+  }
+
+  /** Distributed scan of N-Triples / N-Quads files. */
+  def readNTriples(spark: SparkSession, paths: Seq[String]): Dataset[Triple] = {
+    import spark.implicits._
+    spark.read
+      .textFile(paths: _*)
+      .select(
+        org.apache.spark.sql.functions.input_file_name().as("f"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, line) => NTriples.parseLine(line, f) }
+  }
+
+  /** Per-file scan of Turtle files; returns triples + captured prefix decls. */
+  def readTurtle(spark: SparkSession, paths: Seq[String]): (Dataset[Triple], Dataset[PrefixDecl]) = {
+    import spark.implicits._
+    val files = spark.sparkContext.wholeTextFiles(paths.mkString(","))
+    val parsed = files.map { case (f, doc) => Turtle.parse(doc, f) }
+    val triples = spark.createDataset(parsed.flatMap(_.triples))
+    val decls = spark.createDataset(parsed.flatMap(_.prefixes)).distinct()
+    (triples, decls)
+  }
+
+  /** Format-dispatching scan over a mixed path list (reference S2). */
+  def read(spark: SparkSession, paths: Seq[String]): (Dataset[Triple], Dataset[PrefixDecl]) = {
+    import spark.implicits._
+    val (lineFiles, ttlFiles) = paths.partition(isLineFormat)
+    val parts = Seq.newBuilder[Dataset[Triple]]
+    var decls: Dataset[PrefixDecl] = spark.emptyDataset[PrefixDecl]
+    if (lineFiles.nonEmpty) parts += readNTriples(spark, lineFiles)
+    if (ttlFiles.nonEmpty) {
+      val (t, d) = readTurtle(spark, ttlFiles)
+      parts += t
+      decls = decls.union(d)
+    }
+    val all = parts.result().reduceOption(_ union _)
+      .getOrElse(spark.emptyDataset[Triple])
+    (all, decls)
+  }
+}

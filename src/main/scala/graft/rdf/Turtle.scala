@@ -1,0 +1,258 @@
+package graft.rdf
+
+import graft.model.{Kind, PrefixDecl, Triple}
+import scala.collection.mutable
+
+/** Minimal Turtle parser for the common subset (reference format dispatch,
+  * chilon_rs `src/parse.rs:63-86`; `@prefix` capture `src/parse.rs:53-61`).
+  *
+  * Turtle is stateful (`@prefix` scopes the whole document), so it parses
+  * per-file — the Spark source wraps this in a one-file-per-task flatMap
+  * (`wholeTextFiles`-style), unlike line-splittable N-Triples.
+  *
+  * Supported: `@prefix` / `@base` (and SPARQL-style PREFIX/BASE), IRIs,
+  * prefixed names, `a`, blank-node labels, literals with language tag or
+  * datatype (both quote styles, long strings), numeric/boolean shorthand,
+  * `;` and `,` predicate/object lists, comments. Not supported (rejected):
+  * collections `( )`, anonymous blank nodes `[ ]`, RDF-star — the reference
+  * rejects RDF-star too (`src/prefixes.rs:394-396`).
+  */
+object Turtle {
+
+  final case class Result(triples: Vector[Triple], prefixes: Vector[PrefixDecl])
+
+  def parse(doc: String, srcUrl: String = ""): Result = {
+    val p = new Parser(doc, srcUrl)
+    p.document()
+    Result(p.out.result(), p.decls.result())
+  }
+
+  private val XsdInteger = "http://www.w3.org/2001/XMLSchema#integer"
+  private val XsdDecimal = "http://www.w3.org/2001/XMLSchema#decimal"
+  private val XsdDouble = "http://www.w3.org/2001/XMLSchema#double"
+  private val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
+  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  private final class Parser(s: String, srcUrl: String) {
+    var i = 0
+    var base = ""
+    val prefixes = mutable.Map[String, String]()
+    val out = Vector.newBuilder[Triple]
+    val decls = Vector.newBuilder[PrefixDecl]
+
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"Turtle parse error at pos $i: $msg")
+
+    def ws(): Unit = {
+      var go = true
+      while (go) {
+        go = false
+        while (i < s.length && s.charAt(i).isWhitespace) { i += 1; go = true }
+        if (i < s.length && s.charAt(i) == '#') {
+          while (i < s.length && s.charAt(i) != '\n') i += 1
+          go = true
+        }
+      }
+    }
+
+    def document(): Unit = {
+      ws()
+      while (i < s.length) {
+        if (peekKeyword("@prefix") || peekKeyword("PREFIX")) prefixDecl()
+        else if (peekKeyword("@base") || peekKeyword("BASE")) baseDecl()
+        else statement()
+        ws()
+      }
+    }
+
+    private def peekKeyword(k: String): Boolean =
+      s.regionMatches(true, i, k, 0, k.length) || s.regionMatches(false, i, k, 0, k.length)
+
+    private def prefixDecl(): Unit = {
+      val atStyle = s.charAt(i) == '@'
+      i += (if (atStyle) "@prefix".length else "PREFIX".length)
+      ws()
+      val start = i
+      while (i < s.length && s.charAt(i) != ':') i += 1
+      val alias = s.substring(start, i).trim
+      i += 1 // ':'
+      ws()
+      val ns = iriRef()
+      prefixes(alias) = ns
+      decls += PrefixDecl(alias, ns)
+      ws()
+      if (atStyle) { if (i < s.length && s.charAt(i) == '.') i += 1 }
+    }
+
+    private def baseDecl(): Unit = {
+      val atStyle = s.charAt(i) == '@'
+      i += (if (atStyle) "@base".length else "BASE".length)
+      ws()
+      base = iriRef()
+      ws()
+      if (atStyle) { if (i < s.length && s.charAt(i) == '.') i += 1 }
+    }
+
+    private def statement(): Unit = {
+      val (subj, subjKind) = subject()
+      ws()
+      predicateObjectList(subj, subjKind)
+      ws()
+      if (i < s.length && s.charAt(i) == '.') i += 1 else fail("expected '.'")
+    }
+
+    private def predicateObjectList(subj: String, subjKind: Byte): Unit = {
+      var more = true
+      while (more) {
+        ws()
+        val pred = predicate()
+        var moreObjs = true
+        while (moreObjs) {
+          ws()
+          val (o, k, lang, dt) = objectTerm()
+          out += Triple(subj, subjKind, pred, o, k, lang, dt, srcUrl)
+          ws()
+          if (i < s.length && s.charAt(i) == ',') { i += 1 } else moreObjs = false
+        }
+        if (i < s.length && s.charAt(i) == ';') {
+          i += 1; ws()
+          // a ';' may be trailing before '.'
+          if (i < s.length && (s.charAt(i) == '.' || s.charAt(i) == ';')) more = false
+        } else more = false
+      }
+    }
+
+    private def subject(): (String, Byte) = {
+      ws()
+      if (i >= s.length) fail("unexpected EOF")
+      s.charAt(i) match {
+        case '<' => (iriRef(), Kind.IRI)
+        case '_' => (blankLabel(), Kind.BLANK)
+        case '[' => fail("anonymous blank nodes are not supported")
+        case '(' => fail("collections are not supported")
+        case _   => (prefixedName(), Kind.IRI)
+      }
+    }
+
+    private def predicate(): String = {
+      if (s.charAt(i) == '<') iriRef()
+      else if (s.charAt(i) == 'a' && i + 1 < s.length &&
+               (s.charAt(i + 1).isWhitespace)) { i += 1; RdfType }
+      else prefixedName()
+    }
+
+    private def objectTerm(): (String, Byte, Option[String], Option[String]) = {
+      s.charAt(i) match {
+        case '<' => (iriRef(), Kind.IRI, None, None)
+        case '_' => (blankLabel(), Kind.BLANK, None, None)
+        case '[' => fail("anonymous blank nodes are not supported")
+        case '(' => fail("collections are not supported")
+        case '"' | '\'' => literal()
+        case c if c.isDigit || c == '+' || c == '-' || c == '.' => numericLiteral()
+        case 't' if s.regionMatches(i, "true", 0, 4)  => i += 4; ("true", Kind.LIT_TYPED, None, Some(XsdBoolean))
+        case 'f' if s.regionMatches(i, "false", 0, 5) => i += 5; ("false", Kind.LIT_TYPED, None, Some(XsdBoolean))
+        case _ => (prefixedName(), Kind.IRI, None, None)
+      }
+    }
+
+    private def numericLiteral(): (String, Byte, Option[String], Option[String]) = {
+      val start = i
+      while (i < s.length && (s.charAt(i).isDigit || "+-.eE".indexOf(s.charAt(i)) >= 0)) i += 1
+      val lex = s.substring(start, i)
+      val dt =
+        if (lex.exists(c => c == 'e' || c == 'E')) XsdDouble
+        else if (lex.contains('.')) XsdDecimal
+        else XsdInteger
+      (lex, Kind.LIT_TYPED, None, Some(dt))
+    }
+
+    private def literal(): (String, Byte, Option[String], Option[String]) = {
+      val q = s.charAt(i)
+      val long = s.regionMatches(i, s"$q$q$q", 0, 3)
+      val lex = if (long) longString(q) else shortString(q)
+      if (s.startsWith("^^", i)) {
+        i += 2
+        val dt = if (s.charAt(i) == '<') iriRef() else prefixedName()
+        (lex, Kind.LIT_TYPED, None, Some(dt))
+      } else if (i < s.length && s.charAt(i) == '@') {
+        i += 1
+        val start = i
+        while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
+        (lex, Kind.LIT_LANG, Some(s.substring(start, i)), None)
+      } else (lex, Kind.LIT_PLAIN, None, None)
+    }
+
+    private def shortString(q: Char): String = {
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != q) {
+        if (s.charAt(i) == '\\') sb.append(escape()) else { sb.append(s.charAt(i)); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+
+    private def longString(q: Char): String = {
+      i += 3
+      val sb = new StringBuilder
+      while (i < s.length && !s.regionMatches(i, s"$q$q$q", 0, 3)) {
+        if (s.charAt(i) == '\\') sb.append(escape()) else { sb.append(s.charAt(i)); i += 1 }
+      }
+      i += 3
+      sb.toString
+    }
+
+    private def escape(): String = {
+      i += 1
+      val c = s.charAt(i)
+      c match {
+        case 't'  => i += 1; "\t"
+        case 'b'  => i += 1; "\b"
+        case 'n'  => i += 1; "\n"
+        case 'r'  => i += 1; "\r"
+        case 'f'  => i += 1; "\f"
+        case '"'  => i += 1; "\""
+        case '\'' => i += 1; "'"
+        case '\\' => i += 1; "\\"
+        case 'u'  => i += 1; val h = s.substring(i, i + 4); i += 4; new String(Character.toChars(Integer.parseInt(h, 16)))
+        case 'U'  => i += 1; val h = s.substring(i, i + 8); i += 8; new String(Character.toChars(Integer.parseInt(h, 16)))
+        case _    => fail(s"bad escape \\$c")
+      }
+    }
+
+    private def iriRef(): String = {
+      if (s.charAt(i) != '<') fail("expected '<'")
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '>') {
+        if (s.charAt(i) == '\\') sb.append(escape()) else { sb.append(s.charAt(i)); i += 1 }
+      }
+      i += 1
+      val iri = sb.toString
+      if (base.nonEmpty && !iri.contains("://") && !iri.startsWith("urn:")) base + iri else iri
+    }
+
+    private def blankLabel(): String = {
+      i += 2
+      val start = i
+      while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_' || s.charAt(i) == '-')) i += 1
+      s.substring(start, i)
+    }
+
+    private def prefixedName(): String = {
+      val start = i
+      while (i < s.length && s.charAt(i) != ':' && !s.charAt(i).isWhitespace) i += 1
+      if (i >= s.length || s.charAt(i) != ':') fail(s"expected prefixed name near '${s.substring(start, math.min(start + 20, s.length))}'")
+      val alias = s.substring(start, i)
+      i += 1
+      val localStart = i
+      while (i < s.length && !s.charAt(i).isWhitespace &&
+             ";,.".indexOf(s.charAt(i)) < 0) i += 1
+      // a trailing '.' that is a statement terminator (followed by ws/EOF) was
+      // already excluded above; Turtle local names may not end with '.'
+      val local = s.substring(localStart, i)
+      val ns = prefixes.getOrElse(alias, fail(s"undefined prefix '$alias:'"))
+      ns + local
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import graft.model.Kind
+import graft.rdf.{NTriples, RdfSource, Turtle}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class RdfSpec extends AnyFunSuite {
+
+  test("N-Triples: IRIs, blanks, literals, escapes") {
+    val t1 = NTriples.parseLine("""<http://a/s> <http://a/p> <http://a/o> .""").get
+    assert(t1.s == "http://a/s" && t1.oKind == Kind.IRI)
+    val t2 = NTriples.parseLine("""_:b1 <http://a/p> "hi there" .""").get
+    assert(t2.sKind == Kind.BLANK && t2.s == "b1" && t2.oKind == Kind.LIT_PLAIN && t2.o == "hi there")
+    val t3 = NTriples.parseLine("""<http://a/s> <http://a/p> "olá"@pt-PT .""").get
+    assert(t3.oKind == Kind.LIT_LANG && t3.o == "olá" && t3.oLang.contains("pt-PT"))
+    val t4 = NTriples.parseLine(
+      """<http://a/s> <http://a/p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .""").get
+    assert(t4.oKind == Kind.LIT_TYPED && t4.oDt.contains("http://www.w3.org/2001/XMLSchema#integer"))
+    val t5 = NTriples.parseLine("""<http://a/s> <http://a/p> "a \"q\" \n b" .""").get
+    assert(t5.o == "a \"q\" \n b")
+  }
+
+  test("N-Triples: comments, blanks, N-Quads graph term dropped") {
+    assert(NTriples.parseLine("# comment").isEmpty)
+    assert(NTriples.parseLine("   ").isEmpty)
+    val q = NTriples.parseLine("""<http://a/s> <http://a/p> <http://a/o> <http://g> .""").get
+    assert(q.o == "http://a/o") // graph term projected away (parse.rs:40-47)
+  }
+
+  test("N-Triples: RDF-star rejected like the reference") {
+    intercept[NTriples.ParseError] {
+      NTriples.parseLine("""<< <http://a/s> <http://a/p> <http://a/o> >> <http://a/p2> <http://a/o2> .""")
+    }
+  }
+
+  test("Turtle: prefixes, 'a', semicolon/comma lists, literals") {
+    val doc =
+      """@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+        |@prefix ex: <http://example.org/> .
+        |@base <http://base.org/> .
+        |# a comment
+        |ex:alice a foaf:Person ;
+        |    foaf:name "Alice"@en ;
+        |    foaf:age 30 ;
+        |    foaf:knows ex:bob, _:anon .
+        |_:anon foaf:name 'Bob' .
+        |ex:thing ex:height 1.75 .
+        |ex:thing ex:ok true .
+        |""".stripMargin
+    val res = Turtle.parse(doc, "f")
+    assert(res.prefixes.map(_.alias).toSet == Set("foaf", "ex"))
+    val ts = res.triples
+    assert(ts.size == 8)
+    assert(ts.head.p == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+    assert(ts.head.o == "http://xmlns.com/foaf/0.1/Person")
+    val name = ts.find(_.p == "http://xmlns.com/foaf/0.1/name").get
+    assert(name.o == "Alice" && name.oLang.contains("en"))
+    val age = ts.find(t => t.o == "30").get
+    assert(age.oDt.contains("http://www.w3.org/2001/XMLSchema#integer"))
+    val knows = ts.filter(_.p == "http://xmlns.com/foaf/0.1/knows")
+    assert(knows.map(_.oKind).toSet == Set(Kind.IRI, Kind.BLANK))
+    val height = ts.find(t => t.o == "1.75").get
+    assert(height.oDt.contains("http://www.w3.org/2001/XMLSchema#decimal"))
+    val ok = ts.find(t => t.o == "true").get
+    assert(ok.oDt.contains("http://www.w3.org/2001/XMLSchema#boolean"))
+  }
+
+  test("Turtle: relative IRIs resolve against @base") {
+    val doc =
+      """@base <http://base.org/> .
+        |@prefix ex: <http://example.org/> .
+        |<s1> ex:p <o1> .
+        |""".stripMargin
+    val ts = Turtle.parse(doc).triples
+    assert(ts.head.s == "http://base.org/s1" && ts.head.o == "http://base.org/o1")
+  }
+
+  test("distributed N-Triples scan with format dispatch and decls side-output") {
+    val spark = SparkSuite.spark
+    val dir = SparkSuite.tmpDir("rdf-src")
+    Files.write(Paths.get(dir, "a.nt"),
+      ("<http://a/s1> <http://a/p> <http://a/o1> .\n" +
+        "<http://a/s2> <http://a/p> \"lit\" .\n").getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "b.ttl"),
+      ("@prefix ex: <http://example.org/> .\n" +
+        "ex:s ex:p ex:o .\n").getBytes("UTF-8"))
+    val (triples, decls) = RdfSource.read(spark, Seq(s"$dir/a.nt", s"$dir/b.ttl"))
+    assert(triples.count() == 3)
+    val d = decls.collect()
+    assert(d.map(x => (x.alias, x.ns)).toSet == Set(("ex", "http://example.org/")))
+    // lineage: srcUrl column carries the input file
+    assert(triples.filter(_.srcUrl.endsWith("a.nt")).count() == 2)
+  }
+
+  test("gz-compressed N-Triples reads transparently (extract.rs:44-66 equivalent)") {
+    val spark = SparkSuite.spark
+    val dir = SparkSuite.tmpDir("rdf-gz")
+    val gz = Paths.get(dir, "c.nt.gz")
+    val os = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    os.write("<http://a/s> <http://a/p> <http://a/o> .\n".getBytes("UTF-8"))
+    os.close()
+    val (triples, _) = RdfSource.read(spark, Seq(gz.toString))
+    assert(triples.count() == 1)
+  }
+}
