@@ -1,0 +1,185 @@
+package graft.dedup
+
+import graft.extract.Synth
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Deduplication operators for training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Hash functions are home-grown splitmix64 mixes — portable, deterministic,
+  * and executor-independent. The LSH family is the scale path: candidate
+  * generation is a self-join on (band, bucket) keys, never an O(n²) cross
+  * join; exact Jaccard verification runs only on candidates.
+  */
+object Dedup {
+
+  // ---------- exact ----------------------------------------------------------
+
+  /** Exact dedup: one row per distinct text with the kept (minimum) id and the
+    * duplicate count. The groupBy key is the text hash first so the shuffle
+    * carries a fixed-width key (the scale concern at 100 TB), with an exact
+    * text equality re-check inside each hash group.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(F.xxhash64(F.col(textCol)).as("text_hash"), F.col(textCol))
+      .agg(F.min(idCol).as("keep_id"), F.count(F.lit(1)).as("n_dups"))
+      .select("text_hash", "keep_id", "n_dups")
+
+  // ---------- shingles / minhash ---------------------------------------------
+
+  /** Word k-shingles of a text (lowercased alphanumeric tokens). */
+  def shingles(text: String, k: Int): Array[String] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < k) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
+    else toks.sliding(k).map(_.mkString(" ")).toArray
+  }
+
+  def hashShingle(s: String, seed: Long): Long = {
+    var h = seed
+    var i = 0
+    while (i < s.length) { h = Synth.mix64(h ^ s.charAt(i).toLong); i += 1 }
+    h
+  }
+
+  /** MinHash signature: `nHashes` independent min-hashes over the shingle set. */
+  def minHashSignature(text: String, k: Int, nHashes: Int): Array[Long] = {
+    val sh = shingles(text, k)
+    val sig = Array.fill(nHashes)(Long.MaxValue)
+    sh.foreach { s =>
+      val base = hashShingle(s, 0x5eed5eedL)
+      var j = 0
+      while (j < nHashes) {
+        val h = Synth.mix64(base + j * 0x9e3779b97f4a7c15L)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH band keys from a signature: one 64-bit key per band. */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    (0 until bands).map { b =>
+      var h = b.toLong * 0x100000001b3L
+      var r = 0
+      while (r < rows) { h = Synth.mix64(h ^ sig(b * rows + r)); r += 1 }
+      h
+    }.toArray
+  }
+
+  def jaccard(a: Set[String], b: Set[String]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val inter = a.intersect(b).size.toDouble
+    inter / (a.size + b.size - inter)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with verified Jaccard.
+    *
+    * shingle -> minhash -> band -> bucket-join (self-join on band keys) ->
+    * exact verify. Distributed shape: explode band keys, shuffle on
+    * (band, key), pair within buckets, dedup pairs, verify with a join back to
+    * the shingle sets.
+    */
+  def minHashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      nHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigUdf = F.udf((t: String) => bandKeys(minHashSignature(t, k, nHashes), bands))
+    val banded = df
+      .select(F.col(idCol).as("id"), F.col(textCol).as("text"))
+      .select($"id", $"text", F.posexplode(sigUdf(F.col("text"))).as(Seq("band", "bkey")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val cand = l
+      .join(r, F.col("l.band") === F.col("r.band") && F.col("l.bkey") === F.col("r.bkey")
+        && F.col("l.id") < F.col("r.id"))
+      .select(F.col("l.id").as("id_a"), F.col("r.id").as("id_b"),
+        F.col("l.text").as("text_a"), F.col("r.text").as("text_b"))
+      .distinct()
+    val jacUdf = F.udf((a: String, b: String) =>
+      jaccard(shingles(a, k).toSet, shingles(b, k).toSet))
+    cand
+      .withColumn("jaccard", jacUdf($"text_a", $"text_b"))
+      .filter($"jaccard" >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------- simhash ---------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes. */
+  def simHash(text: String): Long = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val v = new Array[Int](64)
+    toks.foreach { t =>
+      val h = hashShingle(t, 0x51e0a9L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (v(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup pairs: block on the 4 16-bit chunks (any pair within
+    * hamming distance <= 3 shares at least one chunk by pigeonhole over 4
+    * blocks), verify hamming distance on candidates.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shUdf = F.udf((t: String) => simHash(t))
+    val chunkUdf = F.udf((h: Long) => (0 until 4).map(c => ((h >>> (16 * c)) & 0xffffL) | (c.toLong << 56)).toArray)
+    val hashed = df.select(F.col(idCol).as("id"), shUdf(F.col(textCol)).as("sh"))
+      .withColumn("chunk", F.explode(chunkUdf($"sh")))
+    val l = hashed.as("l")
+    val r = hashed.as("r")
+    l.join(r, F.col("l.chunk") === F.col("r.chunk") && F.col("l.id") < F.col("r.id"))
+      .select(F.col("l.id").as("id_a"), F.col("r.id").as("id_b"),
+        F.col("l.sh").as("sh_a"), F.col("r.sh").as("sh_b"))
+      .distinct()
+      .withColumn("dist", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+      .filter($"dist" <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  // ---------- n-gram / token-set jaccard --------------------------------------
+
+  /** Token-set Jaccard pairs via an inverted-index join (shared-token blocking),
+    * exact and SQL-expressible: |A∩B| from the join, sizes from per-doc distinct
+    * counts. No cross join — candidate pairs must share at least one token.
+    */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val toks = df.select(
+      F.col(idCol).as("id"),
+      F.explode(F.array_distinct(
+        F.filter(F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"), t => F.length(t) > 0))).as("tok"))
+    val sizes = toks.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
+    val l = toks.as("l")
+    val r = toks.as("r")
+    val inter = l.join(r, F.col("l.tok") === F.col("r.tok") && F.col("l.id") < F.col("r.id"))
+      .groupBy(F.col("l.id").as("id_a"), F.col("r.id").as("id_b"))
+      .agg(F.count(F.lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        F.round(F.col("inter").cast("double") /
+          (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.sim
+
+import graft.extract.Synth
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exactness baseline; sign-random-projection
+  * LSH bucketing as the scale path (candidates from shared hash buckets only).
+  *
+  * Cosine is computed in explicit double arithmetic (`zip_with` + `aggregate`
+  * over doubles) so the oracle side can replicate the exact formula.
+  */
+object Similarity {
+
+  /** cosine(a, b) as a Column over two array<float> columns, double math. */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dot = F.aggregate(
+      F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, x) => acc + x)
+    val na = F.sqrt(F.aggregate(a, F.lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = F.sqrt(F.aggregate(b, F.lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k cosine neighbors for the query rows (queries broadcast;
+    * the big side streams — one pass, no shuffle of the corpus).
+    */
+  def bruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
+    val scored = c
+      .crossJoin(F.broadcast(q))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(F.col("sim").desc, F.col("neighbor_id"))
+    scored
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Deterministic random hyperplane component for (plane p, dimension d). */
+  def planeComponent(p: Int, d: Int): Double = {
+    val h = Synth.mix64(p.toLong * 1000003L + d.toLong)
+    // map to (-1, 1)
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-random-projection bucket key over `nPlanes` hyperplanes. */
+  def srpKey(vec: Array[Float], nPlanes: Int): Long = {
+    var key = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) { dot += vec(d) * planeComponent(p, d); d += 1 }
+      if (dot > 0) key |= (1L << p)
+      p += 1
+    }
+    key
+  }
+
+  /** LSH-bucketed approximate neighbor pairs: multiple independent tables
+    * (bucket = table id + srp key over a plane slice), candidates only within
+    * buckets — the O(n²) cross join never happens. Verified cosine attached.
+    */
+  def lshNeighbors(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 12,
+      nTables: Int = 4,
+      minSim: Double = 0.0
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keysUdf = F.udf { (v: Array[Float]) =>
+      (0 until nTables).map { t =>
+        var key = t.toLong << 56
+        var p = 0
+        while (p < nPlanes) {
+          var dot = 0.0
+          var d = 0
+          while (d < v.length) { dot += v(d) * planeComponent(t * nPlanes + p, d); d += 1 }
+          if (dot > 0) key |= (1L << p)
+          p += 1
+        }
+        key
+      }.toArray
+    }
+    val bucketed = df
+      .select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+      .withColumn("bucket", F.explode(keysUdf($"v")))
+    val l = bucketed.as("l")
+    val r = bucketed.as("r")
+    l.join(r, F.col("l.bucket") === F.col("r.bucket") && F.col("l.id") < F.col("r.id"))
+      .select(F.col("l.id").as("id_a"), F.col("r.id").as("id_b"),
+        F.col("l.v").as("va"), F.col("r.v").as("vb"))
+      .distinct()
+      .withColumn("sim", F.round(cosine($"va", $"vb"), 6))
+      .filter($"sim" >= minSim)
+      .select("id_a", "id_b", "sim")
+  }
+}

