@@ -1,0 +1,320 @@
+package graft.queries
+
+import graft.textops.TextOps
+
+/** DuckDB oracle SQL for [[Queries]] — each statement recomputes the expected
+  * result independently over the same parquet tables (registered by the driver
+  * as bare table names). Chilon-semantics oracles re-derive the group keys with
+  * explicit longest-prefix CASE logic, validating the engine's broadcast-trie
+  * path against a from-first-principles computation.
+  */
+object Oracles {
+
+  /** Shared CTE: derived triples from `documents` (mirror of
+    * [[Queries.derivedTriples]]).
+    */
+  val derivedTriplesCte: String =
+    """t AS (
+      |  SELECT
+      |    CASE WHEN doc_id % 7 = 3 THEN 'b' || doc_id
+      |         ELSE 'http://dbpedia.org/resource/E' || (doc_id % 50) END AS s,
+      |    CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS s_kind,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'http://dbpedia.org/ontology/knows'
+      |         WHEN doc_id % 3 = 1 THEN 'https://schema.org/worksFor'
+      |         ELSE 'http://unreg.example.net/p/rel' END AS p,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'http://dbpedia.org/resource/E' || (doc_id % 40)
+      |         WHEN doc_id % 5 = 1 THEN 'http://www.wikidata.org/entity/Q' || (doc_id % 30)
+      |         WHEN doc_id % 5 = 2 THEN 'lit-' || doc_id
+      |         WHEN doc_id % 5 = 3 THEN 'texto-' || doc_id
+      |         ELSE '42' END AS o,
+      |    CASE WHEN doc_id % 5 IN (0, 1) THEN 0
+      |         WHEN doc_id % 5 = 2 THEN 2
+      |         WHEN doc_id % 5 = 3 THEN 3
+      |         ELSE 4 END AS o_kind,
+      |    CASE WHEN doc_id % 5 = 4 THEN
+      |           (CASE WHEN doc_id % 11 = 0 THEN 'http://unknown.example.org/dt'
+      |                 ELSE 'http://www.w3.org/2001/XMLSchema#integer' END)
+      |         END AS o_dt
+      |  FROM documents)""".stripMargin
+
+  /** Shared CTE: normalized group keys (longest-prefix CASE against the
+    * community fixture registry — mirror of the broadcast-trie resolution).
+    */
+  val normCte: String =
+    """norm AS (
+      |  SELECT
+      |    CASE WHEN s_kind = 1 THEN 'BLANK'
+      |         WHEN s LIKE 'http://dbpedia.org/resource/%' THEN 'dbr'
+      |         ELSE 'UNKNOWN' END AS s_ns,
+      |    CASE WHEN p LIKE 'http://dbpedia.org/ontology/%' THEN 'dbo'
+      |         WHEN p LIKE 'https://schema.org/%' THEN 'schema'
+      |         ELSE 'UNKNOWN' END AS p_ns,
+      |    CASE WHEN o_kind = 2 THEN 'xsd'
+      |         WHEN o_kind = 3 THEN 'rdf'
+      |         WHEN o_kind = 4 THEN
+      |           (CASE WHEN o_dt LIKE 'http://www.w3.org/2001/XMLSchema#%' THEN 'xsd'
+      |                 ELSE 'UNKNOWN' END)
+      |         WHEN o LIKE 'http://dbpedia.org/resource/%' THEN 'dbr'
+      |         WHEN o LIKE 'http://www.wikidata.org/entity/%' THEN 'wd'
+      |         ELSE 'UNKNOWN' END AS o_ns,
+      |    o_kind IN (2, 3, 4) AS is_datatype
+      |  FROM t)""".stripMargin
+
+  val summaryCte: String =
+    s"""summary AS (
+       |  SELECT s_ns, p_ns, o_ns, is_datatype, count(*) AS occurs
+       |  FROM norm GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private def withT(body: String) = s"WITH $derivedTriplesCte, $normCte, $summaryCte\n$body"
+
+  /** Shared CTE: token-derived IRIs + their segment prefixes (mirror of
+    * [[Queries.inferenceIris]] + `Inference.segPrefixes` for these shapes).
+    */
+  val irisCte: String =
+    """toks AS (
+      |  SELECT doc_id, u.tok FROM documents,
+      |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                       x -> len(x) > 0)) AS u(tok)),
+      |iris AS (
+      |  SELECT CASE WHEN len(tok) >= 4 THEN
+      |           'http://big.example.org/' ||
+      |           (CASE WHEN len(tok) >= 5 THEN 'a/' ELSE 'b/' END) ||
+      |           tok || '_' || (doc_id % 50)
+      |         ELSE 'http://rare' || (doc_id % 97) || '.example.io/t/' || tok
+      |         END AS iri
+      |  FROM toks),
+      |prefixes AS (
+      |  SELECT regexp_extract(iri, '^(https?://[^/]+/)', 1) AS prefix, 1 AS depth FROM iris
+      |  UNION ALL
+      |  SELECT regexp_extract(iri, '^(https?://[^/]+/[^/]+/)', 1), 2 FROM iris
+      |  UNION ALL
+      |  SELECT iri, 3 FROM iris)""".stripMargin
+
+  val sqls: Map[String, String] = Map(
+    "q_p4_resolve_ns" ->
+      s"""WITH $derivedTriplesCte
+         |SELECT DISTINCT s AS iri,
+         |  CASE WHEN s LIKE 'http://dbpedia.org/resource/%' THEN 'dbr' ELSE 'UNKNOWN' END AS alias,
+         |  CASE WHEN s LIKE 'http://dbpedia.org/resource/%' THEN 'http://dbpedia.org/resource/' END AS ns
+         |FROM t WHERE s_kind = 0""".stripMargin,
+
+    "q_a1_summary" -> withT(
+      "SELECT s_ns, p_ns, o_ns, is_datatype, occurs FROM summary"),
+
+    "q_o1_stmt_ids" -> withT(
+      """SELECT printf('#t%04d', CAST(row_number() OVER
+        |    (ORDER BY s_ns, p_ns, o_ns, is_datatype) AS INT)) AS stmt_id,
+        |  s_ns, p_ns, o_ns, is_datatype, occurs
+        |FROM summary WHERE occurs >= 10""".stripMargin),
+
+    "q_a5_vis_nodes" -> withT(
+      """SELECT name, sum(occurs) AS count FROM (
+        |  SELECT s_ns AS name, occurs FROM summary
+        |  UNION ALL SELECT o_ns, occurs FROM summary)
+        |GROUP BY 1""".stripMargin),
+
+    "q_a6_vis_edges" -> withT(
+      """SELECT s_ns AS source, o_ns AS target, occurs AS count, p_ns AS label, is_datatype,
+        |  (CASE WHEN s_ns = least(s_ns, o_ns) THEN 1 ELSE -1 END) *
+        |  CAST(row_number() OVER (PARTITION BY least(s_ns, o_ns), greatest(s_ns, o_ns)
+        |       ORDER BY occurs DESC, p_ns, is_datatype, s_ns) AS INT) AS link_num
+        |FROM summary""".stripMargin),
+
+    "q_a2_prefix_counts" ->
+      s"""WITH $irisCte
+         |SELECT prefix, depth, count(*) AS count FROM prefixes
+         |GROUP BY 1, 2 HAVING count(*) >= 100""".stripMargin,
+
+    "q_n3_infer_ns" ->
+      s"""WITH $irisCte,
+         |pc AS (SELECT prefix, depth, count(*) AS c FROM prefixes GROUP BY 1, 2),
+         |doms AS (SELECT prefix, c FROM pc WHERE depth = 1 AND c >= 1000),
+         |kids AS (SELECT p.prefix, p.c FROM pc p JOIN doms d
+         |           ON p.prefix LIKE d.prefix || '%' WHERE p.depth = 2 AND p.c >= 1000)
+         |SELECT ns, size FROM (
+         |  SELECT prefix AS ns, c AS size FROM kids
+         |    WHERE (SELECT count(*) FROM kids) BETWEEN 1 AND 4
+         |  UNION ALL
+         |  SELECT prefix, c FROM doms
+         |    WHERE NOT ((SELECT count(*) FROM kids) BETWEEN 1 AND 4))""".stripMargin,
+
+    "q_p3_canonicalize" ->
+      """SELECT doc_id, CAST(least(24 + doc_id % 300, 200) AS INT) AS canon_len
+        |FROM documents""".stripMargin,
+
+    "q_p5_literal_class" -> withT(
+      "SELECT o_ns AS group_key, count(*) AS n FROM norm GROUP BY 1"),
+
+    "q_p6_ignore_unknown" -> withT(
+      """SELECT (SELECT count(*) FROM norm
+        |          WHERE s_ns <> 'UNKNOWN' AND p_ns <> 'UNKNOWN' AND o_ns <> 'UNKNOWN') AS kept,
+        |       (SELECT count(*) FROM t) AS total""".stripMargin),
+
+    "q_p12_metrics" ->
+      s"""WITH $derivedTriplesCte
+         |SELECT
+         |  sum(CASE WHEN s_kind = 0 THEN 1 ELSE 0 END) + count(*) +
+         |    sum(CASE WHEN o_kind = 0 THEN 1 ELSE 0 END) AS iris,
+         |  sum(CASE WHEN s_kind = 1 THEN 1 ELSE 0 END) +
+         |    sum(CASE WHEN o_kind = 1 THEN 1 ELSE 0 END) AS blanks,
+         |  sum(CASE WHEN o_kind IN (2, 3, 4) THEN 1 ELSE 0 END) AS literals
+         |FROM t""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q_dedup_token_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+        |toks AS (SELECT DISTINCT doc_id, u.tok FROM d,
+        |  UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                     x -> len(x) > 0)) AS u(tok)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.85""".stripMargin,
+
+    "q_sim_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(
+        |      list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+        |      / (sqrt(list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+        |           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+        |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))),
+        |      6) AS sim
+        |  FROM q, embeddings c WHERE c.vec_id <> q.vec_id)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    "q_text_langid" -> langIdSql,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  round(
+         |    least(length(text) / 500.0, 1.0) * 0.4 +
+         |    (CASE WHEN length(text) > 0 THEN
+         |       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+         |     ELSE 0.0 END) * 0.4 +
+         |    (CASE WHEN ${tokCountSql("text")} > 0 THEN
+         |       ${stopHitsSql("text", "en")} * 1.0 / ${tokCountSql("text")}
+         |     ELSE 0.0 END) * 0.2,
+         |  6) AS quality
+         |FROM documents""".stripMargin,
+
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(${tokCountSql("text")} AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpeish
+         |FROM documents""".stripMargin,
+
+    "q_text_fingerprint" -> fingerprintSql,
+
+    "q_media_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(16 + octet_length(encode(text)) % 32 AS INT) AS width,
+        |  CAST(16 + (octet_length(encode(text)) * 7) % 32 AS INT) AS height,
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format
+        |FROM documents""".stripMargin,
+
+    "q_media_frames" ->
+      """WITH m AS (SELECT doc_id AS id, octet_length(encode(text)) AS n
+        |           FROM documents WHERE doc_id < 100),
+        |f AS (SELECT id, n, CAST(1 + n % 8 AS INT) AS k FROM m)
+        |SELECT id, CAST(u.i AS INT) AS frame_idx, CAST(u.i * (n // k) AS BIGINT) AS offset
+        |FROM f, UNNEST(range(k)) AS u(i)""".stripMargin,
+
+    "q_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, count(*) AS customers, round(sum(c_acctbal), 4) AS balance
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_window_events" ->
+      """SELECT user_id, rn, event_id, running_value FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER w AS INT) AS rn,
+        |    round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |      AS running_value
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_topk_events" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 10""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 150""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR date_diff('second',
+        |                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 4) AS session_value
+        |FROM s GROUP BY 1, 2""".stripMargin
+  )
+
+  private def tokCountSql(col: String): String =
+    s"len(list_filter(string_split_regex(lower($col), '[^a-z0-9]+'), x -> len(x) > 0))"
+
+  private def stopHitsSql(col: String, lang: String): String = {
+    val list = TextOps.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(string_split_regex(lower($col), '[^a-z0-9]+'), x -> list_contains($list, x)))"
+  }
+
+  private def langIdSql: String = {
+    val langs = Seq("en", "de", "es", "fr", "pt")
+    val hits = langs.map(l => s"${stopHitsSql("text", l)} AS h_$l").mkString(",\n    ")
+    val caseExpr = langs.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"h_$l >= h_$r").mkString(" AND ")
+      if (rest.isEmpty) s"ELSE '$l'" else s"WHEN $rest THEN '$l'"
+    }
+    s"""SELECT doc_id, CASE ${caseExpr.init.mkString(" ")} ${caseExpr.last} END AS pred_lang
+       |FROM (SELECT doc_id,
+       |    $hits
+       |  FROM documents)""".stripMargin
+  }
+
+  private def fingerprintSql: String = {
+    val powList = (0 until TextOps.FpLen)
+      .scanLeft(1L)((a, _) => a * 31 % TextOps.FpPrime).init
+      .mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN text IS NULL OR length(text) = 0 THEN 0 ELSE
+       |    list_aggregate(list_transform(range(0, least(length(text), ${TextOps.FpLen})),
+       |      i -> (CAST(ascii(substr(text, CAST(i AS INT) + 1, 1)) AS BIGINT) * ($powList)[CAST(i AS INT) + 1])
+       |           % ${TextOps.FpPrime}), 'sum') % ${TextOps.FpPrime} END AS BIGINT) AS fp
+       |FROM documents""".stripMargin
+  }
+}

@@ -1,0 +1,325 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.model.Kind
+import graft.multimodal.Media
+import graft.ns.{Inference, Registry}
+import graft.sim.Similarity
+import graft.summarize.Normalize
+import graft.textops.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** The driver-facing query catalog: every operator from SURVEY.md §2 plus the
+  * training-data operators, each as a `(SparkSession, sfDir) => DataFrame` with
+  * (where SQL-expressible) a DuckDB oracle in [[Oracles]].
+  *
+  * Chilon-semantics queries run the REAL engine path (broadcast-trie
+  * resolution, normalize, summarize, inference) over triples derived
+  * deterministically from the `documents` table with SQL-expressible rules, so
+  * the DuckDB oracle can recompute the expected result independently — the
+  * oracle validates the engine, not a reimplementation of it.
+  */
+object Queries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ---------------------------------------------------------------------------
+  // Derived-triple fixture (shared by the chilon-core queries).
+  // Rules are mirrored 1:1 in Oracles.derivedTriplesSql.
+  // ---------------------------------------------------------------------------
+  def derivedTriples(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val id = F.col("doc_id")
+    d.select(
+      F.when(id % 7 === 3, F.concat(F.lit("b"), id))
+        .otherwise(F.concat(F.lit("http://dbpedia.org/resource/E"), id % 50)).as("s"),
+      F.when(id % 7 === 3, F.lit(Kind.BLANK)).otherwise(F.lit(Kind.IRI)).as("sKind"),
+      F.when(id % 3 === 0, "http://dbpedia.org/ontology/knows")
+        .when(id % 3 === 1, "https://schema.org/worksFor")
+        .otherwise("http://unreg.example.net/p/rel").as("p"),
+      F.when(id % 5 === 0, F.concat(F.lit("http://dbpedia.org/resource/E"), id % 40))
+        .when(id % 5 === 1, F.concat(F.lit("http://www.wikidata.org/entity/Q"), id % 30))
+        .when(id % 5 === 2, F.concat(F.lit("lit-"), id))
+        .when(id % 5 === 3, F.concat(F.lit("texto-"), id))
+        .otherwise(F.lit("42")).as("o"),
+      F.when(id % 5 === 0 || id % 5 === 1, F.lit(Kind.IRI))
+        .when(id % 5 === 2, F.lit(Kind.LIT_PLAIN))
+        .when(id % 5 === 3, F.lit(Kind.LIT_LANG))
+        .otherwise(F.lit(Kind.LIT_TYPED)).as("oKind"),
+      F.when(id % 5 === 3, F.lit("pt")).otherwise(F.lit(null: String)).as("oLang"),
+      F.when(id % 5 === 4,
+          F.when(id % 11 === 0, "http://unknown.example.org/dt")
+            .otherwise("http://www.w3.org/2001/XMLSchema#integer"))
+        .otherwise(F.lit(null: String)).as("oDt"),
+      F.concat(F.lit("doc:"), id).as("srcUrl")
+    )
+  }
+
+  /** IRIs for the inference fixture, token-derived (mirrored in SQL). */
+  def inferenceIris(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(
+      F.col("doc_id"),
+      F.explode(F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), t => F.length(t) > 0)).as("tok"))
+    toks.select(
+      F.when(F.length(F.col("tok")) >= 4,
+          F.concat(F.lit("http://big.example.org/"),
+            F.when(F.length(F.col("tok")) >= 5, "a/").otherwise("b/"),
+            F.col("tok"), F.lit("_"), F.col("doc_id") % 50))
+        .otherwise(
+          F.concat(F.lit("http://rare"), F.col("doc_id") % 97,
+            F.lit(".example.io/t/"), F.col("tok"))).as("iri"))
+  }
+
+  private def registryBc(spark: SparkSession) =
+    spark.sparkContext.broadcast(Registry.community())
+
+  private def normalizedDerived(spark: SparkSession, dir: String): DataFrame =
+    Normalize.normalize(derivedTriples(spark, dir), registryBc(spark))
+
+  // ---------------------------------------------------------------------------
+  // Chilon-core queries
+  // ---------------------------------------------------------------------------
+
+  /** P4: longest-prefix namespace resolution through the broadcast trie. */
+  def p4ResolveNs(spark: SparkSession, dir: String): DataFrame = {
+    val bc = registryBc(spark)
+    val resolve = Normalize.resolveUdf(bc)
+    derivedTriples(spark, dir)
+      .filter(F.col("sKind") === Kind.IRI)
+      .select(F.col("s").as("iri"))
+      .distinct()
+      .withColumn("r", resolve(F.col("iri")))
+      .select(F.col("iri"), F.coalesce(F.col("r.alias"), F.lit("UNKNOWN")).as("alias"),
+        F.col("r.ns").as("ns"))
+      .orderBy("iri")
+  }
+
+  /** A1: the flagship summary group-count through the real normalize path. */
+  def a1Summary(spark: SparkSession, dir: String): DataFrame =
+    Normalize.summarize(normalizedDerived(spark, dir))
+      .orderBy("s_ns", "p_ns", "o_ns", "is_datatype")
+
+  /** O1+O5: statement ids over the min-occurs-filtered, ordered summary. */
+  def o1StmtIds(spark: SparkSession, dir: String): DataFrame =
+    Normalize.withStatementIds(Normalize.summarize(normalizedDerived(spark, dir)), minOccurs = 10)
+      .select("stmt_id", "s_ns", "p_ns", "o_ns", "is_datatype", "occurs")
+
+  /** A5: vis node counts (both endpoints, self-loops twice). */
+  def a5VisNodes(spark: SparkSession, dir: String): DataFrame =
+    VisHelpers.nodes(Normalize.summarize(normalizedDerived(spark, dir)))
+
+  /** A6: vis edges with signed link_num ordinals per unordered pair. */
+  def a6VisEdges(spark: SparkSession, dir: String): DataFrame =
+    VisHelpers.edges(Normalize.summarize(normalizedDerived(spark, dir)))
+
+  /** A2/N1: hierarchical segment-prefix counting (IriTrie equivalent). */
+  def a2PrefixCounts(spark: SparkSession, dir: String): DataFrame =
+    Inference.prefixCounts(inferenceIris(spark, dir))
+      .filter(F.col("count") >= 100)
+      .orderBy("prefix")
+
+  /** N3: full inference round (aggregate -> collect -> expansion) as a table. */
+  def n3InferNs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (inferred, _) = Inference.inferFromIris(inferenceIris(spark, dir))
+    inferred.map { case (ns, size, _) => (ns, size) }
+      .toDF("ns", "size").orderBy("ns")
+  }
+
+  /** P3: grapheme-capped IRI canonicalization on synthetically long IRIs. */
+  def p3Canonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val canonUdf = F.udf((s: String) => graft.extract.Canonical.canonicalizeIri(s))
+    docs(spark, dir)
+      .select(F.col("doc_id"),
+        F.concat(F.lit("http://long.example.org/"),
+          F.expr("repeat('x', CAST(doc_id % 300 AS INT))")).as("raw"))
+      .withColumn("canon", canonUdf(F.col("raw")))
+      .select(F.col("doc_id"), F.length(F.col("canon")).as("canon_len"))
+      .orderBy("doc_id")
+  }
+
+  /** P5/P11: literal classification to group keys. */
+  def p5LiteralClass(spark: SparkSession, dir: String): DataFrame =
+    normalizedDerived(spark, dir)
+      .groupBy(F.col("o_ns").as("group_key"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .orderBy("group_key")
+
+  /** P6: ignore-unknown whole-triple drop semantics. */
+  def p6IgnoreUnknown(spark: SparkSession, dir: String): DataFrame = {
+    val kept = Normalize
+      .normalize(derivedTriples(spark, dir), registryBc(spark), ignoreUnknown = true)
+      .agg(F.count(F.lit(1)).as("kept"))
+    val total = derivedTriples(spark, dir).agg(F.count(F.lit(1)).as("total"))
+    kept.crossJoin(total)
+  }
+
+  /** P7/P12: per-kind resource metrics (iris/blanks/literals). */
+  def p12Metrics(spark: SparkSession, dir: String): DataFrame =
+    derivedTriples(spark, dir).agg(
+      (F.sum(F.when(F.col("sKind") === Kind.IRI, 1).otherwise(0)) + F.count(F.lit(1)) +
+        F.sum(F.when(F.col("oKind") === Kind.IRI, 1).otherwise(0))).as("iris"),
+      (F.sum(F.when(F.col("sKind") === Kind.BLANK, 1).otherwise(0)) +
+        F.sum(F.when(F.col("oKind") === Kind.BLANK, 1).otherwise(0))).as("blanks"),
+      F.sum(F.when(F.col("oKind").isin(Kind.LIT_PLAIN, Kind.LIT_LANG, Kind.LIT_TYPED), 1)
+        .otherwise(0)).as("literals"),
+      F.sum(F.when(F.col("oKind") === Kind.IRI, 0).otherwise(0)).cast("long").as("zero"))
+      .drop("zero")
+
+  // ---------------------------------------------------------------------------
+  // Training-data operators
+  // ---------------------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir), "doc_id", "text")
+      .select("keep_id", "n_dups").orderBy("keep_id")
+
+  def dedupTokenJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.tokenJaccardPairs(
+      docs(spark, dir).filter(F.col("doc_id") < 60), "doc_id", "text", 0.85)
+      .orderBy("id_a", "id_b")
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(docs(spark, dir), "doc_id", "text", k = 3, threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(docs(spark, dir), "doc_id", "text", maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.bruteTopK(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  def simLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.lshNeighbors(emb, "vec_id", "embedding", nPlanes = 10, nTables = 4, minSim = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(F.col("doc_id"), TextOps.langId(F.col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(F.col("doc_id"), TextOps.qualityScore(F.col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      F.col("doc_id"),
+      TextOps.tokenCount(F.col("text")).cast("long").as("n_tokens"),
+      TextOps.bpeishTokenCount(F.col("text")).cast("long").as("n_bpeish"))
+      .orderBy("doc_id")
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(F.col("doc_id"), TextOps.fingerprint("text").as("fp"))
+      .orderBy("doc_id")
+
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    // binary plumbing: encode text as the opaque payload, run the stub decode
+    val withPayload = docs(spark, dir)
+      .select(F.col("doc_id").as("id"), F.encode(F.col("text"), "UTF-8").as("payload"))
+    import spark.implicits._
+    val rows = withPayload.withColumn("kind", F.lit("image"))
+      .as[(Long, Array[Byte], String)]
+      .map { case (id, p, k) => Media.MediaRow(id, p, k) }
+    Media.extractMeta(rows).toDF()
+      .select("id", "n_bytes", "width", "height", "format").orderBy("id")
+  }
+
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = docs(spark, dir)
+      .select(F.col("doc_id").as("id"), F.encode(F.col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => Media.MediaRow(id, p, "video") }
+    Media.sampleFrames(rows).toDF()
+      .filter(F.col("id") < 100)
+      .select("id", "frame_idx", "offset").orderBy("id", "frame_idx")
+  }
+
+  // ---------------------------------------------------------------------------
+  // Relational fundamentals on the TPC-H-ish tables (perf anchors)
+  // ---------------------------------------------------------------------------
+
+  def aggLineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(F.col("l_shipdate") < F.lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        F.sum("l_quantity").as("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4).as("revenue"),
+        F.count(F.lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val r = spark.read.parquet(s"$dir/region.parquet")
+    c.join(F.broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(F.broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(F.count(F.lit(1)).as("customers"), F.round(F.sum("c_acctbal"), 4).as("balance"))
+      .orderBy("r_name")
+  }
+
+  def windowEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e.withColumn("rn", F.row_number().over(w))
+      .withColumn("running_value",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4))
+      .filter(F.col("rn") <= 3)
+      .select("user_id", "rn", "event_id", "running_value")
+      .orderBy("user_id", "rn")
+  }
+
+  def topkEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .orderBy(F.col("value").desc, F.col("event_id"))
+      .limit(10)
+      .select("event_id", "event_type", "value")
+
+  def setOpsEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val purchasers = e.filter(F.col("event_type") === "purchase" && F.col("value") > 150)
+      .select("user_id").distinct()
+    val errored = e.filter(F.col("event_type") === "error" && F.col("value") > 150)
+      .select("user_id").distinct()
+    purchasers.except(errored).orderBy("user_id")
+  }
+
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e.withColumn("prev_ts", F.lag("ts", 1).over(w))
+      .withColumn("new_session",
+        F.when(F.col("prev_ts").isNull
+          || F.col("ts").cast("timestamp").cast("long")
+             - F.col("prev_ts").cast("timestamp").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", F.sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(F.count(F.lit(1)).as("n_events"), F.round(F.sum("value"), 4).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+}
+
+/** Vis aggregates shared by queries and golden tests. */
+object VisHelpers {
+  def nodes(summary: DataFrame): DataFrame =
+    graft.sinks.VisJson.nodeCounts(summary).orderBy("name")
+
+  def edges(summary: DataFrame): DataFrame =
+    graft.sinks.VisJson.edgesWithLinkNum(summary)
+      .orderBy("source", "target", "label", "is_datatype")
+}

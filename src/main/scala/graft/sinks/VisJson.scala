@@ -47,7 +47,7 @@ object VisJson {
     val hi = F.greatest(F.col("s_ns"), F.col("o_ns"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lo, hi)
-      .orderBy(F.col("occurs").desc, F.col("p_ns"), F.col("is_datatype"))
+      .orderBy(F.col("occurs").desc, F.col("p_ns"), F.col("is_datatype"), F.col("s_ns"))
     summary
       .withColumn("ord", F.row_number().over(w))
       .withColumn("sign", F.when(F.col("s_ns") === lo, 1).otherwise(-1))
