@@ -174,12 +174,13 @@ object Inference {
       salt: Int = 0,
       minNsSize: Long = MinNsSize,
       minDomainOccurs: Long = MinDomainOccurs,
-      maxNs: Int = MaxNs
+      maxNs: Int = MaxNs,
+      countGarbage: Boolean = false
   ): (Seq[(String, Long, NsSource)], Long) = {
     val pc = prefixCounts(iris, salt)
-    // collect only what expansion can ever read: prefixes at/above the candidate
-    // threshold, plus depth-1 rows >= minDomainOccurs (GC bookkeeping stays
-    // distributed as a count, never collected).
+    // collect only what expansion can ever read: prefixes at/above the
+    // candidate threshold. GC bookkeeping (domains below minDomainOccurs) is
+    // a diagnostic count — one extra full pass — off by default.
     val rows = pc
       .filter(F.col("count") >= minNsSize)
       .orderBy(F.col("count").desc, F.col("prefix"))
@@ -187,9 +188,10 @@ object Inference {
       .collect()
       .map(r => PrefixCount(r.getString(0), r.getInt(1), r.getLong(2)))
       .toSeq
-    val nGarbage = pc
-      .filter(F.col("depth") === 1 && F.col("count") < minDomainOccurs)
-      .count()
+    val nGarbage =
+      if (countGarbage)
+        pc.filter(F.col("depth") === 1 && F.col("count") < minDomainOccurs).count()
+      else 0L
     val (inferred, _) = inferNamespaces(rows, minNsSize, minDomainOccurs, maxNs)
     (inferred, nGarbage)
   }

@@ -163,6 +163,25 @@ object Registry {
     (new Registry(byNs, rebuilt()), added.result())
   }
 
+  /** Insert a file-declared prefix (reference `handle_pref_decls`,
+    * `src/prefixes.rs:249-277`): keep the declared alias when free, generate
+    * one when empty or taken; skip when the namespace is already covered.
+    */
+  def addDeclared(reg: Registry, ns: String, declAlias: String): Registry = {
+    val covered = reg.trie.longestPrefix(ns, mustBeTerminal = true)
+      .exists { case (p, _) => p.nonEmpty }
+    if (covered) return reg
+    val alias =
+      if (declAlias.nonEmpty && !reg.aliasMap.contains(declAlias)) Some(declAlias)
+      else genAlias(ns, reg.aliasMap)
+    alias match {
+      case Some(a) =>
+        val byNs = reg.byNs + (ns -> NsEntry(a, NsSource.GraphFile))
+        new Registry(byNs, PrefixTrie(byNs))
+      case None => reg
+    }
+  }
+
   private[ns] def parseUri(s: String): Option[URI] =
     try Some(new URI(s)) catch { case _: Exception => None }
 

@@ -112,31 +112,28 @@ object Pipeline {
       }
     }
 
-    // ---- Stage C: normalize + summarize ----------------------------------
+    // ---- Stage C: normalize + summarize (one fused job) -------------------
     val bcFinal = spark.sparkContext.broadcast(registry)
-    val (summary, normalized) = timed("summarize") {
-      val norm = Normalize.normalize(triples, bcFinal, cfg.ignoreUnknown)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val s = Normalize.summarize(norm)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ((s, norm), s.count())
+    val (rows, groups) = timed("summarize") {
+      val (r, g, _, _) = Normalize.summarizeWithGroups(triples, bcFinal, cfg.ignoreUnknown)
+      ((r, g), r.size.toLong)
     }
+    val summary = spark.createDataFrame(rows)
+      .select(F.col("s_ns"), F.col("p_ns"), F.col("o_ns"), F.col("is_datatype"), F.col("occurs"))
 
-    // ---- Stage D: sinks ---------------------------------------------------
+    // ---- Stage D: sinks (driver-side; the summary is tiny by construction) -
     timed("sinks") {
-      val rows = TtlSink.collectRows(summary)
-      val (groups, _, _) = Normalize.usedGroups(normalized)
       TtlSink.write(Paths.get(cfg.outDir, "output.ttl"),
         TtlSink.render(rows, groups, cfg.minOccurs))
       TtlSink.write(Paths.get(cfg.outDir, "all-prefixes.json"), registry.toJson)
       val visRows = rows.filter(_.occurs >= cfg.minOccurs)
       val vis = VisJson.build(visRows, groups.toMap)
       TtlSink.write(Paths.get(cfg.outDir, "vis-data.json"), VisJson.toJson(vis))
-      Snapshot.write(summary, Paths.get(cfg.outDir, "summary").toString, "summary", Seq(triplesDir))
+      Snapshot.writeSmall(summary, Paths.get(cfg.outDir, "summary").toString,
+        "summary", Seq(triplesDir), rows.size.toLong)
       ((), rows.size.toLong)
     }
 
-    normalized.unpersist()
     val ms = metrics.result()
     TtlSink.write(Paths.get(cfg.outDir, "tasks.json"), metricsJson(ms))
     Result(summary, registry, triples, ms, inferredAll.result())

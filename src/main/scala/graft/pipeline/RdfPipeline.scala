@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import graft.model.PrefixDecl
+import graft.ns.{NsSource, Registry}
+import graft.rdf.RdfSource
+import graft.sinks.{TtlSink, VisJson}
+import graft.summarize.Normalize
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import java.nio.file.Paths
+
+/** The reference's own entry point re-expressed: RDF files in, condensed
+  * namespace summary out (chilon_rs `src/main.rs:38-165`).
+  *
+  * Stage order mirrors the reference: community registry -> file `@prefix`
+  * decl merge (N7, `src/prefixes.rs:249-277`) -> inference rounds over
+  * unresolved IRIs (Stage 2) -> normalize + summarize (Stage 3) -> sinks
+  * (Stage 4: output.ttl, all-prefixes.json, vis-data.json, tasks.json).
+  */
+object RdfPipeline {
+
+  final case class RdfResult(
+      summary: DataFrame,
+      registry: Registry,
+      triples: DataFrame,
+      metrics: Seq[Pipeline.StageMetrics]
+  )
+
+  def run(spark: SparkSession, paths: Seq[String], cfg: Pipeline.Config): RdfResult = {
+    val metrics = Vector.newBuilder[Pipeline.StageMetrics]
+    def timed[A](name: String)(f: => (A, Long)): A = {
+      val t0 = System.nanoTime()
+      val (a, rows) = f
+      metrics += Pipeline.StageMetrics(name, rows, (System.nanoTime() - t0) / 1000000)
+      a
+    }
+
+    val (triplesDs, declsDs) = RdfSource.read(spark, paths)
+    val triples = timed("scan") {
+      val df = triplesDs.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (df, df.count())
+    }
+
+    // registry: community + per-file @prefix decls (alias from file; generated
+    // when the file declares the empty alias)
+    var registry = Registry.community()
+    timed("prefix_decls") {
+      val decls: Array[PrefixDecl] = declsDs.collect()
+      decls.sortBy(d => (d.ns.length, d.ns)).foreach { d =>
+        registry = Registry.addDeclared(registry, d.ns, d.alias)
+      }
+      ((), decls.length.toLong)
+    }
+
+    // inference rounds (chilon Stage 2)
+    if (cfg.inferNs) {
+      var round = 0
+      var added = true
+      while (added && round < cfg.maxInferenceRounds) {
+        round += 1
+        added = timed(s"infer_round_$round") {
+          val bc = spark.sparkContext.broadcast(registry)
+          val resolve = Normalize.resolveUdf(bc)
+          val iris = triples
+            .select(F.explode(F.array(
+              F.when(F.col("sKind") === graft.model.Kind.IRI, F.col("s")),
+              F.col("p"),
+              F.when(F.col("oKind") === graft.model.Kind.IRI, F.col("o"))
+            )).as("iri"))
+            .filter(F.col("iri").isNotNull)
+            .filter(resolve(F.col("iri")).isNull)
+          val (inferred, _) = graft.ns.Inference.inferFromIris(
+            iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs)
+          val (reg2, addedNs) = registry.withNamespaces(inferred)
+          registry = reg2
+          (addedNs.nonEmpty, addedNs.size.toLong)
+        }
+      }
+    }
+
+    // normalize + summarize (chilon Stage 3, one fused job) + sinks (Stage 4)
+    val bc = spark.sparkContext.broadcast(registry)
+    val (rows, groups) = timed("summarize") {
+      val (r, g, _, _) = Normalize.summarizeWithGroups(triples, bc, cfg.ignoreUnknown)
+      ((r, g), r.size.toLong)
+    }
+    val summary = spark.createDataFrame(rows)
+      .select(F.col("s_ns"), F.col("p_ns"), F.col("o_ns"), F.col("is_datatype"), F.col("occurs"))
+    timed("sinks") {
+      TtlSink.write(Paths.get(cfg.outDir, "output.ttl"),
+        TtlSink.render(rows, groups, cfg.minOccurs))
+      TtlSink.write(Paths.get(cfg.outDir, "all-prefixes.json"), registry.toJson)
+      val vis = VisJson.build(rows.filter(_.occurs >= cfg.minOccurs), groups.toMap)
+      TtlSink.write(Paths.get(cfg.outDir, "vis-data.json"), VisJson.toJson(vis))
+      ((), rows.size.toLong)
+    }
+    val ms = metrics.result()
+    TtlSink.write(Paths.get(cfg.outDir, "tasks.json"), Pipeline.metricsJson(ms))
+    RdfResult(summary, registry, triples, ms)
+  }
+}

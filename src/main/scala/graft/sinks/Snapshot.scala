@@ -69,6 +69,17 @@ object Snapshot {
     written
   }
 
+  /** Snapshot for driver-materialized tiny tables (e.g. the summary): writes
+    * the parquet and a single-partition manifest without the read-back pass.
+    */
+  def writeSmall(df: DataFrame, dir: String, table: String, inputs: Seq[String], rows: Long): Unit = {
+    val t0 = System.nanoTime()
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val m = Manifest(table, rows, Seq((0, rows)), inputs, df.schema.json,
+      (System.nanoTime() - t0) / 1000000, System.currentTimeMillis())
+    Files.write(manifestPath(dir), manifestJson(m).getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Idempotent resume: reuse a complete snapshot, else compute + write it. */
   def resumeOrWrite(
       spark: SparkSession,

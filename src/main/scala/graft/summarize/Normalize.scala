@@ -116,6 +116,44 @@ object Normalize {
       .withColumn("stmt_id", F.format_string("#t%04d", F.row_number().over(w)))
   }
 
+  /** Fused Stage-C aggregation: summary rows, used groups and blank/unknown
+    * flags from ONE distributed job (scale path — avoids caching the wide
+    * normalized table and re-scanning it three times). The pre-aggregation
+    * keys include the (alias, ns) pair structs; their cardinality is the same
+    * order as the summary itself (a key determines its pair except for the two
+    * fixed literal groups), so map-side combine collapses everything before
+    * the shuffle and the driver folds a few hundred rows.
+    */
+  def summarizeWithGroups(
+      triples: DataFrame,
+      bc: Broadcast[Registry],
+      ignoreUnknown: Boolean = false
+  ): (Seq[graft.model.SummaryRow], Seq[(String, String)], Boolean, Boolean) = {
+    val norm = normalize(triples, bc, ignoreUnknown)
+    val rows = norm
+      .groupBy("s_ns", "p_ns", "o_ns", "is_datatype", "s_pair", "p_pair", "o_pair")
+      .agg(F.count(F.lit(1)).as("occurs"))
+      .collect()
+    val summary = scala.collection.mutable.Map.empty[(String, String, String, Boolean), Long]
+    val groups = scala.collection.mutable.SortedSet.empty[(String, String)]
+    var blank = false
+    var unknown = false
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3))
+      summary(key) = summary.getOrElse(key, 0L) + r.getLong(7)
+      Seq(4, 5, 6).foreach { i =>
+        val pair = r.getStruct(i)
+        if (pair != null && !pair.isNullAt(0)) groups += ((pair.getString(0), pair.getString(1)))
+      }
+      if (key._1 == Blank || key._3 == Blank) blank = true
+      if (key._1 == Unknown || key._2 == Unknown || key._3 == Unknown) unknown = true
+    }
+    val summaryRows = summary.toSeq
+      .map { case ((s, p, o, dt), n) => graft.model.SummaryRow(s, p, o, dt, n) }
+      .sortBy(r => (r.s_ns, r.p_ns, r.o_ns, r.is_datatype))
+    (summaryRows, groups.toSeq, blank, unknown)
+  }
+
   /** Distinct (alias, ns) groups actually used + blank/unknown flags
     * (reference `Groups`, `src/normalize.rs:140-151,316-361`).
     */

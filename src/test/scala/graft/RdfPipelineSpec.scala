@@ -1,0 +1,65 @@
+package graft
+
+import graft.pipeline.{Pipeline, RdfPipeline}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** End-to-end over RDF files — the reference's own use case (main.rs:38-165). */
+class RdfPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+
+  test("RDF files -> summary with decl merge and inference") {
+    val dir = SparkSuite.tmpDir("rdfpipe-in")
+    val out = SparkSuite.tmpDir("rdfpipe-out")
+
+    // one Turtle file declaring a prefix, one N-Triples file with an
+    // inferable high-frequency namespace and a rare one
+    val ttl = new StringBuilder
+    ttl.append("@prefix myont: <http://myontology.example.com/terms/> .\n")
+    (0 until 30).foreach { i =>
+      ttl.append(s"<http://dbpedia.org/resource/E$i> myont:related <http://dbpedia.org/resource/E${i + 1}> .\n")
+    }
+    Files.write(Paths.get(dir, "decl.ttl"), ttl.toString.getBytes("UTF-8"))
+
+    val nt = new StringBuilder
+    (0 until 500).foreach { i =>
+      nt.append(s"""<http://hot.example.net/ns/item$i> <http://dbpedia.org/ontology/knows> "v$i" .\n""")
+    }
+    (0 until 3).foreach { i =>
+      nt.append(s"""<http://cold.example.io/x$i> <http://dbpedia.org/ontology/knows> _:b$i .\n""")
+    }
+    Files.write(Paths.get(dir, "data.nt"), nt.toString.getBytes("UTF-8"))
+
+    val res = RdfPipeline.run(spark, Seq(s"$dir/decl.ttl", s"$dir/data.nt"),
+      Pipeline.Config(outDir = out, minOccurs = 5, minNsSize = 100, minDomainOccurs = 10))
+
+    // file-declared prefix merged with its declared alias (N7)
+    assert(res.registry.aliasMap.get("myont").map(_._1)
+      .contains("http://myontology.example.com/terms/"))
+    // hot namespace inferred, cold one not (thresholds)
+    assert(res.registry.resolveAlias("http://hot.example.net/ns/item1").isDefined)
+    assert(res.registry.resolveAlias("http://cold.example.io/x1").isEmpty)
+
+    val rows = res.summary.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3), r.getLong(4)))
+    // 500 hot triples: (hot-alias, dbo, xsd, true)
+    assert(rows.exists(r => r._2 == "dbo" && r._3 == "xsd" && r._4 && r._5 == 500))
+    // 30 ttl triples: (dbr, myont, dbr, false)
+    assert(rows.exists(r => r._1 == "dbr" && r._2 == "myont" && r._3 == "dbr" && !r._4 && r._5 == 30))
+    // 3 cold triples: (UNKNOWN, dbo, BLANK, false)
+    assert(rows.exists(r => r._1 == "UNKNOWN" && r._3 == "BLANK" && r._5 == 3))
+
+    val ttlOut = new String(Files.readAllBytes(Paths.get(out, "output.ttl")), "UTF-8")
+    assert(ttlOut.contains("<#namespacePrefix> <http://myontology.example.com/terms/>"))
+    assert(ttlOut.contains("\"500\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+  }
+
+  test("declared alias conflicting with existing alias falls back to generated") {
+    val reg = graft.ns.Registry.community()
+    val reg2 = graft.ns.Registry.addDeclared(reg, "http://other.example.org/rdfx/", "rdf")
+    assert(reg2.resolveAlias("http://other.example.org/rdfx/a").exists(_ != "rdf"))
+    // covered namespace is skipped entirely
+    val reg3 = graft.ns.Registry.addDeclared(reg, "http://dbpedia.org/resource/sub/", "sub")
+    assert(reg3.size == reg.size)
+  }
+}
