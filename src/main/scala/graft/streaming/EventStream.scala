@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface for the `events` stream table.
+  *
+  * The reference is pure batch (SURVEY §2.9 — its "streaming" is
+  * bounded-memory incremental processing of static files), so nothing here is
+  * needed for chilon parity; this module exists because a training-data
+  * pipeline at 100 TB ingests continuously. Both jobs are expressed so the
+  * identical code runs on a Kafka source in production:
+  *
+  *   - watermarked sliding-window aggregation (event-time, late data dropped
+  *     after 10 minutes);
+  *   - custom sessionization state machine via `flatMapGroupsWithState`.
+  */
+object EventStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Event-time windowed counts with a watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 4).as("total_value"))
+      .select(F.col("window.start").as("win_start"), F.col("event_type"), F.col("n"),
+        F.col("total_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, value: Double)
+  final case class SessionOut(user_id: Long, n_events: Int, duration_sec: Long, value: Double)
+
+  /** Custom state machine: gap-based sessions per user (30-minute timeout). */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          val out = Vector.newBuilder[SessionOut]
+          var cur = state.getOption
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last > 30 * 60 * 1000L =>
+                out += SessionOut(userId, s.n, (s.last - s.start) / 1000, s.value)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
+  /** Batch-driven smoke: replay the parquet events table through the
+    * streaming window aggregation via an in-memory sink.
+    */
+  def replayWindowed(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir")
+    val q = windowedCounts(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

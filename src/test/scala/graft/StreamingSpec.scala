@@ -1,0 +1,46 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  test("windowed streaming aggregation replays the batch events table") {
+    val dir = SparkSuite.tmpDir("stream-in")
+    // stage the parquet into a dedicated dir (readStream takes a directory)
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val got = EventStream.replayWindowed(spark, dir, "win_test")
+    // append mode + watermark: only windows older than (max ts - watermark)
+    // are emitted; replaying a bounded table emits all but the last window(s)
+    assert(got.count() > 0)
+    // batch equivalence on the emitted windows
+    val batch = spark.read.parquet(dir)
+      .groupBy(F.window($"ts", "1 hour"), $"event_type")
+      .agg(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 4).as("total_value"))
+      .select(F.col("window.start").as("win_start"), $"event_type", $"n", $"total_value")
+    val gotSet = got.collect().map(_.toSeq).toSet
+    val batchSet = batch.collect().map(_.toSeq).toSet
+    assert(gotSet.subsetOf(batchSet))
+  }
+
+  test("flatMapGroupsWithState sessionization emits closed sessions") {
+    val dir = SparkSuite.tmpDir("stream-sess")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(EventStream.schema).parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(stream).writeStream
+      .outputMode("append").format("memory").queryName("sess_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_test").collect()
+    assert(sessions.nonEmpty)
+    assert(sessions.forall(_.getAs[Int]("n_events") > 0))
+  }
+}
