@@ -17,11 +17,18 @@ object BenchProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val out = java.nio.file.Files.createTempDirectory("graft-prof").toString
-    val t0 = System.nanoTime()
-    val res = Pipeline.run(spark, Synth.pages(spark, n),
-      Pipeline.Config(outDir = out, resume = false))
-    val total = (System.nanoTime() - t0) / 1e9
+    def once(pages: Long): (Double, Pipeline.Result) = {
+      val out = java.nio.file.Files.createTempDirectory("graft-prof").toString
+      val t0 = System.nanoTime()
+      val res = Pipeline.run(spark, Synth.pages(spark, pages),
+        Pipeline.Config(outDir = out, resume = false))
+      res.triples.count()
+      val total = (System.nanoTime() - t0) / 1e9
+      res.triples.unpersist()
+      (total, res)
+    }
+    once(n / 8); once(n / 8) // warmup
+    val (total, res) = (1 to 3).map(_ => once(n)).minBy(_._1)
     println(Pipeline.metricsJson(res.metrics))
     println(f"total: $total%.2f s, triples: ${res.triples.count()}")
     spark.stop()

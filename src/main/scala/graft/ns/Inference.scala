@@ -40,20 +40,36 @@ object Inference {
     */
   def segPrefixes(iri: String): Array[String] = {
     val out = mutable.ArrayBuffer[String]()
-    var hostFound = false
-    var i = 0
     val n = iri.length
+    // host gate without java.net.URI (the hot path runs per IRI occurrence):
+    // the first emitted boundary must close a non-empty authority after "://"
+    val authStart = {
+      val idx = iri.indexOf("://")
+      def schemeOk = idx > 0 && iri.charAt(0).isLetter && (1 until idx).forall { j =>
+        val c = iri.charAt(j)
+        c.isLetterOrDigit || c == '+' || c == '-' || c == '.'
+      }
+      if (schemeOk) idx + 3 else -1
+    }
+    var i = if (authStart > 0) authStart else 0
+    var hostFound = false
+    var decided = authStart < 0 // no scheme://: never host-gated
     while (i < n) {
       val c = iri.charAt(i)
       if (c == '/' || c == '#') {
         if (hostFound) out += iri.substring(0, i + 1)
-        else {
-          val cand = iri.substring(0, i + 1)
-          if (Registry.hostOf(cand).isDefined) { hostFound = true; out += cand }
+        else if (!decided) {
+          // the first boundary after "://" closes the authority; a non-empty
+          // authority is the host gate (java.net.URI agrees on these shapes
+          // but costs ~1us per parse — far too hot for per-IRI use)
+          decided = true
+          if (i > authStart) { hostFound = true; out += iri.substring(0, i + 1) }
         }
       }
       i += 1
     }
+    // an IRI like "scheme://host" with no boundary after the authority still
+    // has a host but no segment boundary; it falls through to the leaf case
     if (out.isEmpty || out.last.length < n) out += iri
     out.toArray
   }
