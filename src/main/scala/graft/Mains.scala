@@ -25,10 +25,19 @@ private object MainUtil {
   */
 object Chilon {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Chilon <outDir> <rdf-file...>")
+    // flags mirror the reference CLI (src/args.rs:11-30)
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    require(positional.length >= 2,
+      "usage: Chilon [--ignore-unknown] [--no-infer-ns] [--min-occurs N] <outDir> <rdf-file...>")
+    val minOccurs = flags.find(_.startsWith("--min-occurs="))
+      .map(_.split('=')(1).toInt).getOrElse(10)
     val spark = MainUtil.session("graft-chilon")
-    val res = RdfPipeline.run(spark, args.drop(1).toSeq,
-      Pipeline.Config(outDir = args(0)))
+    val res = RdfPipeline.run(spark, positional.drop(1).toSeq,
+      Pipeline.Config(
+        outDir = positional(0),
+        ignoreUnknown = flags.contains("--ignore-unknown"),
+        inferNs = !flags.contains("--no-infer-ns"),
+        minOccurs = minOccurs))
     println(s"summary rows: ${res.summary.count()}; registry: ${res.registry.size} namespaces")
     spark.stop()
   }

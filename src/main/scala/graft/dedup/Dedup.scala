@@ -92,21 +92,25 @@ object Dedup {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val texts = df.select(F.col(idCol).as("id"), F.col(textCol).as("text"))
     val sigUdf = F.udf((t: String) => bandKeys(minHashSignature(t, k, nHashes), bands))
-    val banded = df
-      .select(F.col(idCol).as("id"), F.col(textCol).as("text"))
-      .select($"id", $"text", F.posexplode(sigUdf(F.col("text"))).as(Seq("band", "bkey")))
+    // scale shape: only (id, band, key) flows through the bucket self-join;
+    // texts re-attach by id for the verify step on the (much smaller)
+    // deduplicated candidate-pair set
+    val banded = texts
+      .select($"id", F.posexplode(sigUdf(F.col("text"))).as(Seq("band", "bkey")))
     val l = banded.as("l")
     val r = banded.as("r")
     val cand = l
       .join(r, F.col("l.band") === F.col("r.band") && F.col("l.bkey") === F.col("r.bkey")
         && F.col("l.id") < F.col("r.id"))
-      .select(F.col("l.id").as("id_a"), F.col("r.id").as("id_b"),
-        F.col("l.text").as("text_a"), F.col("r.text").as("text_b"))
+      .select(F.col("l.id").as("id_a"), F.col("r.id").as("id_b"))
       .distinct()
     val jacUdf = F.udf((a: String, b: String) =>
       jaccard(shingles(a, k).toSet, shingles(b, k).toSet))
     cand
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
       .withColumn("jaccard", jacUdf($"text_a", $"text_b"))
       .filter($"jaccard" >= threshold)
       .select("id_a", "id_b", "jaccard")

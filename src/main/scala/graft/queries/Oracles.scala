@@ -177,6 +177,21 @@ object Oracles {
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.85""".stripMargin,
 
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+        |SELECT id_a, id_b, sim FROM (
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1),
+        |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))),
+        |    6) AS sim
+        |FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |WHERE sim >= 0.35""".stripMargin,
+
     "q_sim_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |scored AS (

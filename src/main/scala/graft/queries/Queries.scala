@@ -165,9 +165,7 @@ object Queries {
       (F.sum(F.when(F.col("sKind") === Kind.BLANK, 1).otherwise(0)) +
         F.sum(F.when(F.col("oKind") === Kind.BLANK, 1).otherwise(0))).as("blanks"),
       F.sum(F.when(F.col("oKind").isin(Kind.LIT_PLAIN, Kind.LIT_LANG, Kind.LIT_TYPED), 1)
-        .otherwise(0)).as("literals"),
-      F.sum(F.when(F.col("oKind") === Kind.IRI, 0).otherwise(0)).cast("long").as("zero"))
-      .drop("zero")
+        .otherwise(0)).as("literals"))
 
   // ---------------------------------------------------------------------------
   // Training-data operators
@@ -194,6 +192,21 @@ object Queries {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     Similarity.bruteTopK(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5)
       .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (brute within an id block; the
+    * LSH variant q_sim_lsh is the scale path).
+    */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").filter(F.col("vec_id") < 200)
+    val a = emb.select(F.col("vec_id").as("id_a"), F.col("embedding").as("va"))
+    val b = emb.select(F.col("vec_id").as("id_b"), F.col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(F.col("id_a") < F.col("id_b"))
+      .withColumn("sim", F.round(Similarity.cosine(F.col("va"), F.col("vb")), 6))
+      .filter(F.col("sim") >= 0.35)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
   }
 
   def simLsh(spark: SparkSession, dir: String): DataFrame = {
