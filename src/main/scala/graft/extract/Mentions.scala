@@ -18,20 +18,35 @@ object Mentions {
 
   private def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
 
+  /** Surfaces indexed by first char, longest first — the scan only probes
+    * candidates that can possibly match at a position (hot path of the
+    * extraction stage).
+    */
+  private def index(surfaces: Seq[String]): Map[Char, Array[String]] =
+    surfaces.filter(_.nonEmpty).groupBy(_.head)
+      .map { case (c, ss) => c -> ss.sortBy(s => (-s.length, s)).toArray }
+
+  private val defaultIndex: Map[Char, Array[String]] = index(Dict.surfacesByLength)
+
   /** All dictionary mentions in `text`, greedy longest-match, non-overlapping. */
   def detect(text: String, surfaces: Seq[String] = Dict.surfacesByLength): Vector[Found] = {
+    val idx = if (surfaces eq Dict.surfacesByLength) defaultIndex else index(surfaces)
     val out = Vector.newBuilder[Found]
     var i = 0
     val n = text.length
     while (i < n) {
       if (isWordChar(text.charAt(i)) && (i == 0 || !isWordChar(text.charAt(i - 1)))) {
         var matched: String = null
-        val it = surfaces.iterator
-        while (matched == null && it.hasNext) {
-          val s = it.next()
-          if (text.startsWith(s, i) &&
-              (i + s.length == n || !isWordChar(text.charAt(i + s.length)))) {
-            matched = s
+        val cands = idx.getOrElse(text.charAt(i), null)
+        if (cands != null) {
+          var j = 0
+          while (matched == null && j < cands.length) {
+            val s = cands(j)
+            if (text.startsWith(s, i) &&
+                (i + s.length == n || !isWordChar(text.charAt(i + s.length)))) {
+              matched = s
+            }
+            j += 1
           }
         }
         if (matched != null) {

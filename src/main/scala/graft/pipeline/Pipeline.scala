@@ -89,8 +89,7 @@ object Pipeline {
       while (added && round < cfg.maxInferenceRounds) {
         round += 1
         added = timed(s"infer_round_$round") {
-          val bc = spark.sparkContext.broadcast(registry)
-          val resolve = Normalize.resolveUdf(bc)
+          def resolve(c: org.apache.spark.sql.Column) = Normalize.resolveCol(c, registry)
           // unresolved IRIs from all three positions, one row per occurrence
           // (reference inserts only registry-misses into the IriTrie,
           // src/prefixes.rs:193-207)

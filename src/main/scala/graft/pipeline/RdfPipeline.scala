@@ -58,8 +58,7 @@ object RdfPipeline {
       while (added && round < cfg.maxInferenceRounds) {
         round += 1
         added = timed(s"infer_round_$round") {
-          val bc = spark.sparkContext.broadcast(registry)
-          val resolve = Normalize.resolveUdf(bc)
+          def resolve(c: org.apache.spark.sql.Column) = Normalize.resolveCol(c, registry)
           val iris = triples
             .select(F.explode(F.array(
               F.when(F.col("sKind") === graft.model.Kind.IRI, F.col("s")),

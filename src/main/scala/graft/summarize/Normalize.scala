@@ -28,12 +28,19 @@ object Normalize {
   /** resolveNs(iri) -> struct(alias, ns) or null — the hot scalar function,
     * closing over the broadcast registry trie (SURVEY P4/J3: the idiomatic
     * broadcast map-side form of the prefix join `triples ⋈ namespaces`).
+    *
+    * UDF variant kept as the reference implementation; the hot path uses the
+    * codegen'd [[graft.ns.ResolveNs]] expression (SURVEY §4.3).
     */
   def resolveUdf(bc: Broadcast[Registry]) =
     F.udf { (iri: String) =>
       if (iri == null) None
       else bc.value.resolve(iri).map { case (ns, e) => NsPair(e.alias, ns) }
     }
+
+  /** Codegen'd resolver column (stays inside whole-stage codegen). */
+  def resolveCol(iri: Column, registry: Registry): Column =
+    graft.ns.ResolveNs.column(iri, registry)
 
   /** Adds group-key and (alias, ns) pair columns for s/p/o.
     *
@@ -42,7 +49,8 @@ object Normalize {
     * fixed groups for literals) feeding the used-groups aggregate.
     */
   def normalize(triples: DataFrame, bc: Broadcast[Registry], ignoreUnknown: Boolean = false): DataFrame = {
-    val resolve = resolveUdf(bc)
+    val reg = bc.value
+    def resolve(c: Column) = resolveCol(c, reg)
     val sRes = resolve(F.col("s"))
     val pRes = resolve(F.col("p"))
     val oRes = resolve(F.col("o"))

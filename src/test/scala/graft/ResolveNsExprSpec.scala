@@ -1,0 +1,66 @@
+package graft
+
+import graft.ns.{Registry, ResolveNs}
+import graft.summarize.Normalize
+import org.scalatest.funsuite.AnyFunSuite
+
+class ResolveNsExprSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val reg = Registry.community()
+
+  test("expression matches the UDF reference implementation on a fuzz batch") {
+    val iris = (0 until 2000).map { i =>
+      Synthish.iri(i)
+    } ++ Seq(null)
+    val df = iris.toDF("iri")
+    val bc = spark.sparkContext.broadcast(reg)
+    val udf = Normalize.resolveUdf(bc)
+    val both = df
+      .withColumn("e", Normalize.resolveCol(col("iri"), reg))
+      .withColumn("u", udf(col("iri")))
+      .select(
+        col("iri"),
+        col("e.alias").as("ea"), col("e.ns").as("en"),
+        col("u.alias").as("ua"), col("u.ns").as("un"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getAs[String]("ea") == r.getAs[String]("ua"), s"alias mismatch for ${r.get(0)}")
+      assert(r.getAs[String]("en") == r.getAs[String]("un"), s"ns mismatch for ${r.get(0)}")
+    }
+  }
+
+  test("expression survives whole-stage codegen and interpreted eval") {
+    val df = Seq("http://dbpedia.org/resource/X", "http://nowhere.invalid/y").toDF("iri")
+    // codegen path
+    val got = df.select(Normalize.resolveCol(col("iri"), reg).as("r")).collect()
+    assert(got(0).getStruct(0).getString(0) == "dbr")
+    assert(got(1).isNullAt(0))
+    // interpreted path
+    val expr = ResolveNs(org.apache.spark.sql.graftshim.ColumnShim.expression(col("iri")), reg.trie)
+    assert(expr.resolveRow(org.apache.spark.unsafe.types.UTF8String.fromString(
+      "https://schema.org/name")) != null)
+    assert(expr.resolveRow(null) == null)
+  }
+}
+
+/** Deterministic IRI fuzz: hits registered, unregistered, prefix-boundary and
+  * degenerate shapes.
+  */
+object Synthish {
+  private val shapes = Vector[Int => String](
+    i => s"http://dbpedia.org/resource/E$i",
+    i => s"http://dbpedia.org/ontology/p$i",
+    i => s"http://dbpedia.org/resourc", // one short of the dbr prefix
+    i => s"http://dbpedia.org/resource/", // exactly the prefix
+    i => s"https://schema.org/worksFor$i",
+    i => s"http://www.wikidata.org/entity/Q$i",
+    i => s"http://unregistered$i.example.net/x",
+    i => s"urn:isbn:$i",
+    _ => "",
+    i => s"http://example.org/$i"
+  )
+  def iri(i: Int): String = shapes(i % shapes.size)(i)
+}
