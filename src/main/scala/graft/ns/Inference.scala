@@ -105,6 +105,37 @@ object Inference {
     }
   }
 
+  /** Full IriTrie-equivalent statistics per segment prefix (reference
+    * `NodeStats {own, desc, uniq_desc}`, `src/iri_trie.rs:21-26`):
+    *   - own: occurrences of exactly this IRI,
+    *   - desc: occurrences of strict descendants,
+    *   - uniq_desc: distinct strict-descendant IRIs — exact
+    *     `count_distinct` by default; HLL (`approx_count_distinct`) for
+    *     web-scale corpora where the 100/1000 thresholds tolerate sketch error
+    *     (SURVEY A2).
+    *
+    * Note: the aggregation key is the prefix, so `desc`/`uniq_desc` here count
+    * all descendants *including* the exact-match IRI; the trie's strict
+    * variants are recovered as `desc - own` / distinct-minus-self, which is
+    * what [[prefixStats]] returns.
+    */
+  def prefixStats(iris: DataFrame, approxUnique: Boolean = false): DataFrame = {
+    val segUdf = F.udf((iri: String) => segPrefixes(iri))
+    val exploded = iris
+      .select(F.col("iri"), F.posexplode(segUdf(F.col("iri"))).as(Seq("pos", "prefix")))
+      .select(F.col("prefix"), (F.col("pos") + 1).as("depth"), F.col("iri"))
+    val uniq =
+      if (approxUnique) F.approx_count_distinct(F.when(F.col("iri") =!= F.col("prefix"), F.col("iri")))
+      else F.count_distinct(F.when(F.col("iri") =!= F.col("prefix"), F.col("iri")))
+    exploded
+      .groupBy("prefix")
+      .agg(
+        F.min("depth").as("depth"),
+        F.sum(F.when(F.col("iri") === F.col("prefix"), 1L).otherwise(0L)).as("own"),
+        F.sum(F.when(F.col("iri") =!= F.col("prefix"), 1L).otherwise(0L)).as("desc"),
+        uniq.as("uniq_desc"))
+  }
+
   /** Candidate expansion over the thresholded aggregate (reference
     * `infer_namespaces` + `infer_namespaces_aux`, `src/seg_tree.rs:66-155`).
     *

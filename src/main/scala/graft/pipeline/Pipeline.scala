@@ -58,7 +58,6 @@ object Pipeline {
   }
 
   def run(spark: SparkSession, pages: Dataset[Page], cfg: Config): Result = {
-    import spark.implicits._
     val metrics = Vector.newBuilder[StageMetrics]
     def timed[A](name: String)(f: => (A, Long)): A = {
       val t0 = System.nanoTime()
@@ -80,6 +79,60 @@ object Pipeline {
       (cached, cached.count())
     }
 
+    runFromTriples(spark, triples, cfg, triplesDir, metrics)
+  }
+
+  /** Chunked Stage A: the page corpus is processed in independent chunks,
+    * each checkpointed under `triples/chunk=K` with its own per-partition
+    * manifest; a re-run recomputes ONLY incomplete chunks (idempotent
+    * partition-level resume, north rule). On a real cluster a chunk is an
+    * input-split range of the Iceberg-style page table.
+    */
+  def runChunked(
+      spark: SparkSession,
+      nChunks: Int,
+      chunk: Int => Dataset[Page],
+      cfg: Config
+  ): Result = {
+    val metrics = Vector.newBuilder[StageMetrics]
+    def timed[A](name: String)(f: => (A, Long)): A = {
+      val t0 = System.nanoTime()
+      val (a, rows) = f
+      metrics += StageMetrics(name, rows, (System.nanoTime() - t0) / 1000000)
+      a
+    }
+    val triplesDir = Paths.get(cfg.outDir, "triples").toString
+    val triples = timed("extract") {
+      var computed = 0
+      (0 until nChunks).foreach { k =>
+        val dir = Paths.get(triplesDir, s"chunk=$k").toString
+        if (!(cfg.resume && Snapshot.isComplete(dir))) {
+          Snapshot.write(extractTriples(chunk(k)).toDF(), dir, s"triples/chunk=$k",
+            Seq(s"pages[chunk=$k]"))
+          computed += 1
+        }
+      }
+      val df = spark.read.parquet((0 until nChunks).map(k => s"$triplesDir/chunk=$k"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      metrics += StageMetrics("chunks_computed", computed.toLong, 0L)
+      (df, df.count())
+    }
+    runFromTriples(spark, triples, cfg, triplesDir, metrics)
+  }
+
+  private def runFromTriples(
+      spark: SparkSession,
+      triples: DataFrame,
+      cfg: Config,
+      triplesDir: String,
+      metrics: scala.collection.mutable.Builder[StageMetrics, Vector[StageMetrics]]
+  ): Result = {
+    def timed[A](name: String)(f: => (A, Long)): A = {
+      val t0 = System.nanoTime()
+      val (a, rows) = f
+      metrics += StageMetrics(name, rows, (System.nanoTime() - t0) / 1000000)
+      a
+    }
     // ---- Stage B: registry + inference rounds ----------------------------
     var registry = Registry.community()
     val inferredAll = Vector.newBuilder[String]

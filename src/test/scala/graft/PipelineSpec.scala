@@ -32,6 +32,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(salted == expected)
   }
 
+  test("prefixStats reproduces IriTrie own/desc/uniq_desc (iri_trie.rs:251-304)") {
+    // inserting http://example.org/, .../path1, .../path2, .../path2 again
+    val iris = Seq(
+      "http://example.org/",
+      "http://example.org/path1",
+      "http://example.org/path2",
+      "http://example.org/path2"
+    ).toDF("iri")
+    val rows = Inference.prefixStats(iris).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the domain prefix: own=1 (exact), desc=3 occurrences below, uniq_desc=2
+    assert(rows("http://example.org/") == ((1L, 3L, 2L)))
+    assert(rows("http://example.org/path1") == ((1L, 0L, 0L)))
+    assert(rows("http://example.org/path2") == ((2L, 0L, 0L)))
+    // HLL variant agrees at this tiny cardinality
+    val approx = Inference.prefixStats(iris, approxUnique = true).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(approx("http://example.org/") == 2L)
+  }
+
   test("end-to-end pipeline on 400 synthetic pages: summary, inference, sinks") {
     val out = SparkSuite.tmpDir("graft-e2e")
     val pages = Synth.pages(spark, 400)
@@ -103,6 +123,39 @@ class PipelineSpec extends AnyFunSuite {
     val recall = tp / expected.size
     assert(precision >= 0.95 && recall >= 0.95, s"P=$precision R=$recall")
     assert(precision == 1.0 && recall == 1.0)
+  }
+
+  test("chunked extraction: partition-level resume recomputes only broken chunks") {
+    val out = SparkSuite.tmpDir("graft-chunked")
+    val cfg = Pipeline.Config(outDir = out, minOccurs = 5, minNsSize = 100, minDomainOccurs = 10)
+    def chunk(k: Int) = {
+      import spark.implicits._
+      spark.range(k * 100L, (k + 1) * 100L).map(id => graft.extract.Synth.page(id))
+    }
+    val r1 = Pipeline.runChunked(spark, 4, chunk, cfg)
+    val n1 = r1.triples.count()
+    assert(r1.metrics.find(_.name == "chunks_computed").get.rows == 4)
+
+    // chunked result == unchunked result over the same 400 pages
+    val outFlat = SparkSuite.tmpDir("graft-flat")
+    val flat = Pipeline.run(spark, graft.extract.Synth.pages(spark, 400),
+      cfg.copy(outDir = outFlat, resume = false))
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3, t._4)).toSeq
+    assert(key(r1.summary) == key(flat.summary))
+
+    // break one chunk: only it is recomputed
+    val broken = java.nio.file.Paths.get(out, "triples", "chunk=2", "_manifest.json")
+    java.nio.file.Files.delete(broken)
+    val m0 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(out, "triples", "chunk=1", "_manifest.json"))
+    val r2 = Pipeline.runChunked(spark, 4, chunk, cfg)
+    assert(r2.metrics.find(_.name == "chunks_computed").get.rows == 1)
+    assert(java.nio.file.Files.exists(broken)) // rewritten
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(out, "triples", "chunk=1", "_manifest.json")) == m0)
+    assert(r2.triples.count() == n1)
   }
 
   test("resume: second run reuses the triples snapshot") {
