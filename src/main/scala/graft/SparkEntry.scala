@@ -54,6 +54,8 @@ object SparkEntry {
     "q_dedup_simhash" -> (Queries.dedupSimhash _),
     "q_sim_topk" -> (Queries.simTopK _),
     "q_sim_lsh" -> (Queries.simLsh _),
+    "q_sim_ivf" -> (Queries.simIvf _),
+    "q_kg_mentions" -> (Queries.kgMentions _),
     "q_text_langid" -> (Queries.textLangId _),
     "q_text_quality" -> (Queries.textQuality _),
     "q_text_tokens" -> (Queries.textTokens _),

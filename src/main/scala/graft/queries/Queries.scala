@@ -209,6 +209,24 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Mention detection + entity-link scoring over synthesized pages
+    * (north-rule KG stage as a first-class query).
+    */
+  def kgMentions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.extract.Synth.pages(spark, 200)
+      .flatMap(p => graft.extract.Mentions.mentionsOf(p.url, p.text))
+      .toDF()
+      .select("srcUrl", "surface", "start", "end", "entityIri", "score")
+      .orderBy("srcUrl", "start")
+  }
+
   def simLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     Similarity.lshNeighbors(emb, "vec_id", "embedding", nPlanes = 10, nTables = 4, minSim = 0.3)

@@ -103,6 +103,24 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(lsh)) // structural; sims verified by construction
   }
 
+  test("IVF top-k recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(F.col("vec_id") < 10)
+    val brute = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4)
+    val ivfRows = ivf.collect()
+    assert(ivfRows.length == 50) // 10 queries x top-5
+    val ivfSet = ivfRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(ivfSet).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall=$recall") // probing half the cells
+    // determinism: same seed -> same result
+    val again = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == ivfSet)
+  }
+
   test("language ID picks the planted language; quality + token counts sane") {
     val scored = docs
       .withColumn("lang", TextOps.langId(F.col("text")))
