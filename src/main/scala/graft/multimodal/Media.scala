@@ -64,6 +64,25 @@ object Media {
     }
   }
 
+  /** STUB resize: deterministic target-box fit (aspect-preserving integer
+    * math). A real implementation would transcode `payload`; the stub keeps
+    * the metadata transform (the part the pipeline plans around) real.
+    */
+  def resizeStub(meta: MediaMeta, maxDim: Int): MediaMeta = {
+    val scaleNum = maxDim
+    val scaleDen = math.max(meta.width, meta.height)
+    if (scaleDen <= maxDim) meta
+    else meta.copy(
+      width = math.max(1, meta.width * scaleNum / scaleDen),
+      height = math.max(1, meta.height * scaleNum / scaleDen))
+  }
+
+  def resize(metas: Dataset[MediaMeta], maxDim: Int): Dataset[MediaMeta] = {
+    val spark = metas.sparkSession
+    import spark.implicits._
+    metas.map(m => resizeStub(m, maxDim))
+  }
+
   /** Columnar variant of the stub metadata (oracle-parity path): identical
     * output to [[extractMeta]] purely with built-in functions.
     */

@@ -165,5 +165,12 @@ class TrainOpsSpec extends AnyFunSuite {
     val cols = Media.metaColumns(df, "id", "payload", "image").collect()
       .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("n_bytes"), r.getAs[Int]("width"), r.getAs[String]("format")))).toMap
     assert(cols(1L) == ((5L, 21, "webp")))
+    // resize: aspect-preserving box fit, no-op when already inside the box
+    val resized = Media.resize(Media.extractMeta(rows), maxDim = 16).collect().map(m => m.id -> m).toMap
+    resized.values.foreach(m => assert(m.width <= 16 && m.height <= 16))
+    val m1 = Media.decodeStub(1L, "image", Array[Byte](1, 2, 3, 4, 5)) // 21x19
+    val r1 = Media.resizeStub(m1, 16)
+    assert(r1.width == 16 && r1.height == 19 * 16 / 21)
+    assert(Media.resizeStub(r1, 64) == r1) // no upscale
   }
 }
