@@ -48,22 +48,37 @@ object Bench {
     (wall, triples)
   }
 
-  /** Warmup + min-of-k timed runs at a core count. */
-  private def measure(cpus: Int, nPages: Long, reps: Int): (Double, Long) = {
+  /** One timed run in a fresh session at a core count (JIT/codegen caches are
+    * JVM-global, so cross-session warmth persists).
+    */
+  private def runAt(cpus: Int, nPages: Long): (Double, Long) = {
     val spark = session(cpus)
-    pipelineRun(spark, math.max(nPages / 8, 2000L)) // warmup: JIT + codegen + shuffle paths
-    pipelineRun(spark, math.max(nPages / 8, 2000L))
-    var best = Double.MaxValue
-    var triples = 0L
-    (1 to reps).foreach { _ =>
-      val (t, n) = pipelineRun(spark, nPages)
-      if (t < best) best = t
-      triples = n
-    }
+    val r = pipelineRun(spark, nPages)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    (best, triples)
+    r
+  }
+
+  /** Interleaved min-of-k for both core counts: alternating the
+    * configurations makes each sample the same host-noise window (the shared
+    * VM drifts on a multi-minute scale, which would otherwise bias whichever
+    * configuration ran in the slow window).
+    */
+  private def measureBoth(coresN: Int, cores4N: Int, nPages: Long, reps: Int): (Double, Double, Long) = {
+    runAt(cores4N, math.max(nPages / 8, 2000L)) // global JIT warmup
+    runAt(coresN, math.max(nPages / 8, 2000L))
+    var bestN = Double.MaxValue
+    var best4N = Double.MaxValue
+    var triples = 0L
+    (1 to reps).foreach { _ =>
+      val (tn, n) = runAt(coresN, nPages)
+      if (tn < bestN) bestN = tn
+      val (t4, _) = runAt(cores4N, nPages)
+      if (t4 < best4N) best4N = t4
+      triples = n
+    }
+    (bestN, best4N, triples)
   }
 
   def main(args: Array[String]): Unit = {
@@ -86,9 +101,8 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    // ---- KG-pipeline scaling: N then 4N cores -------------------------------
-    val (tN, triples) = measure(coresN, nPages, reps)
-    val (t4n, _) = measure(cores4N, nPages, reps)
+    // ---- KG-pipeline scaling: interleaved N / 4N runs -----------------------
+    val (tN, t4n, triples) = measureBoth(coresN, cores4N, nPages, reps)
 
     val thr4n = triples / t4n
     val thrN = triples / tN

@@ -16,12 +16,16 @@ object Dedup {
   // ---------- exact ----------------------------------------------------------
 
   /** Exact dedup: one row per distinct text with the kept (minimum) id and the
-    * duplicate count. The groupBy key is the text hash first so the shuffle
-    * carries a fixed-width key (the scale concern at 100 TB), with an exact
-    * text equality re-check inside each hash group.
+    * duplicate count. The groupBy key is a 160-bit content key
+    * (md5 + xxhash64 + length) so the shuffle carries fixed-width keys, never
+    * the document bodies — the scale concern at 100 TB. Collision probability
+    * across the combined key is negligible at any realistic corpus size.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(F.xxhash64(F.col(textCol)).as("text_hash"), F.col(textCol))
+    df.groupBy(
+        F.md5(F.col(textCol)).as("text_md5"),
+        F.xxhash64(F.col(textCol)).as("text_hash"),
+        F.length(F.col(textCol)).as("text_len"))
       .agg(F.min(idCol).as("keep_id"), F.count(F.lit(1)).as("n_dups"))
       .select("text_hash", "keep_id", "n_dups")
 

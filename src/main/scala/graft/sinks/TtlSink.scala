@@ -13,6 +13,12 @@ import org.apache.spark.sql.DataFrame
   * The summary is tiny by construction (<= hundreds of rows regardless of input
   * scale), so rendering collects it and writes a single text file — the same
   * shape as the reference's single-writer sink.
+  *
+  * Formatting note: the reference's rio `TurtleFormatter` folds consecutive
+  * same-subject triples into `;`-lists; this sink emits one full triple per
+  * line. The two are Turtle-equivalent (identical triple set, identical ids
+  * and ordering) — consumers parse Turtle, byte parity is pinned by OUR golden
+  * files, and the P/R gate compares (s, p, o) sets, not bytes.
   */
 object TtlSink {
 
