@@ -87,6 +87,32 @@ class PrefixTrieSpec extends AnyFunSuite {
     assert(t.resolve("http://example.org/").isEmpty)
   }
 
+  test("longestPrefix agrees with a naive linear scan on random inputs (property)") {
+    val alphabet = "ab/#:"
+    def randString(seed: org.scalacheck.rng.Seed, len: Int): String = {
+      var s = seed
+      (0 until len).map { _ =>
+        val (v, s2) = s.long; s = s2
+        alphabet(((v % alphabet.length + alphabet.length) % alphabet.length).toInt)
+      }.mkString
+    }
+    (1 to 200).foreach { trial =>
+      var seed = org.scalacheck.rng.Seed(trial.toLong)
+      def nextInt(bound: Int): Int = {
+        val (v, s2) = seed.long; seed = s2
+        ((v % bound + bound) % bound).toInt
+      }
+      val keys = (0 until (1 + nextInt(8))).map(_ => randString(seed, 1 + nextInt(6))).distinct
+      val trie = PrefixTrie(keys.map(k => k -> k))
+      (0 until 10).foreach { _ =>
+        val q = randString(seed, nextInt(9))
+        val got = trie.longestPrefix(q, mustBeTerminal = true).map(_._1)
+        val want = keys.filter(q.startsWith).sortBy(-_.length).headOption
+        assert(got == want, s"trial=$trial keys=$keys q='$q' got=$got want=$want")
+      }
+    }
+  }
+
   test("serializable (broadcast requirement)") {
     val bos = new java.io.ByteArrayOutputStream()
     new java.io.ObjectOutputStream(bos).writeObject(words)
