@@ -51,32 +51,50 @@ object Bench {
     (wall, triples, res.metrics.map(m => m.name -> m.wallMs).toMap)
   }
 
-  /** Capability estimate at a core count: one reused session, JIT warmups,
-    * then `reps` runs. Returns (minTotalWall, compositeWall, nTriples) where
-    * compositeWall = sum over pipeline stages of each stage's MINIMUM wall
-    * across the reps. On a noisy shared VM transient interference hits
-    * different stages in different runs; the per-stage minimum composite is a
-    * far lower-variance estimator of true capability than any single run.
-    */
-  private def measure(cpus: Int, nPages: Long, reps: Int): (Double, Double, Long) = {
-    val spark = session(cpus)
-    pipelineRun(spark, math.max(nPages / 8, 2000L)) // warmup
-    pipelineRun(spark, math.max(nPages / 8, 2000L))
+  private final class Acc {
     var bestTotal = Double.MaxValue
     var triples = 0L
     val stageMin = scala.collection.mutable.Map.empty[String, Long]
-    (1 to reps).foreach { _ =>
-      val (t, n, stages) = pipelineRun(spark, nPages)
+    def add(t: Double, n: Long, stages: Map[String, Long]): Unit = {
       if (t < bestTotal) bestTotal = t
       triples = n
       stages.foreach { case (k, v) =>
         stageMin(k) = math.min(stageMin.getOrElse(k, Long.MaxValue), v)
       }
     }
-    spark.stop()
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    (bestTotal, stageMin.values.sum / 1000.0, triples)
+    def composite: Double = stageMin.values.sum / 1000.0
+  }
+
+  /** Capability estimate at both core counts, sampled in ALTERNATING blocks
+    * across the whole measurement window (the shared host's speed drifts on a
+    * multi-minute scale — burst-throttling shape — so measuring one
+    * configuration entirely after the other systematically biases whichever
+    * runs later). Per configuration the estimate is the per-stage minimum
+    * composite: transient interference hits different stages in different
+    * runs, so summing each stage's best wall across all runs has far lower
+    * variance than any single run's total.
+    */
+  private def measureAlternating(
+      coresN: Int, cores4N: Int, nPages: Long, blocks: Int, runsPerBlock: Int
+  ): (Acc, Acc) = {
+    val accN = new Acc
+    val acc4N = new Acc
+    def block(cpus: Int, acc: Acc, warmup: Boolean): Unit = {
+      val spark = session(cpus)
+      if (warmup) pipelineRun(spark, math.max(nPages / 8, 2000L))
+      (1 to runsPerBlock).foreach { _ =>
+        val (t, n, stages) = pipelineRun(spark, nPages)
+        acc.add(t, n, stages)
+      }
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+    (1 to blocks).foreach { b =>
+      block(cores4N, acc4N, warmup = b == 1)
+      block(coresN, accN, warmup = b == 1)
+    }
+    (accN, acc4N)
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,9 +117,11 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    // ---- KG-pipeline scaling: N block then 4N block -------------------------
-    val (tNmin, tN, triples) = measure(coresN, nPages, reps)
-    val (t4nMin, t4n, _) = measure(cores4N, nPages, reps)
+    // ---- KG-pipeline scaling: alternating N / 4N blocks ---------------------
+    val (accN, acc4N) = measureAlternating(coresN, cores4N, nPages,
+      blocks = math.max(reps / 2, 1), runsPerBlock = 2)
+    val (tNmin, tN, triples) = (accN.bestTotal, accN.composite, accN.triples)
+    val (t4nMin, t4n) = (acc4N.bestTotal, acc4N.composite)
 
     val thr4n = triples / t4n
     val thrN = triples / tN
