@@ -105,6 +105,12 @@ object Bench {
     val coresN = sys.env.getOrElse("SPARK_GRAFT_CORES_N", "2").toInt
     val cores4N = coresN * 4
 
+    // ---- KG-pipeline scaling first (cleanest window): alternating blocks ----
+    val (accN, acc4N) = measureAlternating(coresN, cores4N, nPages,
+      blocks = math.max(reps / 2, 1), runsPerBlock = 2)
+    val (tNmin, tN, triples) = (accN.bestTotal, accN.composite, accN.triples)
+    val (t4nMin, t4n) = (acc4N.bestTotal, acc4N.composite)
+
     // ---- headline queries at the configured parallelism --------------------
     val spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -116,12 +122,6 @@ object Bench {
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-
-    // ---- KG-pipeline scaling: alternating N / 4N blocks ---------------------
-    val (accN, acc4N) = measureAlternating(coresN, cores4N, nPages,
-      blocks = math.max(reps / 2, 1), runsPerBlock = 2)
-    val (tNmin, tN, triples) = (accN.bestTotal, accN.composite, accN.triples)
-    val (t4nMin, t4n) = (acc4N.bestTotal, acc4N.composite)
 
     val thr4n = triples / t4n
     val thrN = triples / tN
