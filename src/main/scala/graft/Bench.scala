@@ -101,7 +101,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "400000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "8").toInt
     val coresN = sys.env.getOrElse("SPARK_GRAFT_CORES_N", "2").toInt
     val cores4N = coresN * 4
 
