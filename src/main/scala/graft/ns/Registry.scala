@@ -34,6 +34,12 @@ final class Registry private (
     val trie: PrefixTrie[NsEntry]
 ) extends Serializable {
 
+  /** Byte-packed executor-side trie for the codegen'd resolver (built on
+    * demand, driver-side; rides inside the serialized expression).
+    */
+  @transient lazy val utf8Trie: Utf8PrefixTrie[NsEntry] =
+    Utf8PrefixTrie(byNs.map { case (k, v) => (k, v) })
+
   /** alias -> (namespace, source); aliases are unique by construction. */
   def aliasMap: Map[String, (String, NsSource)] =
     byNs.map { case (ns, e) => e.alias -> (ns, e.source) }

@@ -32,6 +32,27 @@ class ResolveNsExprSpec extends AnyFunSuite {
     }
   }
 
+  test("byte trie matches char trie on unicode and boundary shapes (property)") {
+    val keys = Seq(
+      "http://例え.jp/資源/" -> "jp",
+      "http://例え.jp/" -> "jproot",
+      "http://a.org/ü/" -> "uml",
+      "http://a.org/" -> "a",
+      "x" -> "x1"
+    )
+    val charTrie = graft.ns.PrefixTrie(keys)
+    val byteTrie = graft.ns.Utf8PrefixTrie(keys)
+    val queries = Seq(
+      "http://例え.jp/資源/X", "http://例え.jp/other", "http://例え.jp", "http://a.org/ü/1",
+      "http://a.org/u", "x", "xy", "", "http://例え.jp/資", "ü", "http://例え.jp/資源/"
+    ) ++ (0 until 500).map(Synthish.iri)
+    queries.foreach { q =>
+      val viaChar = charTrie.resolve(q).map(_._2)
+      val viaByte = byteTrie.resolve(org.apache.spark.unsafe.types.UTF8String.fromString(q)).map(_._2)
+      assert(viaChar == viaByte, s"mismatch for '$q': char=$viaChar byte=$viaByte")
+    }
+  }
+
   test("expression survives whole-stage codegen and interpreted eval") {
     val df = Seq("http://dbpedia.org/resource/X", "http://nowhere.invalid/y").toDF("iri")
     // codegen path
@@ -39,7 +60,7 @@ class ResolveNsExprSpec extends AnyFunSuite {
     assert(got(0).getStruct(0).getString(0) == "dbr")
     assert(got(1).isNullAt(0))
     // interpreted path
-    val expr = ResolveNs(org.apache.spark.sql.graftshim.ColumnShim.expression(col("iri")), reg.trie)
+    val expr = ResolveNs(org.apache.spark.sql.graftshim.ColumnShim.expression(col("iri")), reg.utf8Trie)
     assert(expr.resolveRow(org.apache.spark.unsafe.types.UTF8String.fromString(
       "https://schema.org/name")) != null)
     assert(expr.resolveRow(null) == null)
