@@ -65,6 +65,8 @@ object SparkEntry {
     // relational fundamentals (perf anchors)
     "q_agg_lineitem" -> (Queries.aggLineitem _),
     "q_join_broadcast" -> (Queries.joinBroadcast _),
+    "q_join_semi" -> (Queries.joinSemi _),
+    "q_join_anti" -> (Queries.joinAnti _),
     "q_window_events" -> (Queries.windowEvents _),
     "q_topk_events" -> (Queries.topkEvents _),
     "q_set_ops" -> (Queries.setOpsEvents _),

@@ -264,6 +264,15 @@ object Oracles {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1""".stripMargin,
 
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+
     "q_window_events" ->
       """SELECT user_id, rn, event_id, running_value FROM (
         |  SELECT user_id, event_id,

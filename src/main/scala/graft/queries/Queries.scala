@@ -303,6 +303,23 @@ object Queries {
       .orderBy("r_name")
   }
 
+  /** Left-semi join: customers having at least one order (EXISTS). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** Left-anti join: customers with no large order (NOT EXISTS). */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(F.col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
   def windowEvents(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/events.parquet")
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
