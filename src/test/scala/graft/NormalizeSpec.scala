@@ -84,6 +84,23 @@ class NormalizeSpec extends AnyFunSuite {
     assert(groups.contains(("xsd", "http://www.w3.org/TR/xmlschema11-2/")))
   }
 
+  test("summary counts are permutation/partitioning-invariant (SURVEY §5.2-4b)") {
+    val bc = spark.sparkContext.broadcast(Registry.community())
+    val ts = (0 until 300).map { i =>
+      Triple(s"http://dbpedia.org/resource/E${i % 7}", Kind.IRI, pred,
+        s"lit$i", if (i % 2 == 0) Kind.LIT_PLAIN else Kind.LIT_LANG,
+        if (i % 2 == 1) Some("en") else None, None, "u")
+    }
+    def summarySet(df: org.apache.spark.sql.DataFrame) =
+      Normalize.summarize(Normalize.normalize(df, bc)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3), r.getLong(4)))
+        .toSet
+    val base = summarySet(ts.toDS().toDF())
+    val shuffled = summarySet(scala.util.Random.shuffle(ts).toDS().toDF().repartition(7))
+    val onePart = summarySet(ts.reverse.toDS().toDF().coalesce(1))
+    assert(base == shuffled && base == onePart)
+  }
+
   test("statement ids assigned in lexicographic order with min-occurs filter") {
     val bc = spark.sparkContext.broadcast(Registry.community())
     val ts = (1 to 12).map(i =>
