@@ -90,6 +90,8 @@ object RdfPipeline {
       TtlSink.write(Paths.get(cfg.outDir, "all-prefixes.json"), registry.toJson)
       val vis = VisJson.build(rows.filter(_.occurs >= cfg.minOccurs), groups.toMap)
       TtlSink.write(Paths.get(cfg.outDir, "vis-data.json"), VisJson.toJson(vis))
+      graft.sinks.Snapshot.writeSmall(summary, Paths.get(cfg.outDir, "summary").toString,
+        "summary", paths, rows.size.toLong)
       ((), rows.size.toLong)
     }
     val ms = metrics.result()
