@@ -68,11 +68,9 @@ object GenViz {
     val spark = MainUtil.session("graft-gen-viz")
     val summary = spark.read.parquet(s"$outDir/summary")
     val rows = TtlSink.collectRows(summary).filter(_.occurs >= minOccurs)
-    // aliases from the saved registry
-    val regJson = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(outDir, "all-prefixes.json")), "UTF-8")
-    val aliasRe = """"([^"]+)": \["([^"]+)", "[^"]+"\]""".r
-    val aliases = aliasRe.findAllMatchIn(regJson).map(m => m.group(1) -> m.group(2)).toMap
+    // the used-groups sidecar the pipeline sink wrote — regenerated output is
+    // byte-identical to the pipeline's vis-data.json for the same summary
+    val aliases = TtlSink.readGroupsTsv(java.nio.file.Paths.get(outDir, "used-groups.tsv"))
     val vis = VisJson.build(rows, aliases)
     TtlSink.write(java.nio.file.Paths.get(outDir, "vis-data.json"), VisJson.toJson(vis))
     println(s"vis-data.json: ${vis.nodes.size} nodes, ${vis.edges.size} edges")

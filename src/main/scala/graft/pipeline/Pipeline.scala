@@ -106,7 +106,7 @@ object Pipeline {
       var computed = 0
       (0 until nChunks).foreach { k =>
         val dir = Paths.get(triplesDir, s"chunk=$k").toString
-        if (!(cfg.resume && Snapshot.isComplete(dir))) {
+        if (!(cfg.resume && Snapshot.isCompleteFor(dir, Seq(s"pages[chunk=$k]")))) {
           Snapshot.write(extractTriples(chunk(k)).toDF(), dir, s"triples/chunk=$k",
             Seq(s"pages[chunk=$k]"))
           computed += 1
@@ -181,6 +181,7 @@ object Pipeline {
       val visRows = rows.filter(_.occurs >= cfg.minOccurs)
       val vis = VisJson.build(visRows, groups.toMap)
       TtlSink.write(Paths.get(cfg.outDir, "vis-data.json"), VisJson.toJson(vis))
+      TtlSink.write(Paths.get(cfg.outDir, "used-groups.tsv"), TtlSink.groupsTsv(groups))
       Snapshot.writeSmall(summary, Paths.get(cfg.outDir, "summary").toString,
         "summary", Seq(triplesDir), rows.size.toLong)
       ((), rows.size.toLong)

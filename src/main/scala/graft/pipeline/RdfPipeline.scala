@@ -25,6 +25,25 @@ object RdfPipeline {
       metrics: Seq[Pipeline.StageMetrics]
   )
 
+  /** The reference applies the 200-grapheme cap to EVERY parsed IRI
+    * (`normalize_iri`, src/prefixes.rs:431-444), so corpora with >200-char
+    * IRIs summarize identically. Applied to s (when IRI), p, o (when IRI) and
+    * the datatype IRI. The UDF only runs on rows that can exceed the cap
+    * (length guard keeps the common path in codegen).
+    */
+  def truncateIris(df: DataFrame): DataFrame = {
+    val trunc = F.udf((s: String) => graft.extract.Canonical.graphemeTruncate(s))
+    def capped(c: org.apache.spark.sql.Column) =
+      F.when(F.length(c) > graft.extract.Canonical.MaxGraphemes, trunc(c)).otherwise(c)
+    df
+      .withColumn("s", F.when(F.col("sKind") === graft.model.Kind.IRI, capped(F.col("s")))
+        .otherwise(F.col("s")))
+      .withColumn("p", capped(F.col("p")))
+      .withColumn("o", F.when(F.col("oKind") === graft.model.Kind.IRI, capped(F.col("o")))
+        .otherwise(F.col("o")))
+      .withColumn("oDt", capped(F.col("oDt")))
+  }
+
   def run(spark: SparkSession, paths: Seq[String], cfg: Pipeline.Config): RdfResult = {
     val metrics = Vector.newBuilder[Pipeline.StageMetrics]
     def timed[A](name: String)(f: => (A, Long)): A = {
@@ -36,7 +55,8 @@ object RdfPipeline {
 
     val (triplesDs, declsDs) = RdfSource.read(spark, paths)
     val triples = timed("scan") {
-      val df = triplesDs.toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = truncateIris(triplesDs.toDF())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (df, df.count())
     }
 
@@ -90,6 +110,7 @@ object RdfPipeline {
       TtlSink.write(Paths.get(cfg.outDir, "all-prefixes.json"), registry.toJson)
       val vis = VisJson.build(rows.filter(_.occurs >= cfg.minOccurs), groups.toMap)
       TtlSink.write(Paths.get(cfg.outDir, "vis-data.json"), VisJson.toJson(vis))
+      TtlSink.write(Paths.get(cfg.outDir, "used-groups.tsv"), TtlSink.groupsTsv(groups))
       graft.sinks.Snapshot.writeSmall(summary, Paths.get(cfg.outDir, "summary").toString,
         "summary", paths, rows.size.toLong)
       ((), rows.size.toLong)

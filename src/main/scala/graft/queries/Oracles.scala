@@ -211,6 +211,13 @@ object Oracles {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
+    // hash-blocked dedup/similarity: bit-exact splitmix64 replication (HashSql)
+    "q_dedup_simhash" -> HashSql.simhashPairsSql(maxDist = 3, maxBucket = 1000),
+    "q_dedup_minhash" -> HashSql.minhashLshSql(k = 3, threshold = 0.6, maxBucket = 1000),
+    "q_sim_lsh" -> HashSql.srpLshSql(dim = 64, nPlanes = 10, nTables = 4,
+      minSim = 0.3, maxBucket = 1000),
+    "q_sim_ivf" -> HashSql.ivfFixedSql(dim = 64, nCells = 16, nProbe = 4, k = 5, nQueries = 10),
+
     "q_text_langid" -> langIdSql,
 
     "q_text_quality" ->

@@ -182,6 +182,7 @@ object Queries {
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(docs(spark, dir), "doc_id", "text", k = 3, threshold = 0.6)
+      .withColumn("jaccard", F.round(F.col("jaccard"), 6))
       .orderBy("id_a", "id_b")
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
@@ -209,9 +210,18 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** IVF ANN with the coarse quantizer pinned to the first 16 corpus vectors
+    * (deterministic, so DuckDB recomputes the identical assignment). The
+    * learned-quantizer variant [[Similarity.ivfTopK]] (seeded KMeans) is
+    * covered by SimilaritySpec.
+    */
   def simIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    Similarity.ivfTopK(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5)
+    val centroids = emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    Similarity.ivfTopKFixed(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5,
+      centroids, nProbe = 4)
       .orderBy("query_id", "rank")
   }
 

@@ -11,11 +11,12 @@ import scala.collection.mutable
   * (`wholeTextFiles`-style), unlike line-splittable N-Triples.
   *
   * Supported: `@prefix` / `@base` (and SPARQL-style PREFIX/BASE), IRIs,
-  * prefixed names, `a`, blank-node labels, literals with language tag or
-  * datatype (both quote styles, long strings), numeric/boolean shorthand,
+  * prefixed names, `a`, blank-node labels, anonymous blank nodes and property
+  * lists `[ ... ]` (fresh `genidN` labels), collections `( ... )` (expanded to
+  * the standard rdf:first/rdf:rest/rdf:nil chain), literals with language tag
+  * or datatype (both quote styles, long strings), numeric/boolean shorthand,
   * `;` and `,` predicate/object lists, comments. Not supported (rejected):
-  * collections `( )`, anonymous blank nodes `[ ]`, RDF-star — the reference
-  * rejects RDF-star too (`src/prefixes.rs:394-396`).
+  * RDF-star — the reference rejects RDF-star too (`src/prefixes.rs:394-396`).
   */
 object Turtle {
 
@@ -32,6 +33,9 @@ object Turtle {
   private val XsdDouble = "http://www.w3.org/2001/XMLSchema#double"
   private val XsdBoolean = "http://www.w3.org/2001/XMLSchema#boolean"
   private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val RdfFirst = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+  private val RdfRest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+  private val RdfNil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
   private final class Parser(s: String, srcUrl: String) {
     var i = 0
@@ -65,8 +69,16 @@ object Turtle {
       }
     }
 
+    /** Keyword match requires a boundary after it (whitespace or the start of
+      * the following IRI): without it a statement whose subject alias merely
+      * STARTS with the keyword (`base:thing a ex:T .`) would be misparsed as a
+      * declaration and fail the whole file.
+      */
     private def peekKeyword(k: String): Boolean =
-      s.regionMatches(true, i, k, 0, k.length) || s.regionMatches(false, i, k, 0, k.length)
+      s.regionMatches(true, i, k, 0, k.length) && {
+        val j = i + k.length
+        j >= s.length || s.charAt(j).isWhitespace || s.charAt(j) == '<'
+      }
 
     private def prefixDecl(): Unit = {
       val atStyle = s.charAt(i) == '@'
@@ -94,9 +106,13 @@ object Turtle {
     }
 
     private def statement(): Unit = {
+      ws()
+      val wasBracket = i < s.length && s.charAt(i) == '['
       val (subj, subjKind) = subject()
       ws()
-      predicateObjectList(subj, subjKind)
+      // `[ p o ] .` is a complete statement: the property list already emitted
+      if (!(wasBracket && i < s.length && s.charAt(i) == '.'))
+        predicateObjectList(subj, subjKind)
       ws()
       if (i < s.length && s.charAt(i) == '.') i += 1 else fail("expected '.'")
     }
@@ -116,10 +132,55 @@ object Turtle {
         }
         if (i < s.length && s.charAt(i) == ';') {
           i += 1; ws()
-          // a ';' may be trailing before '.'
-          if (i < s.length && (s.charAt(i) == '.' || s.charAt(i) == ';')) more = false
+          // a ';' may be trailing before '.' (or before ']' in a bnode list)
+          if (i < s.length && (s.charAt(i) == '.' || s.charAt(i) == ';' || s.charAt(i) == ']'))
+            more = false
         } else more = false
       }
+    }
+
+    private var genId = 0
+    private def freshBlank(): String = { genId += 1; s"genid$genId" }
+
+    /** `[ ... ]`: a fresh blank node; inner predicate/object pairs (if any)
+      * are emitted with it as subject. Positioned at '['.
+      */
+    private def blankNodePropertyList(): String = {
+      i += 1 // '['
+      ws()
+      val label = freshBlank()
+      if (i < s.length && s.charAt(i) == ']') { i += 1; return label }
+      predicateObjectList(label, Kind.BLANK)
+      ws()
+      if (i < s.length && s.charAt(i) == ']') i += 1 else fail("expected ']'")
+      label
+    }
+
+    /** `( e1 e2 ... )`: expanded to the standard rdf:first/rdf:rest chain of
+      * fresh blank nodes; `()` is rdf:nil. Positioned at '('. Returns the
+      * head node.
+      */
+    private def collection(): (String, Byte) = {
+      i += 1 // '('
+      ws()
+      if (i < s.length && s.charAt(i) == ')') { i += 1; return (RdfNil, Kind.IRI) }
+      val items = Vector.newBuilder[(String, Byte, Option[String], Option[String])]
+      while (i < s.length && s.charAt(i) != ')') {
+        items += objectTerm()
+        ws()
+      }
+      if (i >= s.length) fail("unterminated collection")
+      i += 1 // ')'
+      val its = items.result()
+      val nodes = its.map(_ => freshBlank())
+      its.indices.foreach { idx =>
+        val (o, k, lang, dt) = its(idx)
+        out += Triple(nodes(idx), Kind.BLANK, RdfFirst, o, k, lang, dt, srcUrl)
+        val (ro, rk) =
+          if (idx + 1 < its.length) (nodes(idx + 1), Kind.BLANK) else (RdfNil, Kind.IRI)
+        out += Triple(nodes(idx), Kind.BLANK, RdfRest, ro, rk, None, None, srcUrl)
+      }
+      (nodes.head, Kind.BLANK)
     }
 
     private def subject(): (String, Byte) = {
@@ -128,8 +189,8 @@ object Turtle {
       s.charAt(i) match {
         case '<' => (iriRef(), Kind.IRI)
         case '_' => (blankLabel(), Kind.BLANK)
-        case '[' => fail("anonymous blank nodes are not supported")
-        case '(' => fail("collections are not supported")
+        case '[' => (blankNodePropertyList(), Kind.BLANK)
+        case '(' => collection()
         case _   => (prefixedName(), Kind.IRI)
       }
     }
@@ -145,8 +206,8 @@ object Turtle {
       s.charAt(i) match {
         case '<' => (iriRef(), Kind.IRI, None, None)
         case '_' => (blankLabel(), Kind.BLANK, None, None)
-        case '[' => fail("anonymous blank nodes are not supported")
-        case '(' => fail("collections are not supported")
+        case '[' => (blankNodePropertyList(), Kind.BLANK, None, None)
+        case '(' => val (n, k) = collection(); (n, k, None, None)
         case '"' | '\'' => literal()
         case c if c.isDigit || c == '+' || c == '-' || c == '.' => numericLiteral()
         case 't' if s.regionMatches(i, "true", 0, 4)  => i += 4; ("true", Kind.LIT_TYPED, None, Some(XsdBoolean))

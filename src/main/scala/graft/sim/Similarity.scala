@@ -84,16 +84,35 @@ object Similarity {
       seed: Long = 42L
   ): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
-
+    import spark.implicits._
     val toVec = F.udf((a: Array[Float]) => Vectors.dense(a.map(_.toDouble)))
     val train = corpus.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
       .withColumn("features", toVec(F.col("v")))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+    ivfTopKFixed(corpus, queries, idCol, vecCol, k, model.clusterCenters.map(_.toArray), nProbe)
+  }
 
+  /** IVF search with an EXPLICIT coarse quantizer (centroid matrix) instead of
+    * a learned one. Same scale shape as [[ivfTopK]] (corpus shuffles once on
+    * cell id, tiny probed-query side broadcasts), but fully deterministic and
+    * SQL-expressible — the oracle-checked variant pins the centroids to the
+    * first `nCells` corpus vectors, so DuckDB can recompute the identical
+    * assignment (strict-less argmin, ties to the lower cell index; probe order
+    * = (distance, cell) ascending).
+    */
+  def ivfTopKFixed(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nProbe: Int = 4
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cellOf = F.udf { (a: Array[Float]) =>
       var best = 0; var bestD = Double.MaxValue
       var c = 0
@@ -112,9 +131,8 @@ object Similarity {
         (d, c)
       }.sortBy(_._1).take(nProbe).map(_._2).toArray
     }
-
-    val indexed = train.select($"id".as("neighbor_id"), $"v".as("cv"),
-      cellOf($"v").as("cell"))
+    val indexed = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"),
+      cellOf(F.col(vecCol)).as("cell"))
     val probed = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
       .withColumn("cell", F.explode(probesOf(F.col("qv"))))
     val scored = indexed
@@ -137,7 +155,8 @@ object Similarity {
       vecCol: String,
       nPlanes: Int = 12,
       nTables: Int = 4,
-      minSim: Double = 0.0
+      minSim: Double = 0.0,
+      maxBucket: Int = 1000
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -155,15 +174,26 @@ object Similarity {
         key
       }.toArray
     }
-    val bucketed = df
-      .select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
-      .withColumn("bucket", F.explode(keysUdf($"v")))
+    val byId = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+    // scale shape: only (id, bucket) flows through the bucket self-join and
+    // the candidate dedup — embedding vectors re-attach by id AFTER the
+    // distinct, so the dedup shuffle carries bare pair keys, not payloads.
+    // Buckets above maxBucket are dropped before pairing (identical-vector
+    // clusters land whole in one bucket per table); see Dedup.bucketOverflow
+    // for the observable side of the cap.
+    val bucketed = byId.select($"id", F.explode(keysUdf($"v")).as("bucket"))
+      .withColumn("bucket_n", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter($"bucket_n" <= maxBucket)
+      .drop("bucket_n")
     val l = bucketed.as("l")
     val r = bucketed.as("r")
-    l.join(r, F.col("l.bucket") === F.col("r.bucket") && F.col("l.id") < F.col("r.id"))
-      .select(F.col("l.id").as("id_a"), F.col("r.id").as("id_b"),
-        F.col("l.v").as("va"), F.col("r.v").as("vb"))
+    val cand = l.join(r, F.col("l.bucket") === F.col("r.bucket") && F.col("l.id") < F.col("r.id"))
+      .select(F.col("l.id").as("id_a"), F.col("r.id").as("id_b"))
       .distinct()
+    cand
+      .join(byId.select($"id".as("id_a"), $"v".as("va")), "id_a")
+      .join(byId.select($"id".as("id_b"), $"v".as("vb")), "id_b")
       .withColumn("sim", F.round(cosine($"va", $"vb"), 6))
       .filter($"sim" >= minSim)
       .select("id_a", "id_b", "sim")

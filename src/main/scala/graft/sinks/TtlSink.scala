@@ -69,6 +69,20 @@ object TtlSink {
       .toSeq
   }
 
+  /** Used-groups sidecar (`used-groups.tsv`, one `alias\tns` line per group
+    * the summary actually references): GenViz rebuilds vis-data.json from
+    * exactly these, instead of regex-scraping the full registry JSON (which
+    * both over-reports aliases and breaks on escaped quotes).
+    */
+  def groupsTsv(groups: Seq[(String, String)]): String =
+    groups.sorted.map { case (a, ns) => s"$a\t$ns" }.mkString("", "\n", "\n")
+
+  def readGroupsTsv(path: java.nio.file.Path): Map[String, String] =
+    new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      .split('\n').toSeq.filter(_.nonEmpty)
+      .map { l => val Array(a, ns) = l.split("\t", 2); a -> ns }
+      .toMap
+
   def write(path: java.nio.file.Path, content: String): Unit = {
     java.nio.file.Files.createDirectories(path.getParent)
     java.nio.file.Files.write(path, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -41,29 +41,52 @@ object EventStream {
   final case class SessionState(start: Long, last: Long, n: Int, value: Double)
   final case class SessionOut(user_id: Long, n_events: Int, duration_sec: Long, value: Double)
 
-  /** Custom state machine: gap-based sessions per user (30-minute timeout). */
+  private val SessionGapMs = 30 * 60 * 1000L
+
+  /** Custom state machine: gap-based sessions per user (30-minute gap).
+    *
+    * The event-time timeout is ARMED (`setTimeoutTimestamp(last + gap)`): when
+    * the watermark passes a user's last event + gap, the group is invoked with
+    * `hasTimedOut`, the buffered session is emitted, and the state is removed
+    * — otherwise each user's final session would never flush and per-user
+    * state would grow forever. In a streaming run the source MUST carry a
+    * watermark (`events.withWatermark("ts", ...)`) for EventTimeTimeout to
+    * fire; in a batch run timeouts never fire (Spark semantics) and the
+    * trailing session is intentionally still open.
+    */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
-          val out = Vector.newBuilder[SessionOut]
-          var cur = state.getOption
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last > 30 * 60 * 1000L =>
-                out += SessionOut(userId, s.n, (s.last - s.start) / 1000, s.value)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case Some(s) =>
-                cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.n, (s.last - s.start) / 1000, s.value))
+          } else {
+            val out = Vector.newBuilder[SessionOut]
+            var cur = state.getOption
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last > SessionGapMs =>
+                  out += SessionOut(userId, s.n, (s.last - s.start) / 1000, s.value)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.value + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly beyond the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.last + SessionGapMs))
+            }
+            out.result().iterator
           }
-          cur.foreach(state.update)
-          out.result().iterator
         })
   }
 

@@ -171,6 +171,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.triples.count() == r2.triples.count())
   }
 
+  test("resume: stale snapshot (different inputs or row count) is recomputed") {
+    val out = SparkSuite.tmpDir("graft-stale")
+    val dir = java.nio.file.Paths.get(out, "t").toString
+    import graft.sinks.Snapshot
+    val df1 = spark.range(10).toDF("n")
+    Snapshot.resumeOrWrite(spark, dir, "t", Seq("inputA"))(df1)
+    // same inputs -> reused (manifest untouched)
+    val m1 = java.nio.file.Files.getLastModifiedTime(Snapshot.manifestPath(dir))
+    Snapshot.resumeOrWrite(spark, dir, "t", Seq("inputA"))(fail("must not recompute"))
+    assert(java.nio.file.Files.getLastModifiedTime(Snapshot.manifestPath(dir)) == m1)
+    // different inputs into the same outDir -> recomputed, lineage updated
+    val df2 = spark.range(25).toDF("n")
+    val r2 = Snapshot.resumeOrWrite(spark, dir, "t", Seq("inputB"))(df2)
+    assert(r2.count() == 25)
+    assert(Snapshot.readLineage(dir).get._2 == Seq("inputB"))
+    // corrupt data (row count mismatch vs recorded lineage) -> recomputed
+    spark.range(3).toDF("n").write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(Snapshot.manifestPath(dir), "{}".getBytes)
+    java.nio.file.Files.write(Snapshot.lineagePath(dir),
+      "rows\t25\ninput\tinputB\n".getBytes)
+    val r3 = Snapshot.resumeOrWrite(spark, dir, "t", Seq("inputB"))(df2)
+    assert(r3.count() == 25)
+  }
+
   test("per-source metrics (A4) tally kinds per input with corpus roll-up") {
     val pages = Synth.pages(spark, 20)
     val triples = Pipeline.extractTriples(pages).toDF()

@@ -54,6 +54,25 @@ class RdfPipelineSpec extends AnyFunSuite {
     assert(ttlOut.contains("\"500\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
   }
 
+  test("IRIs above 200 graphemes are capped on the RDF path (prefixes.rs:431-444)") {
+    val dir = SparkSuite.tmpDir("rdfpipe-cap")
+    val out = SparkSuite.tmpDir("rdfpipe-cap-out")
+    val longIri = "http://long.example.com/" + ("x" * 300)
+    val capped = longIri.take(200)
+    val nt =
+      s"""<$longIri> <http://dbpedia.org/ontology/knows> <$longIri> .
+         |<http://dbpedia.org/resource/A> <$longIri> "lit" .
+         |""".stripMargin
+    Files.write(Paths.get(dir, "long.nt"), nt.getBytes("UTF-8"))
+    val res = RdfPipeline.run(spark, Seq(s"$dir/long.nt"),
+      Pipeline.Config(outDir = out, minOccurs = 1, inferNs = false))
+    val ts = res.triples.collect()
+    assert(ts.forall(r => r.getAs[String]("p").length <= 200))
+    assert(ts.exists(r => r.getAs[String]("s") == capped && r.getAs[String]("o") == capped))
+    // literals are NOT capped (the reference caps IRIs only)
+    assert(ts.exists(r => r.getAs[String]("o") == "lit"))
+  }
+
   test("declared alias conflicting with existing alias falls back to generated") {
     val reg = graft.ns.Registry.community()
     val reg2 = graft.ns.Registry.addDeclared(reg, "http://other.example.org/rdfx/", "rdf")

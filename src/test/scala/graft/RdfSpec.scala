@@ -76,6 +76,69 @@ class RdfSpec extends AnyFunSuite {
     assert(ts.head.s == "http://base.org/s1" && ts.head.o == "http://base.org/o1")
   }
 
+  test("Turtle: anonymous blank nodes and property lists (rio-accepted grammar)") {
+    val doc =
+      """@prefix ex: <http://example.org/> .
+        |ex:alice ex:knows [ ex:name "Bob" ; ex:age 42 ] .
+        |[ ex:label "standalone" ] .
+        |ex:carol ex:address [ ] .
+        |[ ex:role "subject-list" ] ex:sees ex:alice .
+        |""".stripMargin
+    val ts = Turtle.parse(doc, "f").triples
+    // hand expansion: knows->genid1 + 2 inner; standalone 1; address->genid3; role 1 + sees 1
+    assert(ts.size == 7)
+    val knows = ts.find(_.p == "http://example.org/knows").get
+    assert(knows.oKind == Kind.BLANK)
+    val inner = ts.filter(_.s == knows.o)
+    assert(inner.map(_.o).toSet == Set("Bob", "42"))
+    val sees = ts.find(_.p == "http://example.org/sees").get
+    assert(sees.sKind == Kind.BLANK)
+    assert(ts.find(_.o == "subject-list").get.s == sees.s)
+    // empty [] object is a bare fresh blank with no inner triples
+    val addr = ts.find(_.p == "http://example.org/address").get
+    assert(addr.oKind == Kind.BLANK && !ts.exists(_.s == addr.o))
+  }
+
+  test("Turtle: collections expand to rdf:first/rdf:rest/rdf:nil") {
+    val first = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    val rest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+    val nil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+    val doc =
+      """@prefix ex: <http://example.org/> .
+        |ex:s ex:items ( ex:a "two" 3 ) .
+        |ex:s ex:empty ( ) .
+        |""".stripMargin
+    val ts = Turtle.parse(doc, "f").triples
+    // 1 items + 3*(first,rest) + 1 empty = 8
+    assert(ts.size == 8)
+    val items = ts.find(_.p == "http://example.org/items").get
+    assert(items.oKind == Kind.BLANK)
+    // walk the chain
+    var node = items.o
+    val values = Vector.newBuilder[String]
+    var guard = 0
+    while (node != nil && guard < 10) {
+      values += ts.find(t => t.s == node && t.p == first).get.o
+      node = ts.find(t => t.s == node && t.p == rest).get.o
+      guard += 1
+    }
+    assert(values.result() == Vector("http://example.org/a", "two", "3"))
+    val empty = ts.find(_.p == "http://example.org/empty").get
+    assert(empty.o == nil && empty.oKind == Kind.IRI)
+  }
+
+  test("Turtle: subject alias starting with a keyword is not a declaration") {
+    val doc =
+      """@prefix base: <http://example.org/b/> .
+        |@prefix prefixes: <http://example.org/p/> .
+        |base:thing a prefixes:T .
+        |""".stripMargin
+    val ts = Turtle.parse(doc, "f").triples
+    assert(ts.size == 1)
+    assert(ts.head.s == "http://example.org/b/thing")
+    assert(ts.head.o == "http://example.org/p/T")
+  }
+
   test("distributed N-Triples scan with format dispatch and decls side-output") {
     val spark = SparkSuite.spark
     val dir = SparkSuite.tmpDir("rdf-src")
@@ -102,5 +165,20 @@ class RdfSpec extends AnyFunSuite {
     os.close()
     val (triples, _) = RdfSource.read(spark, Seq(gz.toString))
     assert(triples.count() == 1)
+  }
+
+  test("bz2-compressed N-Triples reads transparently (extract.rs:44-66 equivalent)") {
+    val spark = SparkSuite.spark
+    val dir = SparkSuite.tmpDir("rdf-bz2")
+    val bz = Paths.get(dir, "d.nt.bz2")
+    // encode with the same Hadoop codec Spark decodes with
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val os = codec.createOutputStream(Files.newOutputStream(bz))
+    os.write(("<http://a/s> <http://a/p> <http://a/o> .\n" +
+      "<http://a/s2> <http://a/p> \"lit\" .\n").getBytes("UTF-8"))
+    os.close()
+    val (triples, _) = RdfSource.read(spark, Seq(bz.toString))
+    assert(triples.count() == 2)
   }
 }

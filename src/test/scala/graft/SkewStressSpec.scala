@@ -1,0 +1,71 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-guard behavior on a pathologically skewed corpus: one cluster of
+  * thousands of identical documents (the mega-bucket case that goes O(n²)
+  * without caps — the 100-TB failure mode the bucket/df caps exist for).
+  */
+class SkewStressSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private val ClusterSize = 5000
+  private lazy val docs = {
+    val dup = (0 until ClusterSize).map(i =>
+      (i.toLong, "the same boilerplate text repeated for every page in this cluster exactly"))
+    val uniq = (ClusterSize until ClusterSize + 2000).map(i =>
+      (i.toLong, s"unique document number $i with entirely distinct words w$i x${i * 7} y${i * 13} z${i * 31} plus filler"))
+    (dup ++ uniq).toDF("doc_id", "text")
+  }
+
+  test("minHashLsh bucket cap bounds candidate pairs on a 5k-duplicate cluster") {
+    // uncapped, the cluster alone emits C(5000,2) ≈ 12.5M pairs per band;
+    // with the cap its 16 mega-buckets drop entirely
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text", k = 3, threshold = 0.6, maxBucket = 100)
+    assert(pairs.count() == 0)
+    // the drop is observable, not silent: 16 band buckets of exactly the cluster
+    val sigUdf = F.udf((t: String) => Dedup.bandKeys(Dedup.minHashSignature(t, 3, 64), 16))
+    val banded = docs.select($"doc_id".as("id"),
+      F.posexplode(sigUdf($"text")).as(Seq("band", "bkey")))
+    val ovf = Dedup.bucketOverflow(banded, Seq("band", "bkey"), 100)
+    assert(ovf.count() == 16L * ClusterSize)
+    assert(ovf.select("band", "bkey").distinct().count() == 16)
+  }
+
+  test("simHash chunk cap drops the identical-hash cluster, keeps small buckets") {
+    // all ClusterSize identical docs share one simhash -> 4 chunk buckets of
+    // ClusterSize; with the cap no pair from the cluster survives, while
+    // near-dups among the 2000 unique docs still pair
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3, maxBucket = 100)
+      .collect()
+    assert(!pairs.exists(r => r.getLong(0) < ClusterSize && r.getLong(1) < ClusterSize))
+  }
+
+  test("token df cap keeps the inverted-index join sub-quadratic") {
+    // boilerplate tokens have df = 5000+: with maxDf=100 they are dropped from
+    // the token sets, so the cluster contributes zero join rows
+    val pairs = Dedup.tokenJaccardPairs(docs, "doc_id", "text", 0.5, maxDf = 100)
+    assert(pairs.count() == 0)
+    // without the cluster the same threshold finds the all-identical pairs
+    val small = Dedup.tokenJaccardPairs(
+      docs.filter($"doc_id" < 40), "doc_id", "text", 0.5, maxDf = 100000)
+    assert(small.count() == 40L * 39 / 2)
+  }
+
+  test("lshNeighbors bucket cap bounds pairs for an identical-vector cluster") {
+    val vec = Array.fill(16)(0.5f)
+    val dupVecs = (0 until 3000).map(i => (i.toLong, vec))
+    val uniqVecs = (3000 until 3200).map { i =>
+      (i.toLong, Array.tabulate(16)(d => graft.extract.Synth.mix64(i * 31L + d).toFloat / Long.MaxValue))
+    }
+    val df = (dupVecs ++ uniqVecs).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNeighbors(df, "vec_id", "embedding",
+      nPlanes = 8, nTables = 2, minSim = 0.9, maxBucket = 100)
+    // identical vectors all land in the same bucket per table (> cap) -> dropped
+    assert(!pairs.collect().exists(r => r.getLong(0) < 3000 && r.getLong(1) < 3000))
+  }
+}
