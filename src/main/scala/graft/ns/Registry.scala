@@ -82,22 +82,45 @@ object Registry {
       case c             => c.toString
     } + "\""
 
-  /** Community prefix-map fixture (replaces the linkml prefixmaps download,
-    * reference `src/prefixes/community.rs:86-97`; zero-egress sandbox). Pairs per
-    * FIXTURES.md §3. The reference's `fix_pv` filters (canonical-only, the two bad
-    * pairs, `#.*#` namespaces) are already applied to this static list.
+  /** Vendored community prefix map (replaces the linkml prefixmaps download,
+    * reference `src/prefixes/community.rs:16-17,86-97`; this sandbox has zero
+    * egress so the canonical merged.csv cannot be fetched at build time). The
+    * resource carries a curated subset in the same (status, prefix, namespace)
+    * shape — W3C/LOV/prefix.cc vocabularies, linked-data hubs, the OBO Foundry
+    * PURL block — including the documented bad rows merged.csv is known to
+    * contain, so [[fixPv]] (the reference's `fix_pv`,
+    * `src/prefixes/community.rs:99-124`) is exercised for real: canonical-only,
+    * the walmart/amazon and linkedmdb-movie pairs, and `#.*#` namespaces.
+    * Dropping in the full merged.csv (converted to this TSV) needs no code
+    * change.
     */
-  val communityPairs: Seq[(String, String)] = Seq(
-    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
-    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
-    "xsd" -> "http://www.w3.org/2001/XMLSchema#",
-    "foaf" -> "http://xmlns.com/foaf/0.1/",
-    "dbr" -> "http://dbpedia.org/resource/",
-    "dbo" -> "http://dbpedia.org/ontology/",
-    "schema" -> "https://schema.org/",
-    "wd" -> "http://www.wikidata.org/entity/",
-    "example" -> "http://example.org/"
-  )
+  val communityResource = "/graft/ns/community-prefixes.tsv"
+
+  def communityRows(): Seq[(String, String, String)] = {
+    val in = getClass.getResourceAsStream(communityResource)
+    require(in != null, s"missing resource $communityResource")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines()
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+      .map { l => val Array(st, p, ns) = l.split("\t", 3); (st, p, ns) }
+      .toVector
+    finally src.close()
+  }
+
+  /** The reference's `fix_pv` filters (`src/prefixes/community.rs:99-124`). */
+  def fixPv(rows: Seq[(String, String, String)]): Seq[(String, String)] =
+    rows
+      .filter { case (status, _, _) => status == "canonical" }
+      .filterNot { case (_, p, ns) => p.contains("walmart") && ns.contains("amazon") }
+      .filterNot { case (_, p, ns) =>
+        p.contains("movie") && ns.contains("data.linkedmdb.org/resource/movie")
+      }
+      .filterNot { case (_, _, ns) => HashHashRe.findFirstIn(ns).isDefined }
+      .map { case (_, p, ns) => (p, ns) }
+
+  private val HashHashRe = "#.*#".r
+
+  val communityPairs: Seq[(String, String)] = fixPv(communityRows())
 
   def community(): Registry = fromPairs(communityPairs, NsSource.Community)
 

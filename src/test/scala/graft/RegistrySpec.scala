@@ -95,6 +95,31 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("vendored community map: fix_pv filters and coverage (community.rs:99-124)") {
+    val rows = Registry.communityRows()
+    val pairs = Registry.communityPairs
+    // the resource carries the documented merged.csv artifacts...
+    assert(rows.exists { case (st, p, ns) => st == "canonical" && p == "walmart" && ns.contains("amazon") })
+    assert(rows.exists { case (_, p, ns) => p == "movie" && ns.contains("resource/movie") })
+    assert(rows.exists { case (_, _, ns) => ns.contains("#latitude#") })
+    assert(rows.exists { case (st, _, _) => st != "canonical" })
+    // ...and fix_pv removes exactly those classes
+    assert(!pairs.exists { case (p, _) => p == "walmart" || p == "movie" })
+    assert(!pairs.exists { case (_, ns) => "#.*#".r.findFirstIn(ns).isDefined })
+    assert(pairs.size >= 290)
+    val reg = Registry.community()
+    assert(reg.size >= 290)
+    // well-known namespaces resolve out of the box (no inference needed)
+    assert(reg.resolveAlias("http://www.w3.org/2004/02/skos/core#broader").contains("skos"))
+    assert(reg.resolveAlias("http://purl.org/dc/terms/title").contains("dcterms"))
+    assert(reg.resolveAlias("http://purl.obolibrary.org/obo/GO_0008150").contains("GO"))
+    assert(reg.resolveAlias("http://www.wikidata.org/prop/direct/P31").contains("wdt"))
+    // fixture-pinned aliases stay stable (oracle CASE mirrors these)
+    assert(reg.resolveAlias("https://schema.org/worksFor").contains("schema"))
+    assert(reg.resolveAlias("http://www.wikidata.org/entity/Q1").contains("wd"))
+    assert(reg.resolveAlias("http://www.w3.org/2001/XMLSchema#integer").contains("xsd"))
+  }
+
   test("all-prefixes.json shape") {
     val json = Registry.community().toJson
     assert(json.contains(""""dbr": ["http://dbpedia.org/resource/", "community"]"""))
