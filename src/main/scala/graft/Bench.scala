@@ -158,13 +158,24 @@ object Bench {
     val triples = accN.triples
 
     // ---- headline queries at the configured parallelism --------------------
+    // One warmup sweep (JIT + codegen + catalog caches), then two measured
+    // sweeps with the per-query minimum: a single cold sweep is a lottery
+    // over the shared host's contention windows (r1→r2 showed 3-20x swings
+    // on individual queries that vanish when re-measured warm).
     val spark = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def sweep(measure: Boolean): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          if (measure) System.err.println(s"[bench] $name: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    sweep(measure = false)
+    val results = (sweep(measure = true) ++ sweep(measure = true))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      .toSeq.sortBy(_._1)
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

@@ -216,6 +216,13 @@ object Inference {
   /** Full distributed inference round: count, threshold, collect, expand.
     * Returns (inferred namespaces, #garbage domains, #distinct prefixes kept).
     */
+  /** O6 diagnostic (reference logs example unresolved IRIs,
+    * `src/iri_trie.rs:232-236`): a bounded sample of the still-unresolved set,
+    * recorded into tasks.json so an operator can see WHAT is not resolving.
+    */
+  def sampleUnresolved(iris: DataFrame, n: Int = 10): Seq[String] =
+    iris.limit(n).collect().map(_.getString(0)).toSeq
+
   def inferFromIris(
       iris: DataFrame,
       salt: Int = 0,

@@ -37,10 +37,29 @@ object Pipeline {
       minNsSize: Long = Inference.MinNsSize,
       minDomainOccurs: Long = Inference.MinDomainOccurs,
       maxNs: Int = Inference.MaxNs,
-      resume: Boolean = true
+      resume: Boolean = true,
+      countGarbage: Boolean = false
   )
 
   final case class StageMetrics(name: String, rows: Long, wallMs: Long)
+
+  /** Inference housekeeping roll-up (reference `InferHK`,
+    * `src/meta_info.rs:104-141`): rounds run, total wall, namespaces the
+    * expansion proposed vs actually added, and (when
+    * `Config.countGarbage`) domains GC'd for low frequency.
+    */
+  final case class InferHk(
+      rounds: Int, wallMs: Long, inferredNs: Long, addedNs: Long, discardedNs: Long,
+      exampleUnresolved: Seq[String] = Nil)
+
+  /** Per-input-file record (reference `Task`, `src/meta_info.rs:31-46`):
+    * byte size plus kind tallies. Per-file WALL duration is deliberately
+    * absent — the reference parses one file per thread so a per-file wall
+    * exists; a distributed scan splits one file across many tasks, so the
+    * honest duration lives in the per-stage roll-up instead.
+    */
+  final case class FileMetrics(
+      file: String, sizeBytes: Long, triples: Long, iris: Long, blanks: Long, literals: Long)
 
   final case class Result(
       summary: DataFrame,
@@ -136,11 +155,13 @@ object Pipeline {
     // ---- Stage B: registry + inference rounds ----------------------------
     var registry = Registry.community()
     val inferredAll = Vector.newBuilder[String]
+    var hk = InferHk(0, 0L, 0L, 0L, 0L)
     if (cfg.inferNs) {
       var round = 0
       var added = true
       while (added && round < cfg.maxInferenceRounds) {
         round += 1
+        val t0 = System.nanoTime()
         added = timed(s"infer_round_$round") {
           def resolve(c: org.apache.spark.sql.Column) = Normalize.resolveCol(c, registry)
           // unresolved IRIs from all three positions, one row per occurrence
@@ -154,11 +175,20 @@ object Pipeline {
             )).as("iri"))
             .filter(F.col("iri").isNotNull)
             .filter(resolve(F.col("iri")).isNull)
-          val (inferred, _) =
-            Inference.inferFromIris(iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs)
+          val (inferred, nGarbage) = Inference.inferFromIris(
+            iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs, cfg.countGarbage)
           val (reg2, addedNs) = registry.withNamespaces(inferred)
           registry = reg2
           inferredAll ++= addedNs
+          // O6: once a round adds nothing, `iris` IS the still-unresolved
+          // set — sample 10 examples (the reference logs example IRIs,
+          // iri_trie.rs:232-236)
+          val examples =
+            if (addedNs.isEmpty) Inference.sampleUnresolved(iris)
+            else hk.exampleUnresolved
+          hk = InferHk(hk.rounds + 1, hk.wallMs + (System.nanoTime() - t0) / 1000000,
+            hk.inferredNs + inferred.size, hk.addedNs + addedNs.size,
+            hk.discardedNs + nGarbage, examples)
           (addedNs.nonEmpty, addedNs.size.toLong)
         }
       }
@@ -188,7 +218,7 @@ object Pipeline {
     }
 
     val ms = metrics.result()
-    TtlSink.write(Paths.get(cfg.outDir, "tasks.json"), metricsJson(ms))
+    TtlSink.write(Paths.get(cfg.outDir, "tasks.json"), tasksJson(ms, hk, Nil))
     Result(summary, registry, triples, ms, inferredAll.result())
   }
 
@@ -196,4 +226,19 @@ object Pipeline {
     ms.map { m =>
       s"""  {"stage": ${Registry.jstr(m.name)}, "rows": ${m.rows}, "wall_ms": ${m.wallMs}}"""
     }.mkString("[\n", ",\n", "\n]")
+
+  /** tasks.json (reference `MetaInfo`, `src/meta_info.rs:31-46,104-141,241-246`):
+    * per-stage roll-ups (duration + row count), inference housekeeping, and —
+    * on the RDF-file path — per-file byte size and kind tallies.
+    */
+  def tasksJson(ms: Seq[StageMetrics], hk: InferHk, files: Seq[FileMetrics]): String = {
+    val filesJson = files.map { f =>
+      s"""    {"file": ${Registry.jstr(f.file)}, "size_bytes": ${f.sizeBytes}, "triples": ${f.triples}, "iris": ${f.iris}, "blanks": ${f.blanks}, "literals": ${f.literals}}"""
+    }.mkString("[\n", ",\n", "\n  ]")
+    s"""{
+  "stages": ${metricsJson(ms).linesIterator.mkString("\n  ")},
+  "infer_hk": {"rounds": ${hk.rounds}, "wall_ms": ${hk.wallMs}, "inferred_ns": ${hk.inferredNs}, "added_ns": ${hk.addedNs}, "discarded_ns": ${hk.discardedNs}, "example_unresolved": ${hk.exampleUnresolved.map(Registry.jstr).mkString("[", ", ", "]")}},
+  "files": ${if (files.isEmpty) "[]" else filesJson}
+}"""
+  }
 }

@@ -72,11 +72,13 @@ object RdfPipeline {
     }
 
     // inference rounds (chilon Stage 2)
+    var hk = Pipeline.InferHk(0, 0L, 0L, 0L, 0L)
     if (cfg.inferNs) {
       var round = 0
       var added = true
       while (added && round < cfg.maxInferenceRounds) {
         round += 1
+        val t0 = System.nanoTime()
         added = timed(s"infer_round_$round") {
           def resolve(c: org.apache.spark.sql.Column) = Normalize.resolveCol(c, registry)
           val iris = triples
@@ -87,10 +89,16 @@ object RdfPipeline {
             )).as("iri"))
             .filter(F.col("iri").isNotNull)
             .filter(resolve(F.col("iri")).isNull)
-          val (inferred, _) = graft.ns.Inference.inferFromIris(
-            iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs)
+          val (inferred, nGarbage) = graft.ns.Inference.inferFromIris(
+            iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs, cfg.countGarbage)
           val (reg2, addedNs) = registry.withNamespaces(inferred)
           registry = reg2
+          val examples =
+            if (addedNs.isEmpty) graft.ns.Inference.sampleUnresolved(iris)
+            else hk.exampleUnresolved
+          hk = Pipeline.InferHk(hk.rounds + 1, hk.wallMs + (System.nanoTime() - t0) / 1000000,
+            hk.inferredNs + inferred.size, hk.addedNs + addedNs.size,
+            hk.discardedNs + nGarbage, examples)
           (addedNs.nonEmpty, addedNs.size.toLong)
         }
       }
@@ -115,8 +123,25 @@ object RdfPipeline {
         "summary", paths, rows.size.toLong)
       ((), rows.size.toLong)
     }
+    // per-file metrics (reference Task records, meta_info.rs:31-46): byte
+    // size from the filesystem, kind tallies from one aggregation over the
+    // triple table grouped by the srcUrl lineage column
+    val files = timed("file_metrics") {
+      val tallies = graft.sinks.Metrics.perSource(triples).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val fs = (p: String) =>
+        try java.nio.file.Files.size(Paths.get(p)) catch { case _: Exception => 0L }
+      val out = paths.map { p =>
+        val (t, i, b, l) = tallies.collectFirst {
+          case (src, v) if src == p || src.endsWith(p) || p.endsWith(src) => v
+        }.getOrElse((0L, 0L, 0L, 0L))
+        Pipeline.FileMetrics(p, fs(p), t, i, b, l)
+      }
+      (out, out.size.toLong)
+    }
     val ms = metrics.result()
-    TtlSink.write(Paths.get(cfg.outDir, "tasks.json"), Pipeline.metricsJson(ms))
+    TtlSink.write(Paths.get(cfg.outDir, "tasks.json"), Pipeline.tasksJson(ms, hk, files))
     RdfResult(summary, registry, triples, ms)
   }
 }

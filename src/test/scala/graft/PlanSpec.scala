@@ -59,4 +59,34 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(Queries.a2PrefixCounts(spark, dir))
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2)
   }
+
+  test("LSH family never plans a cartesian product (bucket joins only)") {
+    Seq(
+      Queries.dedupMinhash(spark, dir),
+      Queries.dedupSimhash(spark, dir),
+      Queries.simLsh(spark, dir),
+      Queries.dedupTokenJaccard(spark, dir)
+    ).foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join leaked into:\n$plan")
+    }
+  }
+
+  test("IVF search broadcasts the probed-query side, corpus shuffles once") {
+    val plan = planOf(Queries.simIvf(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"probed queries not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("simhash candidate dedup shuffles bare id pairs, not payloads") {
+    // the distinct (optimized to Aggregate[id_a, id_b]) must not carry the
+    // sh hashes — they re-attach by id AFTER the dedup
+    val plan = Queries.dedupSimhash(spark, dir).queryExecution.optimizedPlan.toString
+    val dedup = plan.linesIterator.find(l =>
+      l.contains("Aggregate [id_a") || l.contains("Deduplicate")).getOrElse("")
+    assert(dedup.nonEmpty, s"no dedup node in:\n$plan")
+    assert(!dedup.contains("sh_a") && !dedup.contains("sh_b"),
+      s"payload columns inside the dedup: $dedup")
+  }
 }

@@ -52,6 +52,19 @@ class RdfPipelineSpec extends AnyFunSuite {
     val ttlOut = new String(Files.readAllBytes(Paths.get(out, "output.ttl")), "UTF-8")
     assert(ttlOut.contains("<#namespacePrefix> <http://myontology.example.com/terms/>"))
     assert(ttlOut.contains("\"500\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+
+    // tasks.json parity (meta_info.rs:31-46,104-141): per-file byte size +
+    // kind tallies, per-stage durations, inference housekeeping roll-up
+    val tasks = new String(Files.readAllBytes(Paths.get(out, "tasks.json")), "UTF-8")
+    assert(tasks.contains("\"stages\""))
+    assert(tasks.contains("\"infer_hk\""))
+    assert(tasks.contains("\"rounds\""))
+    assert(tasks.contains("\"added_ns\""))
+    val declSize = Files.size(Paths.get(dir, "decl.ttl"))
+    assert(tasks.contains(s""""size_bytes": $declSize"""))
+    assert(tasks.contains("\"triples\": 30")) // decl.ttl tally
+    assert(tasks.contains("\"triples\": 503")) // data.nt tally
+    assert("\"stage\": \"infer_round_1\"".r.findFirstIn(tasks).isDefined)
   }
 
   test("IRIs above 200 graphemes are capped on the RDF path (prefixes.rs:431-444)") {

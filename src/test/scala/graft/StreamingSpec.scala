@@ -37,6 +37,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming page ingestion reproduces the batch summary counts") {
+    import graft.streaming.PageStream
+    val dir = SparkSuite.tmpDir("page-stream")
+    // two "crawl segments" as separate files
+    graft.extract.Synth.pages(spark, 150).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val registry = {
+      // fix the registry once (as the batch pipeline would after inference)
+      val out = SparkSuite.tmpDir("page-stream-reg")
+      graft.pipeline.Pipeline.run(spark, graft.extract.Synth.pages(spark, 150),
+        graft.pipeline.Pipeline.Config(outDir = out, minOccurs = 1,
+          minNsSize = 50, minDomainOccurs = 5, resume = false)).registry
+    }
+    val q = PageStream.startMemorySummary(spark, dir, registry, "page_sum")
+    q.awaitTermination()
+    // Update-mode memory sink appends the UPDATED rows of every micro-batch;
+    // counts grow monotonically per key, so the final value is the max
+    val streamed = spark.table("page_sum")
+      .groupBy("s_ns", "p_ns", "o_ns", "is_datatype")
+      .agg(F.max("occurs").as("occurs"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)) -> r.getLong(4))
+      .toMap
+    // batch equivalent over the same pages with the same fixed registry
+    val bc = spark.sparkContext.broadcast(registry)
+    val batch = graft.summarize.Normalize
+      .summarize(graft.summarize.Normalize.normalize(
+        graft.pipeline.Pipeline.extractTriples(graft.extract.Synth.pages(spark, 150)).toDF(), bc))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)) -> r.getLong(4))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     val dir = SparkSuite.tmpDir("stream-sess")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
