@@ -175,6 +175,13 @@ object Queries {
     Dedup.exact(docs(spark, dir), "doc_id", "text")
       .select("keep_id", "n_dups").orderBy("keep_id")
 
+  /** The `doc_id < 60` gate is a property of THIS synthetic table, not of the
+    * operator: documents.text draws from a 31-token vocabulary where every
+    * token has df ≈ 0.8·N, so no df cap can bind without emptying the token
+    * sets (cap < df drops everything; cap > df changes nothing). The
+    * operator's scale guard (`maxDf`) is exercised where it can bind —
+    * SkewStressSpec's mixed-df corpus.
+    */
   def dedupTokenJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.tokenJaccardPairs(
       docs(spark, dir).filter(F.col("doc_id") < 60), "doc_id", "text", 0.85)

@@ -79,6 +79,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("bucket self-joins reuse the banded exchange when sides can't broadcast") {
+    // the 100-TB-relevant shape: signature/bucket UDFs evaluate ONCE, the
+    // self-join's second side reads the ReusedExchange (at toy scale AQE
+    // broadcasts one side instead, which is also fine)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Seq(Queries.dedupMinhash(spark, dir), Queries.dedupSimhash(spark, dir),
+          Queries.simLsh(spark, dir)).foreach { df =>
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("ReusedExchange"), s"banded subplan computed twice:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("simhash candidate dedup shuffles bare id pairs, not payloads") {
     // the distinct (optimized to Aggregate[id_a, id_b]) must not carry the
     // sh hashes — they re-attach by id AFTER the dedup
