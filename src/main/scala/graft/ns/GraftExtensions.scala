@@ -1,0 +1,44 @@
+package graft.ns
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: registers the engine's namespace functions in
+  * the SQL function registry so plain `spark.sql(...)` users get them —
+  * the (c) extension path from the build plan, complementing the Column API.
+  *
+  *   spark.sql("SELECT graft_resolve_ns(iri).alias FROM iris")
+  *
+  * Enable with
+  * `.config("spark.sql.extensions", "graft.ns.GraftExtensions")` or inject
+  * programmatically with `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * The SQL function resolves against the vendored community registry (built
+  * once per driver, shipped inside the serialized expression). Pipelines
+  * whose registry grows by inference use the Column API
+  * ([[ResolveNs.column]]) with their own registry instance — a SQL function
+  * signature has nowhere to carry runtime state.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.resolveNsDescriptor)
+  }
+}
+
+object GraftExtensions {
+
+  /** Community-registry trie, built once per JVM for the SQL function. */
+  lazy val communityTrie: Utf8PrefixTrie[NsEntry] = Registry.community().utf8Trie
+
+  val resolveNsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_resolve_ns"),
+    new ExpressionInfo(classOf[ResolveNs].getName, "graft_resolve_ns"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_resolve_ns(iri) takes exactly one argument")
+      ResolveNs(children.head, communityTrie)
+    }
+  )
+}

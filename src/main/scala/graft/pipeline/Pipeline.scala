@@ -69,11 +69,33 @@ object Pipeline {
       inferredNamespaces: Seq[String]
   )
 
-  /** Stage A: pages -> canonicalized triple table. */
+  /** Stage A: pages -> canonicalized triple table.
+    *
+    * Projects to (url, text) BEFORE the typed flatMap: extraction never
+    * touches the `html` binary — the fattest column of the page table — so
+    * Catalyst pushes the projection into the scan (ReadSchema drops `html`;
+    * PlanSpec pins it) and the flatMap deserializes two strings instead of
+    * the whole Page. At 100 TB that is the difference between reading the
+    * text column family and reading the entire corpus.
+    */
   def extractTriples(pages: Dataset[Page]): Dataset[Triple] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.flatMap(p => OpenIE.extract(p.url, p.text))
+    pages.select($"url", $"text").as[(String, String)]
+      .flatMap { case (url, text) => OpenIE.extract(url, text) }
+  }
+
+  /** Stage A for corpora WITHOUT a trusted extracted-text column: re-derives
+    * text from the html bytes with the pinned deterministic extractor (the
+    * per-row invariant `extractText(html) == text`, BASELINE.json input_hint).
+    */
+  def extractTriplesFromHtml(pages: Dataset[Page]): Dataset[Triple] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select($"url", $"html").as[(String, Array[Byte])]
+      .flatMap { case (url, html) =>
+        OpenIE.extract(url, graft.extract.HtmlText.extractText(html))
+      }
   }
 
   def run(spark: SparkSession, pages: Dataset[Page], cfg: Config): Result = {

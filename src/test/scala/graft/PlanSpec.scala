@@ -79,6 +79,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("extraction scan prunes the html binary column (reads url+text only)") {
+    import spark.implicits._
+    val tmp = SparkSuite.tmpDir("prune-pages")
+    graft.extract.Synth.pages(spark, 20).write.mode("overwrite").parquet(tmp)
+    val df = graft.pipeline.Pipeline.extractTriples(
+      spark.read.parquet(tmp).as[graft.model.Page]).toDF()
+    val scan = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("url") && scan.contains("text") && !scan.contains("html"),
+      s"html not pruned from the scan: $scan")
+  }
+
+  test("extraction from html bytes matches extraction from the text column") {
+    import spark.implicits._
+    val pages = graft.extract.Synth.pages(spark, 50)
+    val fromText = graft.pipeline.Pipeline.extractTriples(pages).collect().toSet
+    val fromHtml = graft.pipeline.Pipeline.extractTriplesFromHtml(pages).collect().toSet
+    assert(fromText == fromHtml)
+  }
+
   test("bucket self-joins reuse the banded exchange when sides can't broadcast") {
     // the 100-TB-relevant shape: signature/bucket UDFs evaluate ONCE, the
     // self-join's second side reads the ReusedExchange (at toy scale AQE

@@ -11,6 +11,19 @@ class ResolveNsExprSpec extends AnyFunSuite {
 
   private val reg = Registry.community()
 
+  test("graft_resolve_ns registers as a SQL function (SparkSessionExtensions path)") {
+    val (ident, info, builder) = graft.ns.GraftExtensions.resolveNsDescriptor
+    org.apache.spark.sql.graftshim.ColumnShim.registerFunction(spark, ident, info, builder)
+    val rows = spark.sql(
+      """SELECT graft_resolve_ns('http://dbpedia.org/resource/Ada').alias AS a,
+        |       graft_resolve_ns('http://purl.org/dc/terms/title').alias AS b,
+        |       graft_resolve_ns('http://nowhere.example.net/x') AS miss""".stripMargin)
+      .collect()
+    assert(rows(0).getString(0) == "dbr")
+    assert(rows(0).getString(1) == "dcterms")
+    assert(rows(0).isNullAt(2))
+  }
+
   test("expression matches the UDF reference implementation on a fuzz batch") {
     val iris = (0 until 2000).map { i =>
       Synthish.iri(i)
