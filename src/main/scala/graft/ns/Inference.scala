@@ -231,6 +231,25 @@ object Inference {
       maxNs: Int = MaxNs,
       countGarbage: Boolean = false
   ): (Seq[(String, Long, NsSource)], Long) = {
+    val (inferred, nGarbage, _) =
+      inferFromIrisWithCandidates(iris, salt, minNsSize, minDomainOccurs, maxNs, countGarbage)
+    (inferred, nGarbage)
+  }
+
+  /** Like [[inferFromIris]] but also returns the collected above-threshold
+    * candidate prefixes, enabling the caller's FIXED-POINT EARLY EXIT (see
+    * [[roundsExhausted]]): when every candidate resolves against the updated
+    * registry, the next round cannot add anything — skipping it saves a full
+    * explode+aggregate pass over the triple table per converged pipeline run.
+    */
+  def inferFromIrisWithCandidates(
+      iris: DataFrame,
+      salt: Int = 0,
+      minNsSize: Long = MinNsSize,
+      minDomainOccurs: Long = MinDomainOccurs,
+      maxNs: Int = MaxNs,
+      countGarbage: Boolean = false
+  ): (Seq[(String, Long, NsSource)], Long, Seq[PrefixCount]) = {
     val pc = prefixCounts(iris, salt)
     // collect only what expansion can ever read: prefixes at/above the
     // candidate threshold. GC bookkeeping (domains below minDomainOccurs) is
@@ -247,6 +266,38 @@ object Inference {
         pc.filter(F.col("depth") === 1 && F.col("count") < minDomainOccurs).count()
       else 0L
     val (inferred, _) = inferNamespaces(rows, minNsSize, minDomainOccurs, maxNs)
-    (inferred, nGarbage)
+    (inferred, nGarbage, rows)
   }
+
+  /** Sound fixed-point test for the inference round loop. A prefix can only
+    * be a NEXT-round candidate if it was an above-threshold candidate THIS
+    * round (the unresolved set shrinks monotonically, so per-prefix counts
+    * only decrease). A candidate is dead for the next round when either
+    *
+    *   - its prefix string resolves against the updated registry (a
+    *     registered namespace that prefixes the candidate prefixes every IRI
+    *     under it — all its occurrences leave the unresolved set), or
+    *   - its EXACT next-round count drops below the threshold: the namespaces
+    *     added this round are prefix-free (subsumption in `withNamespaces`),
+    *     so the occurrences leaving the unresolved set under candidate P are
+    *     exactly the sizes of added namespaces that extend P.
+    *
+    * When the candidate collection was not truncated and every candidate is
+    * dead, the next round provably adds nothing — skip the whole
+    * explode+aggregate pass.
+    */
+  def roundsExhausted(
+      candidates: Seq[PrefixCount],
+      added: Seq[(String, Long)],
+      registry: Registry,
+      minNsSize: Long
+  ): Boolean =
+    candidates.size < MaxCollected && candidates.forall { c =>
+      registry.resolve(c.prefix).isDefined || {
+        val resolvedUnder = added.collect {
+          case (ns, size) if ns.startsWith(c.prefix) => size
+        }.sum
+        c.count - resolvedUnder < minNsSize
+      }
+    }
 }

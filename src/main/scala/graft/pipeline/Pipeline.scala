@@ -32,7 +32,10 @@ object Pipeline {
       minOccurs: Int = 10,
       inferNs: Boolean = true,
       ignoreUnknown: Boolean = false,
-      maxInferenceRounds: Int = 2,
+      // expansion adds <= maxNs namespaces per round, so rich corpora need
+      // several rounds to converge; the fixed-point early exit makes unused
+      // rounds free (a converged corpus stops after round 1 regardless)
+      maxInferenceRounds: Int = 4,
       salt: Int = 0,
       minNsSize: Long = Inference.MinNsSize,
       minDomainOccurs: Long = Inference.MinDomainOccurs,
@@ -197,11 +200,19 @@ object Pipeline {
             )).as("iri"))
             .filter(F.col("iri").isNotNull)
             .filter(resolve(F.col("iri")).isNull)
-          val (inferred, nGarbage) = Inference.inferFromIris(
+          val (inferred, nGarbage, candidates) = Inference.inferFromIrisWithCandidates(
             iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs, cfg.countGarbage)
           val (reg2, addedNs) = registry.withNamespaces(inferred)
           registry = reg2
           inferredAll ++= addedNs
+          // fixed-point early exit: if every above-threshold candidate is
+          // dead (resolves, or provably drops below threshold next round),
+          // don't pay another full explode+aggregate pass over the table
+          val addedSizes = inferred.collect {
+            case (ns, size, _) if addedNs.contains(ns) => (ns, size)
+          }
+          val exhausted =
+            Inference.roundsExhausted(candidates, addedSizes, registry, cfg.minNsSize)
           // O6: once a round adds nothing, `iris` IS the still-unresolved
           // set — sample 10 examples (the reference logs example IRIs,
           // iri_trie.rs:232-236)
@@ -211,7 +222,7 @@ object Pipeline {
           hk = InferHk(hk.rounds + 1, hk.wallMs + (System.nanoTime() - t0) / 1000000,
             hk.inferredNs + inferred.size, hk.addedNs + addedNs.size,
             hk.discardedNs + nGarbage, examples)
-          (addedNs.nonEmpty, addedNs.size.toLong)
+          (addedNs.nonEmpty && !exhausted, addedNs.size.toLong)
         }
       }
     }

@@ -89,17 +89,22 @@ object RdfPipeline {
             )).as("iri"))
             .filter(F.col("iri").isNotNull)
             .filter(resolve(F.col("iri")).isNull)
-          val (inferred, nGarbage) = graft.ns.Inference.inferFromIris(
+          val (inferred, nGarbage, candidates) = graft.ns.Inference.inferFromIrisWithCandidates(
             iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs, cfg.countGarbage)
           val (reg2, addedNs) = registry.withNamespaces(inferred)
           registry = reg2
+          val addedSizes = inferred.collect {
+            case (ns, size, _) if addedNs.contains(ns) => (ns, size)
+          }
+          val exhausted = graft.ns.Inference.roundsExhausted(
+            candidates, addedSizes, registry, cfg.minNsSize)
           val examples =
             if (addedNs.isEmpty) graft.ns.Inference.sampleUnresolved(iris)
             else hk.exampleUnresolved
           hk = Pipeline.InferHk(hk.rounds + 1, hk.wallMs + (System.nanoTime() - t0) / 1000000,
             hk.inferredNs + inferred.size, hk.addedNs + addedNs.size,
             hk.discardedNs + nGarbage, examples)
-          (addedNs.nonEmpty, addedNs.size.toLong)
+          (addedNs.nonEmpty && !exhausted, addedNs.size.toLong)
         }
       }
     }

@@ -10,6 +10,31 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class InferenceSpec extends AnyFunSuite {
 
+  test("roundsExhausted: sound fixed-point early exit") {
+    import graft.ns.{Inference, Registry, NsSource}
+    val minNs = 1000L
+    val reg = Registry.fromPairs(
+      Seq("hot" -> "http://hot.example.net/ns/"), NsSource.Inference)
+    val added = Seq("http://hot.example.net/ns/" -> 4800L)
+    // parent domain candidate: unresolved, but its exact next-round count
+    // (5000 - 4800 under the added child) is below threshold -> dead
+    val covered = Seq(
+      Inference.PrefixCount("http://hot.example.net/", 1, 5000),
+      Inference.PrefixCount("http://hot.example.net/ns/", 2, 4800))
+    assert(Inference.roundsExhausted(covered, added, reg, minNs))
+    // an unresolved candidate that STAYS above threshold blocks the exit
+    val open = covered :+ Inference.PrefixCount("http://cold.example.io/", 1, 2000)
+    assert(!Inference.roundsExhausted(open, added, reg, minNs))
+    // so does a parent with enough residual mass outside the added child
+    val fatParent = Seq(
+      Inference.PrefixCount("http://hot.example.net/", 1, 9000),
+      Inference.PrefixCount("http://hot.example.net/ns/", 2, 4800))
+    assert(!Inference.roundsExhausted(fatParent, added, reg, minNs))
+    // a truncated collection is never exhausted (unseen candidates may exist)
+    val truncated = Seq.fill(Inference.MaxCollected)(covered.head)
+    assert(!Inference.roundsExhausted(truncated, added, reg, minNs))
+  }
+
   test("segPrefixes matches seg_tree.rs from_test segment set") {
     val iris = Seq(
       "http://www.example.com/path/1/more",

@@ -65,6 +65,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.inferredNamespaces.contains(Dict.inferNs),
       s"inferred = ${res.inferredNamespaces}")
     assert(res.inferredNamespaces.exists(_.startsWith("https://pages.example.com/")))
+    // fixed-point early exit: round 1 covers every above-threshold candidate
+    // on this corpus, so the (provably no-op) round 2 is skipped
+    assert(res.metrics.exists(_.name == "infer_round_1"))
+    assert(!res.metrics.exists(_.name == "infer_round_2"),
+      s"early exit missed: ${res.metrics.map(_.name)}")
 
     // summary is small and well-formed
     val rows = res.summary.collect()
