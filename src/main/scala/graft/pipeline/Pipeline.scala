@@ -257,7 +257,10 @@ object Pipeline {
 
   def metricsJson(ms: Seq[StageMetrics]): String =
     ms.map { m =>
-      s"""  {"stage": ${Registry.jstr(m.name)}, "rows": ${m.rows}, "wall_ms": ${m.wallMs}}"""
+      // rows/s telemetry per stage (reference logs resources/s + triples/s,
+      // src/prefixes.rs:279-308 / counter.rs — ours is per stage, exact)
+      val rps = if (m.wallMs > 0) m.rows * 1000 / m.wallMs else 0L
+      s"""  {"stage": ${Registry.jstr(m.name)}, "rows": ${m.rows}, "wall_ms": ${m.wallMs}, "rows_per_sec": $rps}"""
     }.mkString("[\n", ",\n", "\n]")
 
   /** tasks.json (reference `MetaInfo`, `src/meta_info.rs:31-46,104-141,241-246`):
