@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.resolveNsDescriptor)
+    ext.injectFunction(GraftExtensions.segPrefixesDescriptor)
   }
 }
 
@@ -39,6 +40,16 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "graft_resolve_ns(iri) takes exactly one argument")
       ResolveNs(children.head, communityTrie)
+    }
+  )
+
+  /** Table-generating: `SELECT seg_prefixes(iri) FROM ...` (like explode). */
+  val segPrefixesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_seg_prefixes"),
+    new ExpressionInfo(classOf[SegPrefixesGen].getName, "graft_seg_prefixes"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_seg_prefixes(iri) takes exactly one argument")
+      SegPrefixesGen(children.head)
     }
   )
 }

@@ -87,11 +87,23 @@ object Inference {
     *             already absorbs most of it, the salt is an explicit knob.
     * @return DataFrame(prefix, depth, count) — one row per distinct segment prefix.
     */
+  /** (pos, prefix) explosion through the native [[SegPrefixesGen]] generator
+    * (byte-walking, allocation-light); `posexplode(udf)` kept as the
+    * cross-checked reference path (parity property test in InferenceSpec).
+    */
+  def segExplode(iris: DataFrame, useGenerator: Boolean = true): DataFrame =
+    if (useGenerator)
+      iris.select(org.apache.spark.sql.graftshim.ColumnShim
+        .column(SegPrefixesGen(org.apache.spark.sql.graftshim.ColumnShim
+          .expression(F.col("iri"))))
+        .as(Seq("pos", "prefix")))
+    else {
+      val segUdf = F.udf((iri: String) => segPrefixes(iri))
+      iris.select(F.posexplode(segUdf(F.col("iri"))).as(Seq("pos", "prefix")))
+    }
+
   def prefixCounts(iris: DataFrame, salt: Int = 0): DataFrame = {
-    val spark = iris.sparkSession
-    val segUdf = F.udf((iri: String) => segPrefixes(iri))
-    val exploded = iris
-      .select(F.posexplode(segUdf(F.col("iri"))).as(Seq("pos", "prefix")))
+    val exploded = segExplode(iris)
       .select(F.col("prefix"), (F.col("pos") + 1).as("depth"))
     if (salt > 0) {
       exploded
@@ -120,9 +132,11 @@ object Inference {
     * what [[prefixStats]] returns.
     */
   def prefixStats(iris: DataFrame, approxUnique: Boolean = false): DataFrame = {
-    val segUdf = F.udf((iri: String) => segPrefixes(iri))
     val exploded = iris
-      .select(F.col("iri"), F.posexplode(segUdf(F.col("iri"))).as(Seq("pos", "prefix")))
+      .select(F.col("iri"), org.apache.spark.sql.graftshim.ColumnShim
+        .column(SegPrefixesGen(org.apache.spark.sql.graftshim.ColumnShim
+          .expression(F.col("iri"))))
+        .as(Seq("pos", "prefix")))
       .select(F.col("prefix"), (F.col("pos") + 1).as("depth"), F.col("iri"))
     val uniq =
       if (approxUnique) F.approx_count_distinct(F.when(F.col("iri") =!= F.col("prefix"), F.col("iri")))

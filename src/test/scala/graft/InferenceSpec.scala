@@ -10,6 +10,36 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class InferenceSpec extends AnyFunSuite {
 
+  test("SegPrefixesGen generator == posexplode(segPrefixes UDF) (parity property)") {
+    import graft.ns.Inference
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val edge = Seq(
+      "http://a.example.org/x/y/z", "https://h.io/p#frag", "http://h/",
+      "http:///no-host/x", "no-scheme-at-all", "urn:isbn:12345",
+      "http://host", "h+x-y.z://host/a/b", "1http://host/a",
+      "http://höst.example/ä/ö#ü", "éxyz://host/a/b", "",
+      "ftp://x/../y//z", "http://a/b#c#d", "a://b/", "://nohost/x",
+      "http://unicode.example/路径/セグメント/x")
+    val rand = (0 until 500).map { i =>
+      val h = graft.extract.Synth.mix64(i.toLong)
+      s"http://d${math.abs(h % 50)}.example.org/s${math.abs(h % 7)}/p$i" +
+        (if (i % 5 == 0) "#f" else "")
+    }
+    val df = (edge ++ rand).toDF("iri")
+    def rows(useGen: Boolean) =
+      Inference.segExplode(df, useGenerator = useGen)
+        .collect().map(r => (r.getInt(0), r.getString(1))).toVector.sorted
+    val gen = rows(useGen = true)
+    val udf = rows(useGen = false)
+    assert(gen == udf)
+    // and both equal the driver-side reference function
+    val local = (edge ++ rand).flatMap(i =>
+      Inference.segPrefixes(i).zipWithIndex.map { case (p, pos) => (pos, p) })
+      .toVector.sorted
+    assert(gen == local)
+  }
+
   test("roundsExhausted: sound fixed-point early exit") {
     import graft.ns.{Inference, Registry, NsSource}
     val minNs = 1000L

@@ -22,6 +22,16 @@ class ResolveNsExprSpec extends AnyFunSuite {
     assert(rows(0).getString(0) == "dbr")
     assert(rows(0).getString(1) == "dcterms")
     assert(rows(0).isNullAt(2))
+    // the generator function registers too (table-generating, explode-like)
+    val (gi, ginfo, gb) = graft.ns.GraftExtensions.segPrefixesDescriptor
+    org.apache.spark.sql.graftshim.ColumnShim.registerFunction(spark, gi, ginfo, gb)
+    val prefixes = spark.sql(
+      "SELECT graft_seg_prefixes('http://a.example.org/x/y')").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toVector
+    assert(prefixes == Vector(
+      0 -> "http://a.example.org/",
+      1 -> "http://a.example.org/x/",
+      2 -> "http://a.example.org/x/y"))
   }
 
   test("expression matches the UDF reference implementation on a fuzz batch") {
