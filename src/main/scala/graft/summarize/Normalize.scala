@@ -115,6 +115,11 @@ object Normalize {
 
   /** Deterministic reified-statement ids in lexicographic order (reference
     * BTreeMap iteration order + `#t%04d`, `src/normalize.rs:48-59,640-641`).
+    *
+    * The unpartitioned window (single-partition WindowExec warning) is
+    * intentional and safe: its input is the SUMMARY, whose cardinality is the
+    * namespace-pair group space — hundreds of rows at any corpus size, never
+    * O(corpus).
     */
   def withStatementIds(summary: DataFrame, minOccurs: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
