@@ -37,6 +37,7 @@ object SparkEntry {
     "q_a5_vis_nodes" -> (Queries.a5VisNodes _),
     "q_a6_vis_edges" -> (Queries.a6VisEdges _),
     "q_a2_prefix_counts" -> (Queries.a2PrefixCounts _),
+    "q_a2_prefix_stats" -> (Queries.a2PrefixStats _),
     "q_n3_infer_ns" -> (Queries.n3InferNs _),
     "q_p3_canonicalize" -> (Queries.p3Canonicalize _),
     "q_p5_literal_class" -> (Queries.p5LiteralClass _),
@@ -62,6 +63,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (Queries.textFingerprint _),
     "q_media_meta" -> (Queries.mediaMeta _),
     "q_media_frames" -> (Queries.mediaFrames _),
+    "q_media_resize" -> (Queries.mediaResize _),
     // relational fundamentals (perf anchors)
     "q_agg_lineitem" -> (Queries.aggLineitem _),
     "q_join_broadcast" -> (Queries.joinBroadcast _),

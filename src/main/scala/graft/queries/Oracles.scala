@@ -125,6 +125,23 @@ object Oracles {
          |SELECT prefix, depth, count(*) AS count FROM prefixes
          |GROUP BY 1, 2 HAVING count(*) >= 100""".stripMargin,
 
+    "q_a2_prefix_stats" ->
+      s"""WITH $irisCte,
+         |pp AS (
+         |  SELECT iri, prefix, depth FROM (
+         |    SELECT iri, regexp_extract(iri, '^(https?://[^/]+/)', 1) AS prefix, 1 AS depth FROM iris
+         |    UNION ALL
+         |    SELECT iri, regexp_extract(iri, '^(https?://[^/]+/[^/]+/)', 1), 2 FROM iris
+         |    UNION ALL
+         |    SELECT iri, iri, 3 FROM iris))
+         |SELECT prefix, CAST(min(depth) AS INT) AS depth,
+         |  CAST(sum(CASE WHEN iri = prefix THEN 1 ELSE 0 END) AS BIGINT) AS own,
+         |  CAST(sum(CASE WHEN iri <> prefix THEN 1 ELSE 0 END) AS BIGINT) AS "desc",
+         |  CAST(count(DISTINCT CASE WHEN iri <> prefix THEN iri END) AS BIGINT) AS uniq_desc
+         |FROM pp GROUP BY prefix
+         |HAVING sum(CASE WHEN iri = prefix THEN 1 ELSE 0 END)
+         |     + sum(CASE WHEN iri <> prefix THEN 1 ELSE 0 END) >= 100""".stripMargin,
+
     "q_n3_infer_ns" ->
       s"""WITH $irisCte,
          |pc AS (SELECT prefix, depth, count(*) AS c FROM prefixes GROUP BY 1, 2),
@@ -249,6 +266,19 @@ object Oracles {
         |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
         |       ELSE 'webp' END AS format
         |FROM documents""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CAST(16 + octet_length(encode(text)) % 32 AS INT) AS w0,
+        |    CAST(16 + (octet_length(encode(text)) * 7) % 32 AS INT) AS h0
+        |  FROM documents)
+        |SELECT id,
+        |  CAST(CASE WHEN greatest(w0, h0) <= 24 THEN w0
+        |       ELSE greatest(1, w0 * 24 // greatest(w0, h0)) END AS INT) AS width,
+        |  CAST(CASE WHEN greatest(w0, h0) <= 24 THEN h0
+        |       ELSE greatest(1, h0 * 24 // greatest(w0, h0)) END AS INT) AS height
+        |FROM m""".stripMargin,
 
     "q_media_frames" ->
       """WITH m AS (SELECT doc_id AS id, octet_length(encode(text)) AS n

@@ -121,6 +121,15 @@ object Queries {
       .filter(F.col("count") >= 100)
       .orderBy("prefix")
 
+  /** A2 full NodeStats (IriTrie own/desc/uniq_desc equivalent,
+    * iri_trie.rs:21-26) over the token-derived IRIs, thresholded so the
+    * result stays the interesting prefixes, not one row per distinct IRI.
+    */
+  def a2PrefixStats(spark: SparkSession, dir: String): DataFrame =
+    Inference.prefixStats(inferenceIris(spark, dir))
+      .filter(F.col("own") + F.col("desc") >= 100)
+      .orderBy("prefix")
+
   /** N3: full inference round (aggregate -> collect -> expansion) as a table. */
   def n3InferNs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -282,6 +291,19 @@ object Queries {
       .map { case (id, p, k) => Media.MediaRow(id, p, k) }
     Media.extractMeta(rows).toDF()
       .select("id", "n_bytes", "width", "height", "format").orderBy("id")
+  }
+
+  /** Resize (aspect-preserving integer box fit) over the stub-decoded
+    * metadata — the metadata transform of a real transcoder, SQL-exact.
+    */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = docs(spark, dir)
+      .select(F.col("doc_id").as("id"), F.encode(F.col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => Media.MediaRow(id, p, "image") }
+    Media.resize(Media.extractMeta(rows), maxDim = 24).toDF()
+      .select("id", "width", "height").orderBy("id")
   }
 
   def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
