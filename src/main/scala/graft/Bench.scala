@@ -163,18 +163,29 @@ object Bench {
     // over the shared host's contention windows (r1→r2 showed 3-20x swings
     // on individual queries that vanish when re-measured warm).
     val spark = session(cpus)
-    def sweep(measure: Boolean): Seq[(String, Double)] =
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    // a failed query must NOT contribute a (fast-failing) wall to the min —
+    // it is reported in query_errors and omitted from the timings instead
+    def sweep(): Seq[(String, Option[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          if (measure) System.err.println(s"[bench] $name: ${e.getMessage}")
+        try {
+          fn(spark, sfDir).count()
+          name -> Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+            name -> None
         }
-        name -> (System.nanoTime() - t0) / 1e9
       }
-    sweep(measure = false)
-    val results = (sweep(measure = true) ++ sweep(measure = true))
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    sweep() // warmup
+    val results = (sweep() ++ sweep())
+      .groupBy(_._1)
+      .flatMap { case (k, vs) =>
+        val ok = vs.flatMap(_._2)
+        if (ok.isEmpty) None else Some(k -> ok.min)
+      }
       .toSeq.sortBy(_._1)
     spark.stop()
     SparkSession.clearActiveSession()
@@ -191,9 +202,12 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, m) => graft.ns.Registry.jstr(k) + ":" + graft.ns.Registry.jstr(m) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":{"pages":$nPages,"triples":$triples,"wall_sec_4n":${acc4N.bestDist}%.3f,"wall_sec_n":${accN.bestDist}%.3f,"composite_sec_4n":${acc4N.composite}%.3f,"composite_sec_n":${accN.composite}%.3f,"sink_sec_4n":${acc4N.sinkMin}%.3f,"sink_sec_n":${accN.sinkMin}%.3f,"total_run_sec_4n":${acc4N.bestTotal}%.3f,"total_run_sec_n":${accN.bestTotal}%.3f,"triples_per_sec_4n":$thr4n%.1f,"triples_per_sec_n":$thrN%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_best_run":$efficiencyBestRun%.3f,"cores_4n":$cores4N,"cores_n":$coresN,"reps":$reps,"estimator":"best-real-run headline; per-stage-min-composite scaling ratio; distributed stages (constant driver-side sink reported separately)"}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","pipeline":{"pages":$nPages,"triples":$triples,"wall_sec_4n":${acc4N.bestDist}%.3f,"wall_sec_n":${accN.bestDist}%.3f,"composite_sec_4n":${acc4N.composite}%.3f,"composite_sec_n":${accN.composite}%.3f,"sink_sec_4n":${acc4N.sinkMin}%.3f,"sink_sec_n":${accN.sinkMin}%.3f,"total_run_sec_4n":${acc4N.bestTotal}%.3f,"total_run_sec_n":${accN.bestTotal}%.3f,"triples_per_sec_4n":$thr4n%.1f,"triples_per_sec_n":$thrN%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_best_run":$efficiencyBestRun%.3f,"cores_4n":$cores4N,"cores_n":$coresN,"reps":$reps,"estimator":"best-real-run headline; per-stage-min-composite scaling ratio; distributed stages (constant driver-side sink reported separately)"}}"""
     // Driver contract: ONE bare JSON line on stdout; also persisted to a file
     // so the driver can read it even if sbt's logger decorates stdout.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")

@@ -69,8 +69,22 @@ object GenViz {
     val summary = spark.read.parquet(s"$outDir/summary")
     val rows = TtlSink.collectRows(summary).filter(_.occurs >= minOccurs)
     // the used-groups sidecar the pipeline sink wrote — regenerated output is
-    // byte-identical to the pipeline's vis-data.json for the same summary
-    val aliases = TtlSink.readGroupsTsv(java.nio.file.Paths.get(outDir, "used-groups.tsv"))
+    // byte-identical to the pipeline's vis-data.json for the same summary.
+    // Output dirs from before the sidecar existed fall back to scraping the
+    // full registry JSON (legacy behavior: over-reports aliases, breaks on
+    // escaped quotes — kept only so old results stay regenerable).
+    val tsv = java.nio.file.Paths.get(outDir, "used-groups.tsv")
+    val aliases =
+      if (java.nio.file.Files.exists(tsv)) TtlSink.readGroupsTsv(tsv)
+      else {
+        System.err.println(
+          s"[gen-viz] $outDir has no used-groups.tsv (pre-sidecar output); " +
+            "falling back to all-prefixes.json scrape")
+        val regJson = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outDir, "all-prefixes.json")), "UTF-8")
+        val aliasRe = """"([^"]+)": \["([^"]+)", "[^"]+"\]""".r
+        aliasRe.findAllMatchIn(regJson).map(m => m.group(1) -> m.group(2)).toMap
+      }
     val vis = VisJson.build(rows, aliases)
     TtlSink.write(java.nio.file.Paths.get(outDir, "vis-data.json"), VisJson.toJson(vis))
     println(s"vis-data.json: ${vis.nodes.size} nodes, ${vis.edges.size} edges")

@@ -98,7 +98,13 @@ object Dedup {
       .filter(F.col("bucket_n") > maxBucket)
   }
 
-  private def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+  /** Keep only rows whose (keyCols) bucket has at most `maxBucket` rows —
+    * the shared cap primitive behind every blocking scheme here (LSH bands,
+    * SimHash chunks, inverted-index tokens, SRP buckets). The window count
+    * shuffles on the same key the subsequent self-join needs, so the
+    * exchange is reused.
+    */
+  def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
     val w = Window.partitionBy(keyCols.map(F.col): _*)
     banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
       .filter(F.col("bucket_n") <= maxBucket)
@@ -221,11 +227,8 @@ object Dedup {
       F.col(idCol).as("id"),
       F.explode(F.array_distinct(
         F.filter(F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"), t => F.length(t) > 0))).as("tok"))
-    // df-cap: the window shuffles on `tok`, the same key the self-join needs
-    val toks = rawToks
-      .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
-      .filter(F.col("df") <= maxDf)
-      .drop("df")
+    // df-cap: a token's document frequency IS its inverted-index bucket size
+    val toks = capBuckets(rawToks, Seq("tok"), maxDf)
     val sizes = toks.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
     val l = toks.as("l")
     val r = toks.as("r")

@@ -132,15 +132,26 @@ object RdfPipeline {
     // size from the filesystem, kind tallies from one aggregation over the
     // triple table grouped by the srcUrl lineage column
     val files = timed("file_metrics") {
+      // srcUrl is the URI the scan stamped (file:/..., possibly file:///...);
+      // normalize BOTH sides to an absolute filesystem path and match
+      // exactly — suffix matching would misattribute when one input path is
+      // a path-suffix of another (/data/x/g.ttl vs /backup/data/x/g.ttl)
+      def canon(p: String): String = {
+        val noScheme =
+          if (p.startsWith("file:")) {
+            try java.nio.file.Paths.get(new java.net.URI(p)).toString
+            catch { case _: Exception => p.stripPrefix("file:") }
+          } else p
+        try Paths.get(noScheme).toAbsolutePath.normalize.toString
+        catch { case _: Exception => noScheme }
+      }
       val tallies = graft.sinks.Metrics.perSource(triples).collect()
-        .map(r => r.getString(0) ->
+        .map(r => canon(r.getString(0)) ->
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       val fs = (p: String) =>
         try java.nio.file.Files.size(Paths.get(p)) catch { case _: Exception => 0L }
       val out = paths.map { p =>
-        val (t, i, b, l) = tallies.collectFirst {
-          case (src, v) if src == p || src.endsWith(p) || p.endsWith(src) => v
-        }.getOrElse((0L, 0L, 0L, 0L))
+        val (t, i, b, l) = tallies.getOrElse(canon(p), (0L, 0L, 0L, 0L))
         Pipeline.FileMetrics(p, fs(p), t, i, b, l)
       }
       (out, out.size.toLong)

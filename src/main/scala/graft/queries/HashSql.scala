@@ -76,7 +76,11 @@ object HashSql {
        |votes AS (
        |  SELECT t.doc_id, $votes
        |  FROM toks t JOIN th USING (tok) GROUP BY 1),
-       |sh AS (SELECT doc_id, $bits AS sh FROM votes),
+       |-- LEFT JOIN keeps token-less documents: every vote is NULL -> every
+       |-- bit CASE falls to 0 -> sh = 0, exactly the engine's simHash("")
+       |sh AS (
+       |  SELECT d.doc_id, $bits AS sh
+       |  FROM (SELECT doc_id FROM documents) d LEFT JOIN votes USING (doc_id)),
        |chunks AS (
        |  SELECT doc_id, ((sh >> (16*c)) & 65535) | (CAST(c AS UBIGINT) << 56) AS chunk
        |  FROM sh, UNNEST([0,1,2,3]) AS u(c)),
@@ -99,9 +103,18 @@ object HashSql {
     */
   def minhashLshSql(k: Int, threshold: Double, maxBucket: Int): String = {
     val nHashes = 64
-    val rows = 4 // nHashes / bands
+    val bands = 16
+    val rows = nHashes / bands
     val jrows = (0 until nHashes)
       .map(j => s"($j, CAST('${uc(j * 0x9e3779b97f4a7c15L)}' AS HUGEINT))")
+      .mkString(",")
+    // token-less documents: the engine's signature stays all-Long.MaxValue,
+    // so their band keys are CONSTANTS — computed here by the engine's own
+    // bandKeys, so the two sides cannot drift
+    val emptyBandRows = graft.dedup.Dedup
+      .bandKeys(Array.fill(nHashes)(Long.MaxValue), bands)
+      .zipWithIndex
+      .map { case (key, b) => s"($b, CAST('${uc(key)}' AS HUGEINT))" }
       .mkString(",")
     s"""WITH docs AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
@@ -138,9 +151,15 @@ object HashSql {
        |f2 AS (SELECT doc_id, band, ${mix64(xor64("h", "s1"))} AS h, s2, s3 FROM f1),
        |f3 AS (SELECT doc_id, band, ${mix64(xor64("h", "s2"))} AS h, s3 FROM f2),
        |f4 AS (SELECT doc_id, band, ${mix64(xor64("h", "s3"))} AS bkey FROM f3),
+       |ebk (band, bkey) AS (VALUES $emptyBandRows),
+       |f4all AS (
+       |  SELECT * FROM f4
+       |  UNION ALL
+       |  SELECT d.doc_id, e.band, e.bkey
+       |  FROM (SELECT doc_id FROM docs WHERE len(toks) = 0) d CROSS JOIN ebk e),
        |kept AS (
        |  SELECT doc_id, band, bkey FROM (
-       |    SELECT doc_id, band, bkey, count(*) OVER (PARTITION BY band, bkey) AS n FROM f4)
+       |    SELECT doc_id, band, bkey, count(*) OVER (PARTITION BY band, bkey) AS n FROM f4all)
        |  WHERE n <= $maxBucket),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -151,10 +170,21 @@ object HashSql {
        |  FROM cand c
        |  JOIN doc_shingle a ON a.doc_id = c.id_a
        |  JOIN doc_shingle b ON b.doc_id = c.id_b AND b.sh = a.sh
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, round(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
-       |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-       |WHERE n * 1.0 / (sa.sz + sb.sz - n) >= $threshold""".stripMargin
+       |  GROUP BY 1, 2),
+       |-- LEFT JOINs keep candidate pairs with empty shingle sets:
+       |-- jaccard(empty, empty) = 1.0, matching the engine
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    COALESCE(i.n, 0) AS n,
+       |    COALESCE(sa.sz, 0) AS sza, COALESCE(sb.sz, 0) AS szb
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  LEFT JOIN sz sa ON sa.doc_id = c.id_a
+       |  LEFT JOIN sz sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b,
+       |  round(CASE WHEN sza + szb = 0 THEN 1.0 ELSE n * 1.0 / (sza + szb - n) END, 6) AS jaccard
+       |FROM scored
+       |WHERE (CASE WHEN sza + szb = 0 THEN 1.0 ELSE n * 1.0 / (sza + szb - n) END) >= $threshold""".stripMargin
   }
 
   /** Oracle for Similarity.lshNeighbors over `embeddings`: the SRP hyperplane

@@ -69,15 +69,28 @@ object Turtle {
       }
     }
 
-    /** Keyword match requires a boundary after it (whitespace or the start of
-      * the following IRI): without it a statement whose subject alias merely
-      * STARTS with the keyword (`base:thing a ex:T .`) would be misparsed as a
-      * declaration and fail the whole file.
+    /** Keyword match requires a boundary after it: whitespace, the following
+      * IRI's '<', a '#' comment, or — for the prefix keywords only — the ':'
+      * of the empty-alias form (`@prefix: <ns> .`), recognized by the IRI
+      * that must follow it. Without the boundary a statement whose subject
+      * alias merely STARTS with a keyword (`base:thing a ex:T .`,
+      * `prefixes:x ...`) would be misparsed as a declaration and fail the
+      * whole file; `base:`/`BASE:` is never a declaration (BASE takes a bare
+      * IRI, not an alias).
       */
     private def peekKeyword(k: String): Boolean =
       s.regionMatches(true, i, k, 0, k.length) && {
         val j = i + k.length
-        j >= s.length || s.charAt(j).isWhitespace || s.charAt(j) == '<'
+        if (j >= s.length) true
+        else {
+          val c = s.charAt(j)
+          c.isWhitespace || c == '<' || c == '#' ||
+            (c == ':' && (k == "@prefix" || k == "PREFIX") && {
+              var m = j + 1
+              while (m < s.length && s.charAt(m).isWhitespace) m += 1
+              m < s.length && s.charAt(m) == '<'
+            })
+        }
       }
 
     private def prefixDecl(): Unit = {

@@ -181,11 +181,8 @@ object Similarity {
     // Buckets above maxBucket are dropped before pairing (identical-vector
     // clusters land whole in one bucket per table); see Dedup.bucketOverflow
     // for the observable side of the cap.
-    val bucketed = byId.select($"id", F.explode(keysUdf($"v")).as("bucket"))
-      .withColumn("bucket_n", F.count(F.lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter($"bucket_n" <= maxBucket)
-      .drop("bucket_n")
+    val bucketed = graft.dedup.Dedup.capBuckets(
+      byId.select($"id", F.explode(keysUdf($"v")).as("bucket")), Seq("bucket"), maxBucket)
     val l = bucketed.as("l")
     val r = bucketed.as("r")
     val cand = l.join(r, F.col("l.bucket") === F.col("r.bucket") && F.col("l.id") < F.col("r.id"))

@@ -81,9 +81,14 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              // must be strictly beyond the current watermark or Spark rejects it
-              state.setTimeoutTimestamp(
+              // Arm the flush timeout. Must be strictly beyond the current
+              // watermark or Spark rejects it. In a BATCH run there is no
+              // watermark attribute (getCurrentWatermarkMs throws) and
+              // timeouts never fire anyway — skip arming, the trailing
+              // session is intentionally still open there.
+              try state.setTimeoutTimestamp(
                 math.max(state.getCurrentWatermarkMs() + 1, s.last + SessionGapMs))
+              catch { case _: UnsupportedOperationException => }
             }
             out.result().iterator
           }

@@ -127,6 +127,20 @@ class RdfSpec extends AnyFunSuite {
     assert(empty.o == nil && empty.oKind == Kind.IRI)
   }
 
+  test("Turtle: empty-alias declaration `@prefix: <ns> .` and default-prefix names") {
+    val doc =
+      """@prefix: <http://example.org/> .
+        |:thing a :T .
+        |""".stripMargin
+    val ts = Turtle.parse(doc, "f").triples
+    assert(ts.size == 1)
+    assert(ts.head.s == "http://example.org/thing")
+    assert(ts.head.o == "http://example.org/T")
+    // SPARQL-style spelled variant
+    val ts2 = Turtle.parse("PREFIX: <http://example.org/>\n:a :p :b .\n", "f").triples
+    assert(ts2.head.s == "http://example.org/a")
+  }
+
   test("Turtle: subject alias starting with a keyword is not a declaration") {
     val doc =
       """@prefix base: <http://example.org/b/> .
