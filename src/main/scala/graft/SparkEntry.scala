@@ -50,6 +50,7 @@ object SparkEntry {
     // training-data operators
     "q_dedup_exact" -> (Queries.dedupExact _),
     "q_dedup_token_jaccard" -> (Queries.dedupTokenJaccard _),
+    "q_dedup_ngram" -> (Queries.dedupNgram _),
     "q_dedup_minhash" -> (Queries.dedupMinhash _),
     "q_dedup_embedding" -> (Queries.dedupEmbedding _),
     "q_dedup_simhash" -> (Queries.dedupSimhash _),

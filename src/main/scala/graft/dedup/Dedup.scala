@@ -222,12 +222,39 @@ object Dedup {
     * oracle mirrors the cap 1:1.
     */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      maxDf: Int = 10000): DataFrame = {
-    val rawToks = df.select(
-      F.col(idCol).as("id"),
-      F.explode(F.array_distinct(
-        F.filter(F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"), t => F.length(t) > 0))).as("tok"))
-    // df-cap: a token's document frequency IS its inverted-index bucket size
+      maxDf: Int = 10000): DataFrame =
+    setJaccardPairs(
+      df.select(
+        F.col(idCol).as("id"),
+        F.explode(F.array_distinct(
+          F.filter(F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"), t => F.length(t) > 0))).as("tok")),
+      threshold, maxDf)
+
+  /** Character n-gram Jaccard pairs: same inverted-index shape over the
+    * lowercased text's sliding n-grams (whitespace/punctuation included —
+    * char grams catch near-dups that word tokenization misses, e.g.
+    * reformatted text). A text shorter than n contributes itself as its only
+    * gram (Scala `sliding` semantics, mirrored in the oracle); empty text
+    * contributes nothing.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, maxDf: Int = 10000): DataFrame = {
+    val t = s"lower($textCol)"
+    val grams = F.when(F.length(F.col(textCol)) === 0, F.expr("CAST(array() AS array<string>)"))
+      .when(F.length(F.col(textCol)) < n, F.array(F.expr(t)))
+      .otherwise(F.expr(
+        s"transform(sequence(1, length($t) - ${n - 1}), i -> substring($t, i, $n))"))
+    setJaccardPairs(
+      df.select(F.col(idCol).as("id"),
+        F.explode(F.array_distinct(grams)).as("tok")),
+      threshold, maxDf)
+  }
+
+  /** Shared inverted-index set-Jaccard core over (id, tok) element rows:
+    * df-cap (a token's document frequency IS its bucket size), shared-element
+    * blocking join, exact |A∩B| / |A∪B| from the join + per-set sizes.
+    */
+  def setJaccardPairs(rawToks: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
     val toks = capBuckets(rawToks, Seq("tok"), maxDf)
     val sizes = toks.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
     val l = toks.as("l")

@@ -194,6 +194,22 @@ object Oracles {
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.85""".stripMargin,
 
+    "q_dedup_ngram" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 40),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, u.g FROM d, UNNEST(
+        |    CASE WHEN length(t) = 0 THEN []
+        |         WHEN length(t) < 3 THEN [t]
+        |         ELSE list_transform(range(1, length(t) - 1), i -> substr(t, CAST(i AS INT), 3))
+        |    END) AS u(g)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.6""".stripMargin,
+
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
         |SELECT id_a, id_b, sim FROM (

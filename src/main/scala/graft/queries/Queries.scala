@@ -196,6 +196,16 @@ object Queries {
       docs(spark, dir).filter(F.col("doc_id") < 60), "doc_id", "text", 0.85)
       .orderBy("id_a", "id_b")
 
+  /** Character 3-gram Jaccard (same doc-subset rationale as
+    * [[dedupTokenJaccard]]: this synthetic vocabulary gives every gram
+    * near-total df, so the cap is exercised in SkewStressSpec instead).
+    */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      docs(spark, dir).filter(F.col("doc_id") < 40), "doc_id", "text", n = 3,
+      threshold = 0.6)
+      .orderBy("id_a", "id_b")
+
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(docs(spark, dir), "doc_id", "text", k = 3, threshold = 0.6)
       .withColumn("jaccard", F.round(F.col("jaccard"), 6))
