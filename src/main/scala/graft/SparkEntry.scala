@@ -43,10 +43,10 @@ object SparkEntry {
     "q_p5_literal_class" -> (Queries.p5LiteralClass _),
     "q_p6_ignore_unknown" -> (Queries.p6IgnoreUnknown _),
     "q_p12_metrics" -> (Queries.p12Metrics _),
-    // KG pipeline over synthesized pages (rows-only checks)
-    "q_kg_summary" -> ((s: SparkSession, _: String) => entry(s)),
-    "q_kg_triples" -> ((s: SparkSession, _: String) =>
-      Pipeline.extractTriples(Synth.pages(s, 200)).toDF()),
+    // KG pipeline over sf-scaled synthesized pages (full value oracles: the
+    // splitmix page derivation is replicated in DuckDB SQL, queries/KgSql.scala)
+    "q_kg_summary" -> (Queries.kgSummary _),
+    "q_kg_triples" -> (Queries.kgTriples _),
     // training-data operators
     "q_dedup_exact" -> (Queries.dedupExact _),
     "q_dedup_token_jaccard" -> (Queries.dedupTokenJaccard _),

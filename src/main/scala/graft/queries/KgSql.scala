@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.extract.Dict
+
+/** DuckDB oracle SQL for the q_kg_* queries — full value-level replication of
+  * the KG-construction path (synthesized pages -> mentions -> OpenIE triples
+  * -> namespace summary) from first principles.
+  *
+  * [[graft.extract.Synth]] derives every page field from `(seed=42, id)` via
+  * splitmix64, so the oracle regenerates the identical page specs in SQL
+  * (HUGEINT mod-2^64 arithmetic from [[HashSql]]) over ids scaled from the
+  * `documents` table (`id = doc_id * 4 + j, j < 4` — contiguous `0..4N-1`,
+  * so the corpus grows with the scale factor). Mention offsets and extraction
+  * rules are closed-form for this page family: every sentence shape is pinned
+  * (`Synth.pageSpec`), the dictionary is closed ([[Dict]]), and the entity/
+  * relation CASE expressions below are GENERATED from the same [[Dict]] the
+  * engine uses, so the two sides cannot drift.
+  *
+  * Linking semantics replicated (cf. `Mentions.link`, `OpenIE.extract`):
+  * mentions link against WHOLE-PAGE words (Mercury pages score 0.6+0.5*2 on
+  * the planet branch, 0.4+0.5*2 on the metal branch), while OpenIE links
+  * per-sentence (no context words in any relation/attribute sentence, so
+  * Mercury always resolves to the higher-prior planet entity there).
+  */
+object KgSql {
+
+  private val Two64 = "18446744073709551616"
+  private val Two63 = "9223372036854775808"
+
+  /** floorMod of a HUGEINT u64 column through signed-long reinterpretation
+    * (mirror of Synth.pick's `((r % n) + n).toInt % n`).
+    */
+  private def fm(h: String, n: Int): String =
+    s"CAST((((CASE WHEN $h >= $Two63 THEN $h - $Two64 ELSE $h END) % $n + $n) % $n) AS INT)"
+
+  private def values(xs: Seq[String]): String =
+    xs.zipWithIndex.map { case (x, i) => s"($i, '$x')" }.mkString(", ")
+
+  private val mercury = Dict.entities("Mercury")
+  private val planetIri = mercury.maxBy(_.prior).iri
+  private val elementIri = mercury.minBy(_.prior).iri
+
+  /** Entity IRI of a surface column; `mercuryExpr` supplies the
+    * context-disambiguated IRI for the one ambiguous surface.
+    */
+  private def iriCase(surf: String, mercuryExpr: String): String = {
+    val whens = Dict.entities.toSeq.sortBy(_._1).collect {
+      case (s, cands) if s != "Mercury" => s"WHEN '$s' THEN '${cands.head.iri}'"
+    }.mkString(" ")
+    s"(CASE $surf $whens WHEN 'Mercury' THEN $mercuryExpr END)"
+  }
+
+  private def predCase(phrase: String): String = {
+    val whens = Dict.relations.toSeq.sortBy(_._1)
+      .map { case (ph, iri) => s"WHEN '$ph' THEN '$iri'" }.mkString(" ")
+    s"(CASE $phrase $whens END)"
+  }
+
+  /** Mercury link scores with whole-page context (ctx sentence contributes 2
+    * context-word hits to its branch's candidate). Emitted via Scala Double
+    * arithmetic + shortest round-trip formatting so DuckDB parses back the
+    * bit-identical IEEE value the engine computes.
+    */
+  private def dbl(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
+  private val planetScore = dbl(mercury.maxBy(_.prior).prior + 0.5 * 2)
+  private val elementScore = dbl(mercury.minBy(_.prior).prior + 0.5 * 2)
+  private val plainScore = dbl(0.9)
+
+  /** Shared CTE chain: ids -> splitmix page spec -> relation sentences.
+    * Columns: pg(id, ti, nrel, year, mb, topic, url), rels(id, k, phrase, obj).
+    * `mb = 0` is the Mercury planet branch (`h(seed,id,4) % 2 == 0`).
+    */
+  val pagesCtes: String = {
+    val hb = HashSql.mix64(s"CAST(xor(CAST(42 AS BIGINT), CAST(id AS BIGINT)) AS HUGEINT)")
+    def hk(k: String) = HashSql.mix64(s"((hb + $k) % $Two64)")
+    s"""ids AS (SELECT doc_id * 4 + u.j AS id FROM documents, UNNEST([0,1,2,3]) AS u(j)),
+       |base AS (SELECT id, $hb AS hb FROM ids),
+       |hh AS (SELECT id, hb, ${hk("1")} AS h1, ${hk("2")} AS h2,
+       |              ${hk("3")} AS h3, ${hk("4")} AS h4 FROM base),
+       |topics (ti, topic) AS (VALUES ${values(Dict.topics)}),
+       |phr (pi, phrase) AS (VALUES ${values(Dict.relationPhrases)}),
+       |objs (oi, obj) AS (VALUES ${values(Dict.objects)}),
+       |pg0 AS (SELECT id, ${fm("h1", Dict.topics.size)} AS ti,
+       |               2 + ${fm("h2", 3)} AS nrel,
+       |               1800 + ${fm("h3", 200)} AS year,
+       |               ${fm("h4", 2)} AS mb
+       |        FROM hh),
+       |pg AS (SELECT pg0.*, t.topic,
+       |         'https://pages.example.com/wiki/' || replace(t.topic, ' ', '_')
+       |           || '/' || pg0.id AS url
+       |       FROM pg0 JOIN topics t USING (ti)),
+       |relh AS (SELECT p.id, u.k, ${hk("10 + u.k")} AS hp, ${hk("20 + u.k")} AS ho
+       |         FROM pg p JOIN base USING (id), UNNEST([0,1,2,3]) AS u(k)
+       |         WHERE u.k < p.nrel),
+       |relk AS (SELECT id, k, ${fm("hp", Dict.relationPhrases.size)} AS pi,
+       |                ${fm("ho", Dict.objects.size)} AS oi FROM relh),
+       |rels AS (SELECT r.id, r.k, ph.phrase, ob.obj
+       |         FROM relk r JOIN phr ph USING (pi) JOIN objs ob USING (oi))""".stripMargin
+  }
+
+  /** Oracle for Queries.kgMentions: detection offsets are closed-form from the
+    * pinned line shapes (title; nrel relation lines; born; abstract; someone),
+    * with starts from a cumulative line-length window.
+    */
+  val mentionsSql: String = {
+    val mercIri = s"(CASE WHEN mb = 0 THEN '$planetIri' ELSE '$elementIri' END)"
+    // NOTE: composed strings concatenate PRE-stripped chunks — applying
+    // stripMargin to a string that embeds already-stripped SQL would re-strip
+    // at any interior `||` operator.
+    s"WITH $pagesCtes,\n" +
+    s"""lines AS (
+       |  SELECT id, 0 AS idx, len(topic) AS ll FROM pg
+       |  UNION ALL
+       |  SELECT r.id, r.k + 1, len(p.topic) + len(r.phrase) + len(r.obj) + 3
+       |    FROM rels r JOIN pg p USING (id)
+       |  UNION ALL SELECT id, nrel + 1, len(topic) + 18 FROM pg
+       |  UNION ALL SELECT id, nrel + 2, len(topic) + 23 + len(CAST(id AS VARCHAR)) FROM pg
+       |  UNION ALL SELECT id, nrel + 3, len(topic) + 15 FROM pg),
+       |offs AS (
+       |  SELECT id, idx, COALESCE(sum(ll + 1) OVER (PARTITION BY id ORDER BY idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS soff
+       |  FROM lines),
+       |m AS (
+       |  SELECT o.id, p.topic AS surface, o.soff AS s0
+       |    FROM offs o JOIN pg p USING (id) WHERE o.idx = 0
+       |  UNION ALL
+       |  SELECT r.id, p.topic, o.soff
+       |    FROM rels r JOIN pg p USING (id) JOIN offs o ON o.id = r.id AND o.idx = r.k + 1
+       |  UNION ALL
+       |  SELECT r.id, r.obj, o.soff + len(p.topic) + len(r.phrase) + 2
+       |    FROM rels r JOIN pg p USING (id) JOIN offs o ON o.id = r.id AND o.idx = r.k + 1
+       |  UNION ALL
+       |  SELECT o.id, p.topic, o.soff
+       |    FROM offs o JOIN pg p USING (id) WHERE o.idx = p.nrel + 1
+       |  UNION ALL
+       |  SELECT o.id, p.topic, o.soff
+       |    FROM offs o JOIN pg p USING (id) WHERE o.idx = p.nrel + 2
+       |  UNION ALL
+       |  SELECT o.id, p.topic, o.soff + 14
+       |    FROM offs o JOIN pg p USING (id) WHERE o.idx = p.nrel + 3)
+       |SELECT p.url AS "srcUrl", m.surface,
+       |  CAST(m.s0 AS INT) AS "start",
+       |  CAST(m.s0 + len(m.surface) AS INT) AS "end",
+       |  ${iriCase("m.surface", mercIri)} AS "entityIri",
+       |  CASE WHEN m.surface = 'Mercury'
+       |       THEN CASE WHEN mb = 0 THEN $planetScore ELSE $elementScore END
+       |       ELSE $plainScore END AS score
+       |FROM m JOIN pg p USING (id)""".stripMargin
+  }
+
+  /** CTE chain producing the exact OpenIE triple multiset (R1-R6). The blank
+    * subject label replicates `b{mix64(url.hashCode) & 0xffffff}_1`: Java
+    * String.hashCode as a 31-fold with 32-bit wrap (ASCII urls), sign-extended
+    * to u64, through the splitmix finalizer.
+    */
+  val triplesCtes: String = {
+    val subj = iriCase("topic", s"'$planetIri'")
+    val obj = iriCase("obj", s"'$planetIri'")
+    val jh = s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(1, len(url) + 1),
+       |        i -> CAST(ascii(substr(url, CAST(i AS INT), 1)) AS HUGEINT))),
+       |      (h, c) -> (h * 31 + c) % 4294967296)""".stripMargin
+    val u64 = s"(CASE WHEN jh >= 2147483648 THEN jh + $Two64 - 4294967296 ELSE jh END)"
+    val blank = s"'b' || (${HashSql.mix64(u64)} % 16777216) || '_1'"
+    s"$pagesCtes,\n" +
+    s"""pgb AS (SELECT pg.*, $jh AS jh FROM pg),
+       |tr AS (
+       |  SELECT $subj AS s, 0 AS k_s, ${predCase("phrase")} AS p,
+       |         $obj AS o, 0 AS k_o, NULL AS lang, NULL AS dt, url
+       |    FROM rels JOIN pg USING (id)
+       |  UNION ALL
+       |  SELECT $subj, 0, '${Dict.dbo}birthYear', CAST(year AS VARCHAR), 4,
+       |         NULL, '${Dict.xsd}integer', url FROM pg
+       |  UNION ALL
+       |  SELECT $subj, 0, '${Dict.dbo}abstract',
+       |         topic || ' is described on page ' || id || '.', 2, NULL, NULL, url FROM pg
+       |  UNION ALL
+       |  SELECT $blank, 1, '${Dict.relations("knows")}', $subj, 0, NULL, NULL, url FROM pgb
+       |  UNION ALL
+       |  SELECT $subj, 0, '${Dict.rdfs}label', topic, 3, 'en', NULL, url FROM pg
+       |  UNION ALL
+       |  SELECT $subj, 0, '${Dict.schemaNs}mainEntityOfPage', url, 0, NULL, NULL, url FROM pg)""".stripMargin
+  }
+
+  /** Oracle for Queries.kgTriples (column names/case match Triple.toDF). */
+  val triplesSql: String =
+    s"WITH $triplesCtes\n" +
+    s"""SELECT s, CAST(k_s AS TINYINT) AS "sKind", p, o, CAST(k_o AS TINYINT) AS "oKind",
+       |  lang AS "oLang", dt AS "oDt", url AS "srcUrl"
+       |FROM tr""".stripMargin
+
+  /** Oracle for Queries.kgSummary: alias-level normalization + group count.
+    *
+    * The alias CASEs mirror the registry outcome for THIS corpus, which is
+    * pinned and scale-stable: the community map resolves dbr/dbo/wd/schema/
+    * foaf/rdfs/xsd/example directly, and inference adds exactly
+    * `https://pages.example.com/wiki/` (alias `pages`) and
+    * `http://kgraft.example.net/res/` (alias `kgraft`) — each domain expands
+    * once (single suitable child), deeper levels never fit the maxNs=5 budget
+    * (11 per-topic wiki children, 4 per-entity res children), and the
+    * fixed-point exit ends round 2 (PipelineSpec + KgOracleSpec pin this).
+    */
+  val summarySql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""norm AS (
+       |  SELECT
+       |    CASE WHEN k_s = 1 THEN 'BLANK'
+       |         WHEN s LIKE '${Dict.dbr}%' THEN 'dbr'
+       |         WHEN s LIKE '${Dict.wd}%' THEN 'wd'
+       |         WHEN s LIKE '${Dict.inferNs}%' THEN 'kgraft'
+       |         ELSE 'UNKNOWN' END AS s_ns,
+       |    CASE WHEN p LIKE '${Dict.dbo}%' THEN 'dbo'
+       |         WHEN p LIKE '${Dict.schemaNs}%' THEN 'schema'
+       |         WHEN p LIKE '${Dict.foaf}%' THEN 'foaf'
+       |         WHEN p LIKE '${Dict.rdfs}%' THEN 'rdfs'
+       |         ELSE 'UNKNOWN' END AS p_ns,
+       |    CASE WHEN k_o = 2 THEN 'xsd'
+       |         WHEN k_o = 3 THEN 'rdf'
+       |         WHEN k_o = 4 THEN 'xsd'
+       |         WHEN o LIKE '${Dict.dbr}%' THEN 'dbr'
+       |         WHEN o LIKE '${Dict.wd}%' THEN 'wd'
+       |         WHEN o LIKE 'http://example.org/%' THEN 'example'
+       |         WHEN o LIKE '${Dict.inferNs}%' THEN 'kgraft'
+       |         WHEN o LIKE 'https://pages.example.com/wiki/%' THEN 'pages'
+       |         ELSE 'UNKNOWN' END AS o_ns,
+       |    k_o IN (2, 3, 4) AS is_datatype
+       |  FROM tr)
+       |SELECT s_ns, p_ns, o_ns, is_datatype, count(*) AS occurs
+       |FROM norm GROUP BY 1, 2, 3, 4""".stripMargin
+}

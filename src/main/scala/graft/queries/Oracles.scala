@@ -244,6 +244,11 @@ object Oracles {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
+    // KG-construction path: bit-exact splitmix page-corpus replication (KgSql)
+    "q_kg_mentions" -> KgSql.mentionsSql,
+    "q_kg_triples" -> KgSql.triplesSql,
+    "q_kg_summary" -> KgSql.summarySql,
+
     // hash-blocked dedup/similarity: bit-exact splitmix64 replication (HashSql)
     "q_dedup_simhash" -> HashSql.simhashPairsSql(maxDist = 3, maxBucket = 1000),
     "q_dedup_minhash" -> HashSql.minhashLshSql(k = 3, threshold = 0.6, maxBucket = 1000),

@@ -251,16 +251,46 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Scale-factor-derived page count for the q_kg_* family: the synthesized
+    * corpus is `4 * |documents|` pages (ids `0..4N-1`), so the flagship path's
+    * bench wall grows with sf AND the DuckDB oracle ([[KgSql]]) can regenerate
+    * the identical corpus from the `documents` view it already has.
+    */
+  def kgPageCount(spark: SparkSession, dir: String): Long =
+    docs(spark, dir).count() * 4
+
   /** Mention detection + entity-link scoring over synthesized pages
-    * (north-rule KG stage as a first-class query).
+    * (north-rule KG stage as a first-class query; value oracle in
+    * [[KgSql.mentionsSql]]).
     */
   def kgMentions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.extract.Synth.pages(spark, 200)
+    graft.extract.Synth.pages(spark, kgPageCount(spark, dir))
       .flatMap(p => graft.extract.Mentions.mentionsOf(p.url, p.text))
       .toDF()
       .select("srcUrl", "surface", "start", "end", "entityIri", "score")
       .orderBy("srcUrl", "start")
+  }
+
+  /** Stage-A OpenIE extraction as a first-class query (value oracle in
+    * [[KgSql.triplesSql]]).
+    */
+  def kgTriples(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Pipeline
+      .extractTriples(graft.extract.Synth.pages(spark, kgPageCount(spark, dir)))
+      .toDF()
+
+  /** The flagship end-to-end pipeline (extract -> infer -> normalize ->
+    * summarize) over the sf-scaled corpus; value oracle in
+    * [[KgSql.summarySql]] (inference outcome pinned + scale-stable for this
+    * corpus family — see KgOracleSpec).
+    */
+  def kgSummary(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-kg-summary").toString
+    val pages = graft.extract.Synth.pages(spark, kgPageCount(spark, dir))
+    val cfg = graft.pipeline.Pipeline.Config(outDir = out, minOccurs = 5,
+      minNsSize = 100, minDomainOccurs = 10, resume = false)
+    graft.pipeline.Pipeline.run(spark, pages, cfg).summary
   }
 
   def simLsh(spark: SparkSession, dir: String): DataFrame = {
