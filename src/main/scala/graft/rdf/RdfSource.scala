@@ -40,11 +40,27 @@ object RdfSource {
       .flatMap { case (f, line) => NTriples.parseLine(line, f) }
   }
 
-  /** Per-file scan of Turtle files; returns triples + captured prefix decls. */
+  /** Per-file scan of Turtle files; returns triples + captured prefix decls.
+    *
+    * Each file streams through [[TurtleStream]] (statement-boundary chunker
+    * feeding the stateful parser), so task memory is bounded by the longest
+    * single statement + one batch — a multi-GB `.ttl` file no longer
+    * materializes as one JVM String (the reference's constant-memory contract,
+    * `src/parse.rs:24-51` at `Readme.md:23` scale). `binaryFiles` does not
+    * decompress, so `.ttl.gz`/`.ttl.bz2` are wrapped in their Hadoop codec
+    * stream explicitly (same codecs the text path uses).
+    */
   def readTurtle(spark: SparkSession, paths: Seq[String]): (Dataset[Triple], Dataset[PrefixDecl]) = {
     import spark.implicits._
-    val files = spark.sparkContext.wholeTextFiles(paths.mkString(","))
-    val parsed = files.map { case (f, doc) => Turtle.parse(doc, f) }
+    val files = spark.sparkContext.binaryFiles(paths.mkString(","))
+    val parsed = files.flatMap { case (f, pds) =>
+      val raw = pds.open()
+      val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+        new org.apache.hadoop.conf.Configuration()).getCodec(new org.apache.hadoop.fs.Path(f))
+      val in: java.io.InputStream = if (codec != null) codec.createInputStream(raw) else raw
+      TurtleStream.batches(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8), f)
+    }
     val triples = spark.createDataset(parsed.flatMap(_.triples))
     val decls = spark.createDataset(parsed.flatMap(_.prefixes)).distinct()
     (triples, decls)

@@ -22,8 +22,22 @@ object Turtle {
 
   final case class Result(triples: Vector[Triple], prefixes: Vector[PrefixDecl])
 
-  def parse(doc: String, srcUrl: String = ""): Result = {
-    val p = new Parser(doc, srcUrl)
+  /** Document state threaded across incremental parses of ONE file
+    * ([[TurtleStream]] feeds statement batches through the same parser with
+    * the `@prefix`/`@base`/fresh-blank state carried over, so a chunked parse
+    * equals the whole-document parse).
+    */
+  final class State extends Serializable {
+    var base: String = ""
+    val prefixes: mutable.Map[String, String] = mutable.Map.empty
+    var genId: Int = 0
+  }
+
+  def parse(doc: String, srcUrl: String = ""): Result =
+    parseWith(doc, srcUrl, new State)
+
+  def parseWith(doc: String, srcUrl: String, state: State): Result = {
+    val p = new Parser(doc, srcUrl, state)
     p.document()
     Result(p.out.result(), p.decls.result())
   }
@@ -37,10 +51,11 @@ object Turtle {
   private val RdfRest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
   private val RdfNil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
-  private final class Parser(s: String, srcUrl: String) {
+  private final class Parser(s: String, srcUrl: String, st: State) {
     var i = 0
-    var base = ""
-    val prefixes = mutable.Map[String, String]()
+    def base: String = st.base
+    def base_=(b: String): Unit = st.base = b
+    def prefixes: mutable.Map[String, String] = st.prefixes
     val out = Vector.newBuilder[Triple]
     val decls = Vector.newBuilder[PrefixDecl]
 
@@ -152,8 +167,12 @@ object Turtle {
       }
     }
 
-    private var genId = 0
-    private def freshBlank(): String = { genId += 1; s"genid$genId" }
+    /** Generated labels live in a namespace no parsed label can reach: '!'
+      * is outside BLANK_NODE_LABEL, so a document-supplied `_:genid1` (a
+      * common skolem label) can never merge with an anonymous `[...]` or
+      * collection node (rio/Jena make the same separation).
+      */
+    private def freshBlank(): String = { st.genId += 1; s"!genid${st.genId}" }
 
     /** `[ ... ]`: a fresh blank node; inner predicate/object pairs (if any)
       * are emitted with it as subject. Positioned at '['.
@@ -302,9 +321,20 @@ object Turtle {
         if (s.charAt(i) == '\\') sb.append(escape()) else { sb.append(s.charAt(i)); i += 1 }
       }
       i += 1
-      val iri = sb.toString
-      if (base.nonEmpty && !iri.contains("://") && !iri.startsWith("urn:")) base + iri else iri
+      resolveAgainstBase(sb.toString)
     }
+
+    private val SchemeRe = "^[A-Za-z][A-Za-z0-9+.-]*:".r
+
+    /** RFC 3986 reference resolution against `@base` (dot segments, absolute
+      * paths, network-path refs — java.net.URI implements the algorithm);
+      * string concat only as the fallback for refs URI cannot parse.
+      */
+    private def resolveAgainstBase(iri: String): String =
+      if (base.isEmpty || SchemeRe.findFirstIn(iri).isDefined) iri
+      else
+        try new java.net.URI(base).resolve(new java.net.URI(iri)).toString
+        catch { case _: Exception => base + iri }
 
     private def blankLabel(): String = {
       i += 2
@@ -313,18 +343,42 @@ object Turtle {
       s.substring(start, i)
     }
 
+    /** PN_LOCAL terminators: whitespace plus every punctuation that starts the
+      * next token in the grammar (they can only appear in a local name via a
+      * `\`-escape or %-encoding).
+      */
+    private def isLocalStop(c: Char): Boolean =
+      c.isWhitespace || ";,)]([\"'#<>{}^".indexOf(c) >= 0
+
+    /** Characters reachable through a PN_LOCAL_ESC backslash escape. */
+    private val LocalEsc = "_~.-!$&'()*+,;=/?#@%"
+
     private def prefixedName(): String = {
       val start = i
       while (i < s.length && s.charAt(i) != ':' && !s.charAt(i).isWhitespace) i += 1
       if (i >= s.length || s.charAt(i) != ':') fail(s"expected prefixed name near '${s.substring(start, math.min(start + 20, s.length))}'")
       val alias = s.substring(start, i)
       i += 1
-      val localStart = i
-      while (i < s.length && !s.charAt(i).isWhitespace &&
-             ";,.".indexOf(s.charAt(i)) < 0) i += 1
-      // a trailing '.' that is a statement terminator (followed by ws/EOF) was
-      // already excluded above; Turtle local names may not end with '.'
-      val local = s.substring(localStart, i)
+      // PN_LOCAL: interior dots allowed (never trailing — a dot run is only
+      // consumed when a name character follows it), backslash escapes of the
+      // PN_LOCAL_ESC set, %XX percent-encoding kept verbatim (rio keeps the
+      // encoded form in the expanded IRI).
+      val sb = new StringBuilder
+      var done = false
+      while (!done && i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length && LocalEsc.indexOf(s.charAt(i + 1)) >= 0) {
+          sb.append(s.charAt(i + 1)); i += 2
+        } else if (c == '.') {
+          var j = i
+          while (j < s.length && s.charAt(j) == '.') j += 1
+          if (j < s.length && !isLocalStop(s.charAt(j)) && s.charAt(j) != '.') {
+            sb.append(s.substring(i, j)); i = j
+          } else done = true // trailing dots terminate the statement, not the name
+        } else if (isLocalStop(c)) done = true
+        else { sb.append(c); i += 1 }
+      }
+      val local = sb.toString
       val ns = prefixes.getOrElse(alias, fail(s"undefined prefix '$alias:'"))
       ns + local
     }

@@ -181,6 +181,97 @@ class RdfSpec extends AnyFunSuite {
     assert(triples.count() == 1)
   }
 
+  test("Turtle PN_LOCAL: interior dots, %-encoding, backslash escapes (rio parity)") {
+    val doc =
+      """@prefix ex: <http://example.org/> .
+        |ex:v1.2 ex:encodes ex:a%20b .
+        |ex:s ex:p ex:with\/slash.
+        |ex:s2 ex:p ex:o.
+        |""".stripMargin
+    val ts = Turtle.parse(doc, "f").triples
+    assert(ts.size == 3)
+    assert(ts(0).s == "http://example.org/v1.2")
+    assert(ts(0).o == "http://example.org/a%20b")
+    assert(ts(1).o == "http://example.org/with/slash") // \/ escape, dot terminates
+    assert(ts(2).o == "http://example.org/o") // trailing dot = statement terminator
+  }
+
+  test("Turtle: RFC 3986 relative-IRI resolution against @base") {
+    val doc =
+      """@base <http://base.org/dir/page> .
+        |<s1> <../up> </abs> .
+        |<./same> <p> <//other.org/net> .
+        |""".stripMargin
+    val ts = Turtle.parse(doc).triples
+    assert(ts(0).s == "http://base.org/dir/s1")
+    assert(ts(0).p == "http://base.org/up")
+    assert(ts(0).o == "http://base.org/abs")
+    assert(ts(1).s == "http://base.org/dir/same")
+    assert(ts(1).o == "http://other.org/net")
+  }
+
+  test("Turtle: document _:genid1 never merges with a generated anon node") {
+    val doc =
+      """@prefix ex: <http://example.org/> .
+        |_:genid1 ex:p "explicit" .
+        |[ ex:p "anon" ] .
+        |""".stripMargin
+    val ts = Turtle.parse(doc, "f").triples
+    val subjects = ts.map(_.s).toSet
+    assert(subjects.size == 2) // would be 1 if the namespaces collided
+    assert(subjects.contains("genid1"))
+  }
+
+  test("TurtleStream: chunked parse equals whole-document parse (state carried)") {
+    val doc =
+      """@prefix ex: <http://example.org/> . # comment with a dot .
+        |@base <http://base.org/> .
+        |ex:alice a ex:Person ; ex:name "Dot . inside" ; ex:age 30 .
+        |ex:s ex:long '''multi
+        |line . with "quotes" and dots.''' .
+        |<http://a.b/c.d> ex:p <rel.path> .
+        |ex:k ex:items ( ex:a "two" 3 ) .
+        |ex:m ex:knows [ ex:name "Bob" ; ex:sees [ ex:x 1 ] ] .
+        |@prefix late: <http://late.example.org/> .
+        |late:thing ex:p ex:v1.2 .
+        |PREFIX sp: <http://sparql.example.org/>
+        |sp:x ex:p "no trailing newline" .""".stripMargin
+    val whole = Turtle.parse(doc, "f")
+    // tiny batch budget forces many batches; every boundary carries state
+    for (batchChars <- Seq(16, 64, 1 << 20)) {
+      val rs = rdf.TurtleStream
+        .batches(new java.io.StringReader(doc), "f", batchChars).toVector
+      if (batchChars == 16) assert(rs.size > 3, "expected multiple batches")
+      assert(rs.flatMap(_.triples) == whole.triples, s"batchChars=$batchChars")
+      assert(rs.flatMap(_.prefixes) == whole.prefixes)
+    }
+  }
+
+  test("TurtleStream: memory bounded by statement size, not file size") {
+    // 20k statements streamed through a 4 KiB batch budget: the scanner never
+    // holds more than (one statement + one batch) in memory
+    val n = 20000
+    val doc = new StringBuilder("@prefix ex: <http://example.org/> .\n")
+    (0 until n).foreach(k => doc.append(s"""ex:s$k ex:p "v $k" .\n"""))
+    val got = rdf.TurtleStream
+      .batches(new java.io.StringReader(doc.toString), "f", batchChars = 4096)
+      .map(_.triples.size).sum
+    assert(got == n)
+  }
+
+  test("gz-compressed Turtle streams through the codec-wrapped binaryFiles scan") {
+    val spark = SparkSuite.spark
+    val dir = SparkSuite.tmpDir("rdf-ttl-gz")
+    val gz = Paths.get(dir, "e.ttl.gz")
+    val os = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    os.write(("@prefix ex: <http://example.org/> .\n" +
+      "ex:s ex:p ex:o .\nex:s2 ex:p \"lit\" .\n").getBytes("UTF-8"))
+    os.close()
+    val (triples, decls) = RdfSource.read(spark, Seq(gz.toString))
+    assert(triples.count() == 2)
+    assert(decls.collect().map(_.alias).toSet == Set("ex"))
+  }
+
   test("bz2-compressed N-Triples reads transparently (extract.rs:44-66 equivalent)") {
     val spark = SparkSuite.spark
     val dir = SparkSuite.tmpDir("rdf-bz2")
