@@ -130,24 +130,78 @@ object PrefixTrie {
 
   /** Build from (prefix -> value) pairs; later duplicates overwrite earlier. */
   def apply[V](kvs: Iterable[(String, V)]): PrefixTrie[V] = {
-    // phase 1: linked mutable trie
-    final class MNode {
-      val children = new java.util.TreeMap[Character, MNode]()
-      var value: AnyRef = _
-      var terminal = false
+    val m = new MutablePrefixTrie[V]
+    kvs.foreach { case (k, v) => m.insert(k, v) }
+    m.pack
+  }
+
+  def empty[V]: PrefixTrie[V] = apply[V](Nil)
+
+  private[ns] def packed[V](
+      childStart: Array[Int], childCount: Array[Int], childChar: Array[Char],
+      childNode: Array[Int], valueIdx: Array[Int], values: Array[AnyRef]
+  ): PrefixTrie[V] =
+    new PrefixTrie[V](childStart, childCount, childChar, childNode, valueIdx, values)
+}
+
+/** Driver-side construction trie: O(|key|) incremental insert plus the same
+  * `longestPrefix` semantics as the packed [[PrefixTrie]], so registry builds
+  * are linear in total key length instead of quadratic (the r2 shape rebuilt
+  * the packed trie after every accepted insert to run the subsumption check —
+  * fine at 296 prefixes, a real stall at a 10k+ community map plus per-round
+  * inference inserts). `pack` emits the immutable broadcastable form once at
+  * the end. Not thread-safe; never leaves the driver.
+  */
+final class MutablePrefixTrie[V] {
+  private final class MNode {
+    val children = new java.util.TreeMap[Character, MNode]()
+    var value: AnyRef = _
+    var terminal = false
+  }
+  private val root = new MNode
+  private var count = 0
+
+  def size: Int = count
+
+  def insert(k: String, v: V): Unit = {
+    var n = root
+    var i = 0
+    while (i < k.length) {
+      n = n.children.computeIfAbsent(k.charAt(i), _ => new MNode)
+      i += 1
     }
-    val root = new MNode
-    kvs.foreach { case (k, v) =>
-      var n = root
-      var i = 0
-      while (i < k.length) {
-        n = n.children.computeIfAbsent(k.charAt(i), _ => new MNode)
-        i += 1
+    if (!n.terminal) count += 1
+    n.terminal = true
+    n.value = v.asInstanceOf[AnyRef]
+  }
+
+  /** Same contract as [[PrefixTrie.longestPrefix]] (property-tested equal). */
+  def longestPrefix(s: String, mustBeTerminal: Boolean): Option[(String, V)] = {
+    var node = root
+    var i = 0
+    var lastTermDepth = -1
+    val n = s.length
+    var lastTermNode: MNode = null
+    while (i < n) {
+      if (node.terminal) { lastTermDepth = i; lastTermNode = node }
+      val next = node.children.get(s.charAt(i))
+      if (next == null) {
+        if (!node.terminal && mustBeTerminal)
+          return if (lastTermNode == null) None
+                 else Some((s.substring(0, lastTermDepth), lastTermNode.value.asInstanceOf[V]))
+        return Some((s.substring(0, i), if (node.terminal) node.value.asInstanceOf[V] else null.asInstanceOf[V]))
       }
-      n.terminal = true
-      n.value = v.asInstanceOf[AnyRef]
+      node = next
+      i += 1
     }
-    // phase 2: BFS pack into arrays (children of a node are contiguous, sorted)
+    if (!node.terminal && mustBeTerminal) {
+      if (lastTermNode == null) None
+      else Some((s.substring(0, lastTermDepth), lastTermNode.value.asInstanceOf[V]))
+    } else Some((s, if (node.terminal) node.value.asInstanceOf[V] else null.asInstanceOf[V]))
+  }
+
+  /** BFS-pack into the immutable array form (children contiguous, sorted). */
+  def pack: PrefixTrie[V] = {
     val nodes = mutable.ArrayBuffer[MNode](root)
     val queue = mutable.Queue[MNode](root)
     while (queue.nonEmpty) {
@@ -173,8 +227,6 @@ object PrefixTrie {
       if (n.terminal) { valueIdx(i) = vals.length; vals += n.value }
       i += 1
     }
-    new PrefixTrie[V](childStart, childCount, cc.toArray, cn.toArray, valueIdx, vals.toArray)
+    PrefixTrie.packed[V](childStart, childCount, cc.toArray, cn.toArray, valueIdx, vals.toArray)
   }
-
-  def empty[V]: PrefixTrie[V] = apply[V](Nil)
 }

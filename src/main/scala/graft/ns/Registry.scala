@@ -136,22 +136,22 @@ object Registry {
   ): Registry = {
     val sorted = pairs.sortBy { case (_, ns) => (ns.length, ns) }
     var byNs = TreeMap.empty[String, NsEntry]
-    var trie = PrefixTrie.empty[NsEntry]
-    var dirty = false
-    def rebuilt(): PrefixTrie[NsEntry] = {
-      if (dirty) { trie = PrefixTrie(byNs.map { case (k, v) => (k, v) }); dirty = false }
-      trie
-    }
+    // incremental driver-side trie: the subsumption check per insert is
+    // O(|ns|), so registry construction is linear in total namespace length
+    // (the packed broadcast form is built once at the end)
+    val mut = new MutablePrefixTrie[NsEntry]
     sorted.foreach { case (alias, ns) =>
-      rebuilt().longestPrefix(ns, mustBeTerminal = true) match {
+      mut.longestPrefix(ns, mustBeTerminal = true) match {
         case Some((existing, _)) if existing == ns       => // duplicate, keep first
         case Some((existing, _))
             if existing.nonEmpty && !allowSubNs          => // contained in existing
         case _ =>
-          byNs += (ns -> NsEntry(alias, source)); dirty = true
+          val e = NsEntry(alias, source)
+          byNs += (ns -> e)
+          mut.insert(ns, e)
       }
     }
-    new Registry(byNs, rebuilt())
+    new Registry(byNs, mut.pack)
   }
 
   /** Add inferred namespaces (reference `add_namespaces`, `src/ns_trie.rs:71-135`).
@@ -164,51 +164,68 @@ object Registry {
   ): (Registry, Seq[String]) = {
     var byNs = reg.byNs
     var aliases: Map[String, (String, NsSource)] = reg.aliasMap
-    var trie = reg.trie
+    // one O(registry) seed of the mutable trie, then O(|ns|) per insert
+    // (the r2 shape re-packed the full trie after every accepted insert)
+    val mut = new MutablePrefixTrie[NsEntry]
+    reg.byNs.foreach { case (k, v) => mut.insert(k, v) }
     var dirty = false
-    def rebuilt(): PrefixTrie[NsEntry] = {
-      if (dirty) { trie = PrefixTrie(byNs.map { case (k, v) => (k, v) }); dirty = false }
-      trie
-    }
     val added = Vector.newBuilder[String]
     inferred.foreach { case (ns, _, source) =>
       hostOf(ns) match {
         case None => // unparseable or hostless IRI: skipped with a warning in the reference
         case Some(_) =>
-          val hit = rebuilt().longestPrefix(ns, mustBeTerminal = true)
+          val hit = mut.longestPrefix(ns, mustBeTerminal = true)
           val blocked = hit.exists { case (existing, _) =>
             existing == ns || (existing.nonEmpty && !allowSubNs)
           }
           if (!blocked) {
             genAlias(ns, aliases).foreach { alias =>
-              byNs += (ns -> NsEntry(alias, source))
+              val e = NsEntry(alias, source)
+              byNs += (ns -> e)
               aliases += (alias -> (ns, source))
+              mut.insert(ns, e)
               dirty = true
               added += ns
             }
           }
       }
     }
-    (new Registry(byNs, rebuilt()), added.result())
+    (new Registry(byNs, if (dirty) mut.pack else reg.trie), added.result())
   }
 
   /** Insert a file-declared prefix (reference `handle_pref_decls`,
     * `src/prefixes.rs:249-277`): keep the declared alias when free, generate
     * one when empty or taken; skip when the namespace is already covered.
     */
-  def addDeclared(reg: Registry, ns: String, declAlias: String): Registry = {
-    val covered = reg.trie.longestPrefix(ns, mustBeTerminal = true)
-      .exists { case (p, _) => p.nonEmpty }
-    if (covered) return reg
-    val alias =
-      if (declAlias.nonEmpty && !reg.aliasMap.contains(declAlias)) Some(declAlias)
-      else genAlias(ns, reg.aliasMap)
-    alias match {
-      case Some(a) =>
-        val byNs = reg.byNs + (ns -> NsEntry(a, NsSource.GraphFile))
-        new Registry(byNs, PrefixTrie(byNs))
-      case None => reg
+  def addDeclared(reg: Registry, ns: String, declAlias: String): Registry =
+    addDeclaredAll(reg, Seq(ns -> declAlias))
+
+  /** Batch [[addDeclared]]: one mutable-trie seed + one pack for the whole
+    * declaration list (same per-decl semantics, O(registry + decls) total).
+    */
+  def addDeclaredAll(reg: Registry, decls: Seq[(String, String)]): Registry = {
+    var byNs = reg.byNs
+    var aliases = reg.aliasMap
+    val mut = new MutablePrefixTrie[NsEntry]
+    reg.byNs.foreach { case (k, v) => mut.insert(k, v) }
+    var dirty = false
+    decls.foreach { case (ns, declAlias) =>
+      val covered = mut.longestPrefix(ns, mustBeTerminal = true)
+        .exists { case (p, _) => p.nonEmpty }
+      if (!covered) {
+        val alias =
+          if (declAlias.nonEmpty && !aliases.contains(declAlias)) Some(declAlias)
+          else genAlias(ns, aliases)
+        alias.foreach { a =>
+          val e = NsEntry(a, NsSource.GraphFile)
+          byNs += (ns -> e)
+          aliases += (a -> (ns, NsSource.GraphFile))
+          mut.insert(ns, e)
+          dirty = true
+        }
+      }
     }
+    if (dirty) new Registry(byNs, mut.pack) else reg
   }
 
   private[ns] def parseUri(s: String): Option[URI] =

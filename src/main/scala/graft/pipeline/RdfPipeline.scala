@@ -65,9 +65,8 @@ object RdfPipeline {
     var registry = Registry.community()
     timed("prefix_decls") {
       val decls: Array[PrefixDecl] = declsDs.collect()
-      decls.sortBy(d => (d.ns.length, d.ns)).foreach { d =>
-        registry = Registry.addDeclared(registry, d.ns, d.alias)
-      }
+      registry = Registry.addDeclaredAll(registry,
+        decls.sortBy(d => (d.ns.length, d.ns)).map(d => d.ns -> d.alias).toSeq)
       ((), decls.length.toLong)
     }
 

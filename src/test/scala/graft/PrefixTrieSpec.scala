@@ -113,6 +113,39 @@ class PrefixTrieSpec extends AnyFunSuite {
     }
   }
 
+  test("MutablePrefixTrie.longestPrefix agrees with the packed trie (property)") {
+    val alphabet = "ab/#:"
+    def randString(seed0: org.scalacheck.rng.Seed, len: Int): (String, org.scalacheck.rng.Seed) = {
+      var s = seed0
+      val str = (0 until len).map { _ =>
+        val (v, s2) = s.long; s = s2
+        alphabet(((v % alphabet.length + alphabet.length) % alphabet.length).toInt)
+      }.mkString
+      (str, s)
+    }
+    (1 to 200).foreach { trial =>
+      var seed = org.scalacheck.rng.Seed(trial.toLong + 7777)
+      def nextInt(bound: Int): Int = {
+        val (v, s2) = seed.long; seed = s2
+        ((v % bound + bound) % bound).toInt
+      }
+      def nextString(len: Int): String = { val (s, s2) = randString(seed, len); seed = s2; s }
+      val mut = new graft.ns.MutablePrefixTrie[String]
+      val keys = (0 until (1 + nextInt(8))).map(_ => nextString(1 + nextInt(6)))
+      keys.foreach(k => mut.insert(k, k))
+      val packedIncr = mut.pack
+      val packedBatch = PrefixTrie(keys.map(k => k -> k))
+      assert(packedIncr.entries == packedBatch.entries, s"trial=$trial keys=$keys")
+      (0 until 10).foreach { _ =>
+        val q = nextString(nextInt(9))
+        Seq(true, false).foreach { mbt =>
+          assert(mut.longestPrefix(q, mbt) == packedBatch.longestPrefix(q, mbt),
+            s"trial=$trial keys=$keys q='$q' mbt=$mbt")
+        }
+      }
+    }
+  }
+
   test("serializable (broadcast requirement)") {
     val bos = new java.io.ByteArrayOutputStream()
     new java.io.ObjectOutputStream(bos).writeObject(words)

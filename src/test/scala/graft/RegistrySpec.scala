@@ -125,4 +125,70 @@ class RegistrySpec extends AnyFunSuite {
     assert(json.contains(""""dbr": ["http://dbpedia.org/resource/", "community"]"""))
     assert(json.trim.startsWith("{") && json.trim.endsWith("}"))
   }
+
+  test("incremental fromPairs equals the rebuild-per-insert model (property)") {
+    // the r2 implementation re-packed the full trie after every accepted
+    // insert; the incremental build must produce the identical registry
+    def model(pairs: Seq[(String, String)], allowSubNs: Boolean): Seq[(String, String)] = {
+      val sorted = pairs.sortBy { case (_, ns) => (ns.length, ns) }
+      var byNs = scala.collection.immutable.TreeMap.empty[String, String]
+      def trie = graft.ns.PrefixTrie(byNs)
+      sorted.foreach { case (alias, ns) =>
+        trie.longestPrefix(ns, mustBeTerminal = true) match {
+          case Some((existing, _)) if existing == ns                => ()
+          case Some((existing, _)) if existing.nonEmpty && !allowSubNs => ()
+          case _ => byNs += (ns -> alias)
+        }
+      }
+      byNs.toSeq
+    }
+    val segs = Vector("a", "b", "ab", "x/", "x/y/", "deep/", "deep/er/")
+    (1 to 60).foreach { trial =>
+      var seed = org.scalacheck.rng.Seed(trial.toLong)
+      def nextInt(bound: Int): Int = {
+        val (v, s2) = seed.long; seed = s2
+        ((v % bound + bound) % bound).toInt
+      }
+      val pairs = (0 until (2 + nextInt(12))).map { i =>
+        val ns = "http://h" + nextInt(3) + ".org/" + (0 until nextInt(3)).map(_ => segs(nextInt(segs.size))).mkString
+        (s"al$i", ns)
+      }
+      Seq(true, false).foreach { allow =>
+        val reg = Registry.fromPairs(pairs, NsSource.Community, allow)
+        val want = model(pairs, allow)
+        assert(reg.byNs.toSeq.map { case (ns, e) => (ns, e.alias) } == want,
+          s"trial=$trial allow=$allow pairs=$pairs")
+      }
+    }
+  }
+
+  test("addDeclaredAll equals sequential addDeclared semantics") {
+    val base = Registry.fromPairs(Seq("ex" -> "http://ex.org/ns/"), NsSource.Community)
+    val decls = Seq(
+      "http://one.org/a/" -> "one",
+      "http://ex.org/ns/sub/" -> "covered",   // covered by ex -> skipped
+      "http://two.org/b/" -> "",              // empty alias -> generated
+      "http://three.org/c/" -> "one",         // alias taken -> generated
+      "http://one.org/a/" -> "dup"            // now covered by first decl
+    ).sortBy { case (ns, _) => (ns.length, ns) }
+    val batch = Registry.addDeclaredAll(base, decls)
+    var seq = base
+    decls.foreach { case (ns, al) => seq = Registry.addDeclared(seq, ns, al) }
+    assert(batch.byNs == seq.byNs)
+    assert(batch.aliasMap.keySet == seq.aliasMap.keySet)
+    assert(batch.aliasMap.contains("one") && batch.aliasMap.contains("two") && batch.aliasMap.contains("three"))
+    assert(!batch.byNs.contains("http://ex.org/ns/sub/"))
+  }
+
+  test("registry construction is linear-ish in pair count (20k synthetic pairs)") {
+    val pairs = (0 until 20000).map(i => (s"p$i", s"http://host$i.example.org/ns$i/"))
+    val t0 = System.nanoTime()
+    val reg = Registry.fromPairs(pairs, NsSource.Community)
+    val ms = (System.nanoTime() - t0) / 1000000
+    assert(reg.size == 20000)
+    // r2 rebuild-per-insert took minutes at this size; generous bound so a
+    // noisy host can't flake the suite while a quadratic regression still fails
+    assert(ms < 30000, s"20k-pair registry build took ${ms}ms")
+    assert(reg.resolveAlias("http://host12345.example.org/ns12345/x").contains("p12345"))
+  }
 }
