@@ -85,14 +85,20 @@ object Registry {
   /** Vendored community prefix map (replaces the linkml prefixmaps download,
     * reference `src/prefixes/community.rs:16-17,86-97`; this sandbox has zero
     * egress so the canonical merged.csv cannot be fetched at build time). The
-    * resource carries a curated subset in the same (status, prefix, namespace)
-    * shape — W3C/LOV/prefix.cc vocabularies, linked-data hubs, the OBO Foundry
-    * PURL block — including the documented bad rows merged.csv is known to
-    * contain, so [[fixPv]] (the reference's `fix_pv`,
+    * resource carries a 400+-pair curated subset in the same
+    * (status, prefix, namespace) shape — W3C/LOV/prefix.cc vocabularies,
+    * linked-data hubs, the OBO Foundry PURL block, LOC/SPAR/QUDT/SPIN/SWAP
+    * vocabularies, EU/LOD thesauri, bioportal ontologies, and the wikidata
+    * statement family — including the documented bad rows merged.csv is known
+    * to contain, so [[fixPv]] (the reference's `fix_pv`,
     * `src/prefixes/community.rs:99-124`) is exercised for real: canonical-only,
     * the walmart/amazon and linkedmdb-movie pairs, and `#.*#` namespaces.
     * Dropping in the full merged.csv (converted to this TSV) needs no code
-    * change.
+    * change. Deliberate curation choice vs merged.csv: the bare
+    * `obo: http://purl.obolibrary.org/obo/` row is omitted — under the
+    * engine's prefix-free insert discipline (shortest-namespace-first,
+    * allowSubNs=false) it would subsume and drop every per-ontology
+    * `<ID>: .../obo/<ID>_` entry, collapsing all OBO resolution to one alias.
     */
   val communityResource = "/graft/ns/community-prefixes.tsv"
 

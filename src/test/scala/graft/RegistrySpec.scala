@@ -106,9 +106,14 @@ class RegistrySpec extends AnyFunSuite {
     // ...and fix_pv removes exactly those classes
     assert(!pairs.exists { case (p, _) => p == "walmart" || p == "movie" })
     assert(!pairs.exists { case (_, ns) => "#.*#".r.findFirstIn(ns).isDefined })
-    assert(pairs.size >= 290)
+    assert(pairs.size >= 410)
     val reg = Registry.community()
-    assert(reg.size >= 290)
+    assert(reg.size >= 410)
+    // r3 additions resolve (LOC bibframe, QUDT, SPAR, wikidata statement family)
+    assert(reg.resolveAlias("http://id.loc.gov/ontologies/bibframe/Work").contains("bf"))
+    assert(reg.resolveAlias("http://qudt.org/vocab/unit/KiloGM").contains("unit"))
+    assert(reg.resolveAlias("http://www.wikidata.org/prop/statement/P31").contains("ps"))
+    assert(reg.resolveAlias("http://purl.obolibrary.org/obo/CHEMINF_000000").contains("CHEMINF"))
     // well-known namespaces resolve out of the box (no inference needed)
     assert(reg.resolveAlias("http://www.w3.org/2004/02/skos/core#broader").contains("skos"))
     assert(reg.resolveAlias("http://purl.org/dc/terms/title").contains("dcterms"))
