@@ -71,12 +71,13 @@ object Bench {
   }
 
   /** Distributed engine stages (scale with the corpus and with cores).
-    * `sinks` is excluded from the THROUGHPUT denominator: it is a constant
+    * `sinks` is excluded from the SCALING-RATIO denominator: it is a constant
     * driver-side write of the ≤hundreds-row summary (output.ttl +
     * all-prefixes.json + vis-data.json + summary snapshot), O(summary) not
     * O(corpus) — at 100 TB it is noise, but at a 4-second bench run a fixed
-    * ~0.2 s understates core-scaling by several points. It is still measured
-    * and reported (`sink_sec_*`), so total wall is reconstructible.
+    * ~0.2 s understates core-scaling by several points. The headline
+    * `wall_sec_*`/`triples_per_sec_*` keys use the FULL run wall; the
+    * distributed-stages-only view ships under explicit `dist_*` keys.
     */
   private def isDistStage(name: String): Boolean =
     name == "extract" || name == "summarize" || name.startsWith("infer_round")
@@ -180,6 +181,9 @@ object Bench {
         }
       }
     sweep() // warmup
+    // a transient warmup-only failure must not mark a healthy query failed:
+    // only errors from the measured sweeps are reported
+    errors.clear()
     val results = (sweep() ++ sweep())
       .groupBy(_._1)
       .flatMap { case (k, vs) =>
@@ -192,12 +196,18 @@ object Bench {
     SparkSession.clearDefaultSession()
 
     // Headline throughput: the best REAL run (a wall some single run actually
-    // achieved). The per-stage-min composite is kept as the variance-reduced
-    // diagnostic and drives the scaling ratio (ratio of like estimators).
-    val thr4n = triples / acc4N.bestDist
-    val thrN = triples / accN.bestDist
+    // achieved). `wall_sec_*`/`triples_per_sec_*` use the FULL run wall
+    // (sinks included) so the keys mean the same thing in every round's
+    // BENCH_OUT; the distributed-stages-only view ships under explicit
+    // `dist_*` keys. The per-stage-min composite is kept as the
+    // variance-reduced diagnostic and drives the scaling ratio (ratio of
+    // like estimators over the stages that actually scale with cores).
+    val distThr4n = triples / acc4N.bestDist
+    val distThrN = triples / accN.bestDist
+    val thr4n = triples / acc4N.bestTotal
+    val thrN = triples / accN.bestTotal
     val efficiency = ((triples / acc4N.composite) / (triples / accN.composite)) / 4.0
-    val efficiencyBestRun = (thr4n / thrN) / 4.0
+    val efficiencyBestRun = (distThr4n / distThrN) / 4.0
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -207,7 +217,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","pipeline":{"pages":$nPages,"triples":$triples,"wall_sec_4n":${acc4N.bestDist}%.3f,"wall_sec_n":${accN.bestDist}%.3f,"composite_sec_4n":${acc4N.composite}%.3f,"composite_sec_n":${accN.composite}%.3f,"sink_sec_4n":${acc4N.sinkMin}%.3f,"sink_sec_n":${accN.sinkMin}%.3f,"total_run_sec_4n":${acc4N.bestTotal}%.3f,"total_run_sec_n":${accN.bestTotal}%.3f,"triples_per_sec_4n":$thr4n%.1f,"triples_per_sec_n":$thrN%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_best_run":$efficiencyBestRun%.3f,"cores_4n":$cores4N,"cores_n":$coresN,"reps":$reps,"estimator":"best-real-run headline; per-stage-min-composite scaling ratio; distributed stages (constant driver-side sink reported separately)"}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_errors":$errs,"sf":"$sfDir","pipeline":{"pages":$nPages,"triples":$triples,"wall_sec_4n":${acc4N.bestTotal}%.3f,"wall_sec_n":${accN.bestTotal}%.3f,"dist_wall_sec_4n":${acc4N.bestDist}%.3f,"dist_wall_sec_n":${accN.bestDist}%.3f,"composite_sec_4n":${acc4N.composite}%.3f,"composite_sec_n":${accN.composite}%.3f,"sink_sec_4n":${acc4N.sinkMin}%.3f,"sink_sec_n":${accN.sinkMin}%.3f,"triples_per_sec_4n":$thr4n%.1f,"triples_per_sec_n":$thrN%.1f,"dist_triples_per_sec_4n":$distThr4n%.1f,"dist_triples_per_sec_n":$distThrN%.1f,"scaling_efficiency":$efficiency%.3f,"scaling_efficiency_best_run":$efficiencyBestRun%.3f,"cores_4n":$cores4N,"cores_n":$coresN,"reps":$reps,"estimator":"best-real-run headline over FULL run wall (wall_sec_*, triples_per_sec_*); distributed-stages-only view under dist_*; per-stage-min-composite scaling ratio over distributed stages"}}"""
     // Driver contract: ONE bare JSON line on stdout; also persisted to a file
     // so the driver can read it even if sbt's logger decorates stdout.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")

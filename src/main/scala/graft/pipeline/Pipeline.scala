@@ -41,7 +41,14 @@ object Pipeline {
       minDomainOccurs: Long = Inference.MinDomainOccurs,
       maxNs: Int = Inference.MaxNs,
       resume: Boolean = true,
-      countGarbage: Boolean = false
+      countGarbage: Boolean = false,
+      // None = auto: persist the triple table only when NO parquet snapshot
+      // backs it. With a snapshot, re-reading the columnar snapshot per
+      // inference round (5 narrow columns, pruned scan) beats keeping a
+      // second corpus-sized MEMORY_AND_DISK copy on executor disks — at
+      // 100 TB the double-materialization IS the scale bug. Some(true/false)
+      // forces either behavior.
+      cacheTriples: Option[Boolean] = None
   )
 
   final case class StageMetrics(name: String, rows: Long, wallMs: Long)
@@ -119,8 +126,11 @@ object Pipeline {
             extractTriples(pages).toDF()
           }
         else extractTriples(pages).toDF()
-      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (cached, cached.count())
+      // snapshot-backed runs re-read the snapshot (no second corpus-sized copy)
+      val cache = cfg.cacheTriples.getOrElse(!cfg.resume)
+      val out =
+        if (cache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
+      (out, out.count())
     }
 
     runFromTriples(spark, triples, cfg, triplesDir, metrics)
@@ -156,8 +166,12 @@ object Pipeline {
           computed += 1
         }
       }
-      val df = spark.read.parquet((0 until nChunks).map(k => s"$triplesDir/chunk=$k"): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // always snapshot-backed here: the chunk parquet is the materialization
+      val read = spark.read.parquet((0 until nChunks).map(k => s"$triplesDir/chunk=$k"): _*)
+      val df =
+        if (cfg.cacheTriples.contains(true))
+          read.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else read
       metrics += StageMetrics("chunks_computed", computed.toLong, 0L)
       (df, df.count())
     }

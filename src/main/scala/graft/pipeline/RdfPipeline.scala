@@ -149,7 +149,24 @@ object RdfPipeline {
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       val fs = (p: String) =>
         try java.nio.file.Files.size(Paths.get(p)) catch { case _: Exception => 0L }
-      val out = paths.map { p =>
+      // a directory input scans its contained files (non-recursive, like the
+      // underlying binaryFiles/wholeTextFiles read), so expand it here: the
+      // tally keys are individual file paths and a directory entry would
+      // otherwise match nothing and report silent zeros
+      def expand(p: String): Seq[String] =
+        try {
+          val path = Paths.get(p)
+          if (java.nio.file.Files.isDirectory(path)) {
+            val s = java.nio.file.Files.list(path)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .map(_.toString).toVector.sorted
+            } finally s.close()
+          } else Seq(p)
+        } catch { case _: Exception => Seq(p) }
+      val out = paths.flatMap(expand).map { p =>
         val (t, i, b, l) = tallies.getOrElse(canon(p), (0L, 0L, 0L, 0L))
         Pipeline.FileMetrics(p, fs(p), t, i, b, l)
       }

@@ -124,10 +124,15 @@ object Snapshot {
       table: String,
       inputs: Seq[String]
   )(compute: => DataFrame): DataFrame = {
-    val reusable = isComplete(dir) && (readLineage(dir) match {
-      case Some((rows, ins)) => ins == inputs && spark.read.parquet(dir).count() == rows
-      case None => false
-    })
+    // any failure reading the manifest/lineage/parquet (e.g. part files
+    // deleted while the sidecars survive) means NOT reusable — recompute,
+    // exactly as the doc promises, instead of surfacing an AnalysisException
+    val reusable =
+      try isComplete(dir) && (readLineage(dir) match {
+        case Some((rows, ins)) => ins == inputs && spark.read.parquet(dir).count() == rows
+        case None => false
+      })
+      catch { case scala.util.control.NonFatal(_) => false }
     if (reusable) spark.read.parquet(dir)
     else write(compute, dir, table, inputs)
   }

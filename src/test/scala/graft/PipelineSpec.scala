@@ -198,6 +198,17 @@ class PipelineSpec extends AnyFunSuite {
       "rows\t25\ninput\tinputB\n".getBytes)
     val r3 = Snapshot.resumeOrWrite(spark, dir, "t", Seq("inputB"))(df2)
     assert(r3.count() == 25)
+    // part files gone while manifest+lineage survive -> read throws inside
+    // the reuse check -> treated as not reusable, recomputed (not rethrown)
+    val d = java.nio.file.Paths.get(dir)
+    val s = java.nio.file.Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(java.nio.file.Files.delete)
+    } finally s.close()
+    val r4 = Snapshot.resumeOrWrite(spark, dir, "t", Seq("inputB"))(df2)
+    assert(r4.count() == 25)
   }
 
   test("per-source metrics (A4) tally kinds per input with corpus roll-up") {

@@ -65,6 +65,15 @@ class RdfPipelineSpec extends AnyFunSuite {
     assert(tasks.contains("\"triples\": 30")) // decl.ttl tally
     assert(tasks.contains("\"triples\": 503")) // data.nt tally
     assert("\"stage\": \"infer_round_1\"".r.findFirstIn(tasks).isDefined)
+
+    // a DIRECTORY input expands to its contained files in tasks.json (the
+    // tally keys are file paths; a directory row would report silent zeros)
+    val out2 = SparkSuite.tmpDir("rdfpipe-out-dir")
+    RdfPipeline.run(spark, Seq(dir),
+      Pipeline.Config(outDir = out2, minOccurs = 5, minNsSize = 100, minDomainOccurs = 10))
+    val tasks2 = new String(Files.readAllBytes(Paths.get(out2, "tasks.json")), "UTF-8")
+    assert(tasks2.contains("decl.ttl") && tasks2.contains("data.nt"))
+    assert(tasks2.contains("\"triples\": 30") && tasks2.contains("\"triples\": 503"))
   }
 
   test("IRIs above 200 graphemes are capped on the RDF path (prefixes.rs:431-444)") {
