@@ -43,6 +43,9 @@ object SparkEntry {
     "q_p5_literal_class" -> (Queries.p5LiteralClass _),
     "q_p6_ignore_unknown" -> (Queries.p6IgnoreUnknown _),
     "q_p12_metrics" -> (Queries.p12Metrics _),
+    "q_s5_registry" -> (Queries.s5Registry _),
+    "q_p8_alias_gen" -> (Queries.p8AliasGen _),
+    "q_rdf_parse" -> (Queries.rdfParse _),
     // KG pipeline over sf-scaled synthesized pages (full value oracles: the
     // splitmix page derivation is replicated in DuckDB SQL, queries/KgSql.scala)
     "q_kg_summary" -> (Queries.kgSummary _),

@@ -90,6 +90,17 @@ object Oracles {
       |  UNION ALL
       |  SELECT iri, 3 FROM iris)""".stripMargin
 
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The raw vendored TSV rows as SQL VALUES (idx, status, prefix, namespace)
+    * — the oracle's input data; all the registry LOGIC (fix_pv, dedup,
+    * prefix-free keep) is recomputed independently in SQL.
+    */
+  lazy val communityValuesSql: String =
+    graft.ns.Registry.communityRows().zipWithIndex
+      .map { case ((st, p, ns), i) => s"  ($i, ${sqlStr(st)}, ${sqlStr(p)}, ${sqlStr(ns)})" }
+      .mkString(",\n")
+
   val sqls: Map[String, String] = Map(
     "q_p4_resolve_ns" ->
       s"""WITH $derivedTriplesCte
@@ -176,6 +187,87 @@ object Oracles {
          |    sum(CASE WHEN o_kind = 1 THEN 1 ELSE 0 END) AS BIGINT) AS blanks,
          |  CAST(sum(CASE WHEN o_kind IN (2, 3, 4) THEN 1 ELSE 0 END) AS BIGINT) AS literals
          |FROM t""".stripMargin,
+
+    // S5/S6: recompute the registry from the SAME raw TSV rows with
+    // independent SQL logic — fix_pv filters, duplicate-namespace
+    // first-alias-wins (min input idx), prefix-free keep set. "Kept iff no
+    // other distinct namespace is a proper prefix" is equivalent to the
+    // engine's sequential shortest-first insert: if any input namespace is a
+    // proper prefix of ns, the SHORTEST one in that chain is always kept
+    // (nothing can block it), and it blocks ns.
+    "q_s5_registry" ->
+      s"""WITH raw(idx, status, prefix, ns) AS (VALUES
+         |$communityValuesSql),
+         |fixed AS (
+         |  SELECT idx, prefix, ns FROM raw
+         |  WHERE status = 'canonical'
+         |    AND NOT (position('walmart' IN prefix) > 0 AND position('amazon' IN ns) > 0)
+         |    AND NOT (position('movie' IN prefix) > 0
+         |             AND position('data.linkedmdb.org/resource/movie' IN ns) > 0)
+         |    AND NOT regexp_matches(ns, '#.*#')),
+         |firsts AS (
+         |  SELECT ns, prefix AS alias FROM (
+         |    SELECT ns, prefix, row_number() OVER (PARTITION BY ns ORDER BY idx) AS rn
+         |    FROM fixed) WHERE rn = 1),
+         |kept AS (
+         |  SELECT f.alias, f.ns FROM firsts f
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM firsts g
+         |    WHERE g.ns <> f.ns AND substr(f.ns, 1, length(g.ns)) = g.ns))
+         |SELECT alias, ns, 'community' AS source FROM kept""".stripMargin,
+
+    // N4/P8: the alias each engineered namespace must receive, as a pure CASE
+    // over the k-grid (insertion order = k ascending, so every genAlias
+    // conflict outcome is determined by k alone; the skip inputs produce no
+    // rows). Mirrors Queries.p8AliasGen's fixture derivation 1:1.
+    "q_p8_alias_gen" ->
+      """WITH ks AS (SELECT DISTINCT CAST(doc_id % 12 AS INT) AS k FROM documents)
+        |SELECT
+        |  'http://alpha' || CAST(k % 4 AS VARCHAR) || '.example-' || CAST(k % 3 AS VARCHAR)
+        |    || '.' || (CASE WHEN k % 4 = 3 AND k > 3 THEN 'net' ELSE 'org' END)
+        |    || '/' || (CASE WHEN k % 4 = 1 THEN 'p1' ELSE 'p' || CAST(k AS VARCHAR) END)
+        |    || '/' AS ns,
+        |  CASE k
+        |    WHEN 0 THEN 'alpha0'   -- first-label grant
+        |    WHEN 1 THEN 'alpha1'
+        |    WHEN 2 THEN 'alpha2'
+        |    WHEN 3 THEN 'alpha3'
+        |    WHEN 4 THEN 'alphap4'  -- same TLD -> path-segment disambiguation
+        |    WHEN 5 THEN 'alpha4'   -- same TLD + same segment -> numeric fallback
+        |    WHEN 6 THEN 'alphap6'
+        |    WHEN 7 THEN 'alphanet' -- TLD disambiguation (net vs org)
+        |    WHEN 8 THEN 'alphap8'
+        |    WHEN 9 THEN 'alpha5'   -- numeric fallback, next free count
+        |    WHEN 10 THEN 'alphap10'
+        |    WHEN 11 THEN 'alphap11' -- alphanet taken -> segment fallthrough
+        |  END AS alias,
+        |  'inference' AS source
+        |FROM ks""".stripMargin,
+
+    // S1-S4: the expected triple multiset for the pinned two-file RDF fixture
+    // (hand-derived from N-Triples/Turtle semantics: RFC 3986 @base
+    // resolution incl. dot segments, PN_LOCAL interior dots / %-encoding /
+    // PN_LOCAL_ESC, rdf:first/rest collection expansion, long strings).
+    "q_rdf_parse" ->
+      """SELECT * FROM (VALUES
+        |  ('data.nt.gz', 'http://s.example.org/1', 0, 'http://p.example.org/knows', 'http://o.example.org/2', 0, NULL, NULL),
+        |  ('data.nt.gz', 'http://s.example.org/1', 0, 'http://p.example.org/name', 'Alice', 2, NULL, NULL),
+        |  ('data.nt.gz', 'x', 1, 'http://p.example.org/age', '30', 4, NULL, 'http://www.w3.org/2001/XMLSchema#integer'),
+        |  ('data.nt.gz', 'http://s.example.org/3', 0, 'http://p.example.org/label', 'café', 3, 'fr', NULL),
+        |  ('mixed.ttl', 'http://ex.example.org/ns#v1.2', 0, 'http://ex.example.org/ns#p', 'plain', 2, NULL, NULL),
+        |  ('mixed.ttl', 'http://default.example.org/alpha', 0, 'http://ex.example.org/ns#q', 'hola', 3, 'es', NULL),
+        |  ('mixed.ttl', 'http://default.example.org/alpha', 0, 'http://ex.example.org/ns#r', '42', 4, NULL, 'http://www.w3.org/2001/XMLSchema#integer'),
+        |  ('mixed.ttl', 'http://base.example.org/dir/rel/x', 0, 'http://ex.example.org/ns#s', 'http://base.example.org/up', 0, NULL, NULL),
+        |  ('mixed.ttl', 'http://ex.example.org/ns#a%20b', 0, 'http://ex.example.org/ns#t', 'b1', 1, NULL, NULL),
+        |  ('mixed.ttl', 'b1', 1, 'http://ex.example.org/ns#u', '!genid1', 1, NULL, NULL),
+        |  ('mixed.ttl', '!genid1', 1, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'http://ex.example.org/ns#one', 0, NULL, NULL),
+        |  ('mixed.ttl', '!genid1', 1, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', '!genid2', 1, NULL, NULL),
+        |  ('mixed.ttl', '!genid2', 1, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 'http://ex.example.org/ns#two', 0, NULL, NULL),
+        |  ('mixed.ttl', '!genid2', 1, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', 'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil', 0, NULL, NULL),
+        |  ('mixed.ttl', '!genid3', 1, 'http://ex.example.org/ns#v', 'in-bnode', 2, NULL, NULL),
+        |  ('mixed.ttl', '!genid3', 1, 'http://ex.example.org/ns#w', 'http://ex.example.org/ns#long~name', 0, NULL, NULL),
+        |  ('mixed.ttl', 'http://ex.example.org/ns#m', 0, 'http://ex.example.org/ns#text', 'two' || chr(10) || 'lines', 2, NULL, NULL)
+        |) AS v(file, s, s_kind, p, o, o_kind, o_lang, o_dt)""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups

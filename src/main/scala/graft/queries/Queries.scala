@@ -176,6 +176,95 @@ object Queries {
       F.sum(F.when(F.col("oKind").isin(Kind.LIT_PLAIN, Kind.LIT_LANG, Kind.LIT_TYPED), 1)
         .otherwise(0)).as("literals"))
 
+  /** S5/S6: the community registry as a relation — the REAL construction path
+    * (vendored TSV resource -> fix_pv -> shortest-namespace-first prefix-free
+    * insert, reference `src/prefixes/community.rs:48-124`). The DuckDB oracle
+    * recomputes the same rules in SQL over the same raw rows: fix_pv filters,
+    * duplicate-namespace first-alias-wins, and the prefix-free keep set
+    * (kept iff no other distinct namespace is a proper prefix — equivalent to
+    * the sequential shortest-first insert by prefix transitivity).
+    */
+  def s5Registry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Registry.community().byNs.toSeq
+      .map { case (ns, e) => (e.alias, ns, e.source.name) }
+      .toDF("alias", "ns", "source")
+  }
+
+  /** N4/P8: registry insert with subsumption + alias generation (reference
+    * `add_namespaces`/`gen_alias`, `src/ns_trie.rs:71-207`) over a namespace
+    * fixture derived from the documents table. The k-grid is engineered to
+    * hit every genAlias branch in a CASE-expressible insertion order:
+    * first-label grant (k<4), same-TLD skip + path-segment disambiguation
+    * (k=4,6,8,10), TLD disambiguation (k=7), taken-candidate fallthrough to
+    * path segment (k=11), numeric fallback with taken candidates (k=5,9),
+    * plus the hostless / duplicate / subsumed skip paths.
+    */
+  def p8AliasGen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ns.NsSource
+    val ks = docs(spark, dir)
+      .select((F.col("doc_id") % 12).cast("int").as("k")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq // bounded: <= 12 values
+    def ns(k: Int): String = {
+      val tld = if (k % 4 == 3 && k > 3) "net" else "org"
+      val seg = if (k % 4 == 1) "p1" else s"p$k"
+      s"http://alpha${k % 4}.example-${k % 3}.$tld/$seg/"
+    }
+    val inputs = ks.map(k => (ns(k), 100L, NsSource.Inference: NsSource)) ++ Seq(
+      ("urn:uuid:0000", 100L, NsSource.Inference: NsSource),      // hostless -> skipped
+      (ns(ks.head), 100L, NsSource.Inference: NsSource),          // duplicate -> skipped
+      (ns(ks.head) + "sub/", 100L, NsSource.Inference: NsSource)) // subsumed -> skipped
+    val (reg, _) = Registry.empty.withNamespaces(inputs)
+    import spark.implicits._
+    reg.byNs.toSeq.map { case (n, e) => (n, e.alias, e.source.name) }
+      .toDF("ns", "alias", "source")
+  }
+
+  /** S1-S4 through the driver: the real RDF scan path over a pinned two-file
+    * fixture — a gzip-compressed N-Triples file (S1 codec + S3 line path) and
+    * a Turtle file exercising @base RFC 3986 resolution, @prefix + empty-alias
+    * decls, PN_LOCAL interior dots / %-encoding / backslash escapes, lang and
+    * typed literals, anonymous bnodes and collections (S2 dispatch + S4 decl
+    * capture). The DuckDB oracle pins the expected triple multiset.
+    */
+  def rdfParse(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rdf-fixture")
+    val ntGz = tmp.resolve("data.nt.gz")
+    val nt =
+      """<http://s.example.org/1> <http://p.example.org/knows> <http://o.example.org/2> .
+        |<http://s.example.org/1> <http://p.example.org/name> "Alice" .
+        |_:x <http://p.example.org/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |<http://s.example.org/3> <http://p.example.org/label> "café"@fr .
+        |""".stripMargin
+    val gz = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(ntGz))
+    try gz.write(nt.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally gz.close()
+    val ttl =
+      """@base <http://base.example.org/dir/doc> .
+        |@prefix ex: <http://ex.example.org/ns#> .
+        |@prefix : <http://default.example.org/> .
+        |# a comment
+        |ex:v1.2 ex:p "plain" .
+        |:alpha ex:q "hola"@es ;
+        |       ex:r "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |<rel/./x> ex:s <../up> .
+        |ex:a%20b ex:t _:b1 .
+        |_:b1 ex:u ( ex:one ex:two ) .
+        |[ ex:v "in-bnode" ] ex:w ex:long\~name .
+        |""".stripMargin +
+      "ex:m ex:text \"\"\"two\nlines\"\"\" .\n"
+    java.nio.file.Files.write(tmp.resolve("mixed.ttl"),
+      ttl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (triples, _) = graft.rdf.RdfSource.read(spark,
+      Seq(ntGz.toString, tmp.resolve("mixed.ttl").toString))
+    triples.toDF()
+      .select(
+        F.element_at(F.split(F.col("srcUrl"), "/"), -1).as("file"),
+        F.col("s"), F.col("sKind").cast("int").as("s_kind"),
+        F.col("p"),
+        F.col("o"), F.col("oKind").cast("int").as("o_kind"),
+        F.col("oLang").as("o_lang"), F.col("oDt").as("o_dt"))
+  }
+
   // ---------------------------------------------------------------------------
   // Training-data operators
   // ---------------------------------------------------------------------------
