@@ -192,54 +192,8 @@ object Pipeline {
       a
     }
     // ---- Stage B: registry + inference rounds ----------------------------
-    var registry = Registry.community()
-    val inferredAll = Vector.newBuilder[String]
-    var hk = InferHk(0, 0L, 0L, 0L, 0L)
-    if (cfg.inferNs) {
-      var round = 0
-      var added = true
-      while (added && round < cfg.maxInferenceRounds) {
-        round += 1
-        val t0 = System.nanoTime()
-        added = timed(s"infer_round_$round") {
-          def resolve(c: org.apache.spark.sql.Column) = Normalize.resolveCol(c, registry)
-          // unresolved IRIs from all three positions, one row per occurrence
-          // (reference inserts only registry-misses into the IriTrie,
-          // src/prefixes.rs:193-207)
-          val iris = triples
-            .select(F.explode(F.array(
-              F.when(F.col("sKind") === Kind.IRI, F.col("s")),
-              F.col("p"),
-              F.when(F.col("oKind") === Kind.IRI, F.col("o"))
-            )).as("iri"))
-            .filter(F.col("iri").isNotNull)
-            .filter(resolve(F.col("iri")).isNull)
-          val (inferred, nGarbage, candidates) = Inference.inferFromIrisWithCandidates(
-            iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs, cfg.countGarbage)
-          val (reg2, addedNs) = registry.withNamespaces(inferred)
-          registry = reg2
-          inferredAll ++= addedNs
-          // fixed-point early exit: if every above-threshold candidate is
-          // dead (resolves, or provably drops below threshold next round),
-          // don't pay another full explode+aggregate pass over the table
-          val addedSizes = inferred.collect {
-            case (ns, size, _) if addedNs.contains(ns) => (ns, size)
-          }
-          val exhausted =
-            Inference.roundsExhausted(candidates, addedSizes, registry, cfg.minNsSize)
-          // O6: once a round adds nothing, `iris` IS the still-unresolved
-          // set — sample 10 examples (the reference logs example IRIs,
-          // iri_trie.rs:232-236)
-          val examples =
-            if (addedNs.isEmpty) Inference.sampleUnresolved(iris)
-            else hk.exampleUnresolved
-          hk = InferHk(hk.rounds + 1, hk.wallMs + (System.nanoTime() - t0) / 1000000,
-            hk.inferredNs + inferred.size, hk.addedNs + addedNs.size,
-            hk.discardedNs + nGarbage, examples)
-          (addedNs.nonEmpty && !exhausted, addedNs.size.toLong)
-        }
-      }
-    }
+    val (registry, hk, inferredAll) =
+      runInference(triples, Registry.community(), cfg, metrics)
 
     // ---- Stage C: normalize + summarize (one fused job) -------------------
     val bcFinal = spark.sparkContext.broadcast(registry)
@@ -266,7 +220,95 @@ object Pipeline {
 
     val ms = metrics.result()
     TtlSink.write(Paths.get(cfg.outDir, "tasks.json"), tasksJson(ms, hk, Nil))
-    Result(summary, registry, triples, ms, inferredAll.result())
+    Result(summary, registry, triples, ms, inferredAll)
+  }
+
+  /** Stage B: inference rounds to the order-independent fixed point.
+    *
+    * Round 1 scans the triple table once (explode s/p/o, keep registry
+    * misses). Rounds 2+ never rescan the corpus: longest-prefix resolution is
+    * MONOTONE in the registry (adding namespaces only adds matches), so the
+    * round-k unresolved set is exactly the round-(k-1) unresolved set minus
+    * the IRIs matched by the namespaces added in round k-1 — a broadcast
+    * delta-trie filter over the (persisted, shrinking) unresolved relation.
+    * At 100 TB that is the difference between one corpus pass total and one
+    * corpus pass PER ROUND.
+    */
+  private[pipeline] def runInference(
+      triples: DataFrame,
+      initial: Registry,
+      cfg: Config,
+      metrics: scala.collection.mutable.Builder[StageMetrics, Vector[StageMetrics]]
+  ): (Registry, InferHk, Vector[String]) = {
+    var registry = initial
+    val inferredAll = Vector.newBuilder[String]
+    var hk = InferHk(0, 0L, 0L, 0L, 0L)
+    var unresolved: DataFrame = null // persisted unresolved-IRI relation
+    if (cfg.inferNs) {
+      var round = 0
+      var added = true
+      var deltaPairs: Seq[(String, String)] = Nil
+      while (added && round < cfg.maxInferenceRounds) {
+        round += 1
+        val t0 = System.nanoTime()
+        added = {
+          val t1 = System.nanoTime()
+          // unresolved IRIs from all three positions, one row per occurrence
+          // (reference inserts only registry-misses into the IriTrie,
+          // src/prefixes.rs:193-207)
+          val iris =
+            if (unresolved == null)
+              triples
+                .select(F.explode(F.array(
+                  F.when(F.col("sKind") === Kind.IRI, F.col("s")),
+                  F.col("p"),
+                  F.when(F.col("oKind") === Kind.IRI, F.col("o"))
+                )).as("iri"))
+                .filter(F.col("iri").isNotNull)
+                .filter(Normalize.resolveCol(F.col("iri"), registry).isNull)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            else {
+              val deltaReg = Registry.fromPairs(deltaPairs, NsSource.Inference)
+              val next = unresolved
+                .filter(Normalize.resolveCol(F.col("iri"), deltaReg).isNull)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              next.count() // materialize before dropping the parent cache
+              unresolved.unpersist()
+              next
+            }
+          unresolved = iris
+          val (inferred, nGarbage, candidates) = Inference.inferFromIrisWithCandidates(
+            iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs, cfg.countGarbage)
+          val (reg2, addedNs) = registry.withNamespaces(inferred)
+          registry = reg2
+          inferredAll ++= addedNs
+          deltaPairs = addedNs.map(ns => ns -> ns)
+          // fixed-point early exit: if every above-threshold candidate is
+          // dead (resolves, or provably drops below threshold next round),
+          // don't pay another aggregate pass over the unresolved set
+          val addedSizes = inferred.collect {
+            case (ns, size, _) if addedNs.contains(ns) => (ns, size)
+          }
+          val exhausted =
+            Inference.roundsExhausted(candidates, addedSizes, registry, cfg.minNsSize)
+          // O6: once a round adds nothing, `iris` IS the still-unresolved
+          // set — sample 10 examples (the reference logs example IRIs,
+          // iri_trie.rs:232-236)
+          val examples =
+            if (addedNs.isEmpty) Inference.sampleUnresolved(iris)
+            else hk.exampleUnresolved
+          hk = InferHk(hk.rounds + 1, hk.wallMs + (System.nanoTime() - t1) / 1000000,
+            hk.inferredNs + inferred.size, hk.addedNs + addedNs.size,
+            hk.discardedNs + nGarbage, examples)
+          val go = addedNs.nonEmpty && !exhausted
+          metrics += StageMetrics(s"infer_round_$round", addedNs.size.toLong,
+            (System.nanoTime() - t0) / 1000000)
+          go
+        }
+      }
+      if (unresolved != null) unresolved.unpersist()
+    }
+    (registry, hk, inferredAll.result())
   }
 
   def metricsJson(ms: Seq[StageMetrics]): String =

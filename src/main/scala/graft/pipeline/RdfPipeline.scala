@@ -70,43 +70,9 @@ object RdfPipeline {
       ((), decls.length.toLong)
     }
 
-    // inference rounds (chilon Stage 2)
-    var hk = Pipeline.InferHk(0, 0L, 0L, 0L, 0L)
-    if (cfg.inferNs) {
-      var round = 0
-      var added = true
-      while (added && round < cfg.maxInferenceRounds) {
-        round += 1
-        val t0 = System.nanoTime()
-        added = timed(s"infer_round_$round") {
-          def resolve(c: org.apache.spark.sql.Column) = Normalize.resolveCol(c, registry)
-          val iris = triples
-            .select(F.explode(F.array(
-              F.when(F.col("sKind") === graft.model.Kind.IRI, F.col("s")),
-              F.col("p"),
-              F.when(F.col("oKind") === graft.model.Kind.IRI, F.col("o"))
-            )).as("iri"))
-            .filter(F.col("iri").isNotNull)
-            .filter(resolve(F.col("iri")).isNull)
-          val (inferred, nGarbage, candidates) = graft.ns.Inference.inferFromIrisWithCandidates(
-            iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs, cfg.countGarbage)
-          val (reg2, addedNs) = registry.withNamespaces(inferred)
-          registry = reg2
-          val addedSizes = inferred.collect {
-            case (ns, size, _) if addedNs.contains(ns) => (ns, size)
-          }
-          val exhausted = graft.ns.Inference.roundsExhausted(
-            candidates, addedSizes, registry, cfg.minNsSize)
-          val examples =
-            if (addedNs.isEmpty) graft.ns.Inference.sampleUnresolved(iris)
-            else hk.exampleUnresolved
-          hk = Pipeline.InferHk(hk.rounds + 1, hk.wallMs + (System.nanoTime() - t0) / 1000000,
-            hk.inferredNs + inferred.size, hk.addedNs + addedNs.size,
-            hk.discardedNs + nGarbage, examples)
-          (addedNs.nonEmpty && !exhausted, addedNs.size.toLong)
-        }
-      }
-    }
+    // inference rounds (chilon Stage 2; shared delta-round loop)
+    val (registry2, hk, _) = Pipeline.runInference(triples, registry, cfg, metrics)
+    registry = registry2
 
     // normalize + summarize (chilon Stage 3, one fused job) + sinks (Stage 4)
     val bc = spark.sparkContext.broadcast(registry)
