@@ -262,7 +262,8 @@ object Inference {
       minNsSize: Long = MinNsSize,
       minDomainOccurs: Long = MinDomainOccurs,
       maxNs: Int = MaxNs,
-      countGarbage: Boolean = false
+      countGarbage: Boolean = false,
+      maxCollected: Int = MaxCollected
   ): (Seq[(String, Long, NsSource)], Long, Seq[PrefixCount]) = {
     val pc = prefixCounts(iris, salt)
     // collect only what expansion can ever read: prefixes at/above the
@@ -271,7 +272,7 @@ object Inference {
     val rows = pc
       .filter(F.col("count") >= minNsSize)
       .orderBy(F.col("count").desc, F.col("prefix"))
-      .limit(MaxCollected)
+      .limit(maxCollected)
       .collect()
       .map(r => PrefixCount(r.getString(0), r.getInt(1), r.getLong(2)))
       .toSeq
@@ -304,9 +305,10 @@ object Inference {
       candidates: Seq[PrefixCount],
       added: Seq[(String, Long)],
       registry: Registry,
-      minNsSize: Long
+      minNsSize: Long,
+      maxCollected: Int = MaxCollected
   ): Boolean =
-    candidates.size < MaxCollected && candidates.forall { c =>
+    candidates.size < maxCollected && candidates.forall { c =>
       registry.resolve(c.prefix).isDefined || {
         val resolvedUnder = added.collect {
           case (ns, size) if ns.startsWith(c.prefix) => size

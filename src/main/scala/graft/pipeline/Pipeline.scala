@@ -40,6 +40,10 @@ object Pipeline {
       minNsSize: Long = Inference.MinNsSize,
       minDomainOccurs: Long = Inference.MinDomainOccurs,
       maxNs: Int = Inference.MaxNs,
+      // driver-side candidate collect budget per round; corpora with more
+      // above-threshold prefixes than this converge over multiple rounds
+      // (rounds 3+ are delta-filtered, never a corpus rescan)
+      maxCollected: Int = Inference.MaxCollected,
       resume: Boolean = true,
       countGarbage: Boolean = false,
       // None = auto: persist the triple table only when NO parquet snapshot
@@ -234,7 +238,7 @@ object Pipeline {
     * At 100 TB that is the difference between one corpus pass total and one
     * corpus pass PER ROUND.
     */
-  private[pipeline] def runInference(
+  private[graft] def runInference(
       triples: DataFrame,
       initial: Registry,
       cfg: Config,
@@ -255,10 +259,15 @@ object Pipeline {
           val t1 = System.nanoTime()
           // unresolved IRIs from all three positions, one row per occurrence
           // (reference inserts only registry-misses into the IriTrie,
-          // src/prefixes.rs:193-207)
+          // src/prefixes.rs:193-207). Round 1 never caches (most corpora
+          // converge in one round via the early exit — a cache write would be
+          // pure overhead); round 2 scans once more with the grown registry
+          // and persists its (smaller) result; rounds 3+ delta-filter the
+          // cache. Cost is <= the rescan-every-round shape at EVERY round
+          // count, and rounds 3+ stop touching the corpus entirely.
           val iris =
-            if (unresolved == null)
-              triples
+            if (unresolved == null) {
+              val full = triples
                 .select(F.explode(F.array(
                   F.when(F.col("sKind") === Kind.IRI, F.col("s")),
                   F.col("p"),
@@ -266,19 +275,25 @@ object Pipeline {
                 )).as("iri"))
                 .filter(F.col("iri").isNotNull)
                 .filter(Normalize.resolveCol(F.col("iri"), registry).isNull)
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            else {
+              if (round == 1) full
+              else {
+                val p = full.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                unresolved = p
+                p
+              }
+            } else {
               val deltaReg = Registry.fromPairs(deltaPairs, NsSource.Inference)
               val next = unresolved
                 .filter(Normalize.resolveCol(F.col("iri"), deltaReg).isNull)
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               next.count() // materialize before dropping the parent cache
               unresolved.unpersist()
+              unresolved = next
               next
             }
-          unresolved = iris
           val (inferred, nGarbage, candidates) = Inference.inferFromIrisWithCandidates(
-            iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs, cfg.countGarbage)
+            iris, cfg.salt, cfg.minNsSize, cfg.minDomainOccurs, cfg.maxNs, cfg.countGarbage,
+            cfg.maxCollected)
           val (reg2, addedNs) = registry.withNamespaces(inferred)
           registry = reg2
           inferredAll ++= addedNs
@@ -289,8 +304,8 @@ object Pipeline {
           val addedSizes = inferred.collect {
             case (ns, size, _) if addedNs.contains(ns) => (ns, size)
           }
-          val exhausted =
-            Inference.roundsExhausted(candidates, addedSizes, registry, cfg.minNsSize)
+          val exhausted = Inference.roundsExhausted(
+            candidates, addedSizes, registry, cfg.minNsSize, cfg.maxCollected)
           // O6: once a round adds nothing, `iris` IS the still-unresolved
           // set — sample 10 examples (the reference logs example IRIs,
           // iri_trie.rs:232-236)

@@ -211,6 +211,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(r4.count() == 25)
   }
 
+  test("multi-round inference: delta-filtered rounds reach the same fixed point") {
+    // three inferable namespaces; a collect budget of 2 candidates per round
+    // forces one namespace per round (rounds 2+ run off the cached unresolved
+    // relation — round 3+ exercises the delta-trie filter path)
+    val rows =
+      (0 until 300).map(i => ("http://hota.example.net/ns/item" + (i % 60), s"u$i")) ++
+      (0 until 200).map(i => ("http://hotb.example.org/res/r" + (i % 40), s"v$i")) ++
+      (0 until 100).map(i => ("http://hotc.example.io/t/x" + (i % 20), s"w$i"))
+    val triples = rows.toDF("s", "srcUrl")
+      .withColumn("sKind", F.lit(Kind.IRI))
+      .withColumn("p", F.lit("http://dbpedia.org/ontology/knows"))
+      .withColumn("o", F.lit("lit"))
+      .withColumn("oKind", F.lit(Kind.LIT_PLAIN))
+      .withColumn("oLang", F.lit(null: String))
+      .withColumn("oDt", F.lit(null: String))
+    def infer(maxCollected: Int) = {
+      val metrics = Vector.newBuilder[Pipeline.StageMetrics]
+      val cfg = Pipeline.Config(outDir = SparkSuite.tmpDir("multiround"),
+        minNsSize = 50, minDomainOccurs = 10, maxCollected = maxCollected,
+        maxInferenceRounds = 6)
+      val (reg, hk, added) =
+        Pipeline.runInference(triples, graft.ns.Registry.community(), cfg, metrics)
+      (reg, hk, added, metrics.result())
+    }
+    val (reg1, hk1, added1, ms1) = infer(maxCollected = 2)
+    assert(hk1.rounds >= 3, s"expected >=3 rounds, got ${hk1.rounds}")
+    assert(ms1.exists(_.name == "infer_round_3"))
+    assert(reg1.resolveAlias("http://hota.example.net/ns/item1").isDefined)
+    assert(reg1.resolveAlias("http://hotb.example.org/res/r1").isDefined)
+    assert(reg1.resolveAlias("http://hotc.example.io/t/x1").isDefined)
+    // order-independent fixed point: one-namespace-per-round lands on the
+    // same namespace set as the single untruncated round
+    val (reg3, hk3, added3, _) = infer(maxCollected = 100000)
+    assert(hk3.rounds < hk1.rounds)
+    assert(added1.toSet == added3.toSet)
+    assert(reg1.byNs.keySet == reg3.byNs.keySet)
+  }
+
   test("per-source metrics (A4) tally kinds per input with corpus roll-up") {
     val pages = Synth.pages(spark, 20)
     val triples = Pipeline.extractTriples(pages).toDF()
