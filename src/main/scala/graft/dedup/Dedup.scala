@@ -32,9 +32,12 @@ object Dedup {
 
   // ---------- shingles / minhash ---------------------------------------------
 
+  // precompiled: the signature UDFs tokenize every document in the corpus
+  private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   /** Word k-shingles of a text (lowercased alphanumeric tokens). */
   def shingles(text: String, k: Int): Array[String] = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = NonAlnum.split(text.toLowerCase).filter(_.nonEmpty)
     if (toks.length < k) { if (toks.isEmpty) Array.empty else Array(toks.mkString(" ")) }
     else toks.sliding(k).map(_.mkString(" ")).toArray
   }
@@ -156,7 +159,7 @@ object Dedup {
 
   /** 64-bit SimHash over token hashes. */
   def simHash(text: String): Long = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = NonAlnum.split(text.toLowerCase).filter(_.nonEmpty)
     val v = new Array[Int](64)
     toks.foreach { t =>
       val h = hashShingle(t, 0x51e0a9L)

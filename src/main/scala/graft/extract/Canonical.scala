@@ -41,7 +41,9 @@ object Canonical {
     graphemeTruncate(s)
   }
 
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   /** Mint a deterministic entity IRI from a surface form (KG-construction stage). */
   def mintIri(ns: String, surface: String): String =
-    canonicalizeIri(ns + surface.trim.replaceAll("\\s+", "_"))
+    canonicalizeIri(ns + WsRun.matcher(surface.trim).replaceAll("_"))
 }

@@ -126,9 +126,11 @@ object HtmlText {
     * trimmed, blank lines dropped entirely (pinned — the synthesizer's
     * ground-truth `text` is defined against exactly this).
     */
+  private val HorizWs = java.util.regex.Pattern.compile("[ \\t\\x0B\\f\\r\\u00a0]+")
+
   private[extract] def normalizeWhitespace(s: String): String = {
     val lines = s.split('\n').iterator.map { line =>
-      line.replaceAll("[ \\t\\x0B\\f\\r\\u00a0]+", " ").trim
+      HorizWs.matcher(line).replaceAll(" ").trim
     }
     lines.filter(_.nonEmpty).mkString("\n")
   }

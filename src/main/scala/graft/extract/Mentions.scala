@@ -64,8 +64,10 @@ object Mentions {
   def score(cand: Dict.Candidate, sentenceWords: Set[String]): Double =
     cand.prior + 0.5 * cand.context.count(sentenceWords.contains)
 
+  private val NonAlnum = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   def sentenceWords(sentence: String): Set[String] =
-    sentence.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet
+    NonAlnum.split(sentence.toLowerCase).iterator.filter(_.nonEmpty).toSet
 
   /** Link a detected surface to its best entity IRI within a context:
     * highest score wins, ties break on lexicographically smallest IRI.

@@ -23,9 +23,13 @@ import graft.model.{Kind, Triple}
 object OpenIE {
 
   private val YearRe = "^was born in (\\d{4})\\.?$".r
+  // precompiled: String.split(String) recompiles its pattern per call, and
+  // this runs once per line of every page in the corpus
+  private val SentenceSplit = java.util.regex.Pattern.compile("(?<=\\.) ")
 
   def sentencesOf(text: String): Vector[String] =
-    text.split('\n').toVector.flatMap(_.split("(?<=\\.) ").toVector).map(_.trim).filter(_.nonEmpty)
+    text.split('\n').toVector.flatMap(l => SentenceSplit.split(l).toVector)
+      .map(_.trim).filter(_.nonEmpty)
 
   def extract(url: String, text: String): Vector[Triple] = {
     val out = Vector.newBuilder[Triple]
