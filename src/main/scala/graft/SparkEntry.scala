@@ -55,6 +55,7 @@ object SparkEntry {
     "q_dedup_token_jaccard" -> (Queries.dedupTokenJaccard _),
     "q_dedup_ngram" -> (Queries.dedupNgram _),
     "q_dedup_minhash" -> (Queries.dedupMinhash _),
+    "q_dedup_clusters" -> (Queries.dedupClusters _),
     "q_dedup_embedding" -> (Queries.dedupEmbedding _),
     "q_dedup_simhash" -> (Queries.dedupSimhash _),
     "q_sim_topk" -> (Queries.simTopK _),

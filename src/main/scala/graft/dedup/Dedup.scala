@@ -274,4 +274,64 @@ object Dedup {
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Connected components over an undirected candidate-pair list — the step a
+    * real dedup pipeline needs between "near-duplicate pairs" and "keep one
+    * per cluster" (component = min member id; `id == component` is the keep).
+    *
+    * Distributed shape: iterative min-label propagation (label := min of own
+    * and neighbors' labels) ACCELERATED by pointer jumping (label :=
+    * label-of-label, halving chain depth), so convergence is O(log diameter)
+    * rounds rather than O(diameter); each round is two shuffles on bounded
+    * relations (the symmetric edge list and the vertex-label table — never
+    * the corpus). Terminates when a round changes no label, bounded by
+    * `maxIter` as a runaway guard.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25
+  ): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+      .union(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
+      .filter(F.col("src") =!= F.col("dst"))
+      .distinct()
+      .persist(lvl)
+    // localCheckpoint (not just persist): the pointer-jump self-joins the
+    // previous generation, so an un-truncated logical plan DOUBLES per
+    // iteration and Catalyst analysis goes exponential — the classic
+    // iterative-DataFrame trap. Checkpointing pins each generation to its
+    // materialized blocks and keeps every iteration's plan constant-size.
+    var labels = sym.select(F.col("src").as("id")).distinct()
+      .withColumn("component", F.col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      iter += 1
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(F.col("src").as("id")).agg(F.min("component").as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(F.col("id"),
+          F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val jumped = stepped.as("x")
+        .join(stepped.select(F.col("id").as("cid"), F.col("component").as("ccomp")).as("y"),
+          F.col("x.component") === F.col("y.cid"), "left")
+        .select(F.col("x.id").as("id"),
+          F.least(F.col("x.component"), F.coalesce(F.col("y.ccomp"), F.col("x.component")))
+            .as("component"))
+        .localCheckpoint(true)
+      changed = jumped.as("n")
+        .join(labels.select(F.col("id"), F.col("component").as("old")).as("o"), "id")
+        .filter(F.col("component") =!= F.col("old"))
+        .count()
+      labels = jumped
+    }
+    sym.unpersist()
+    labels
+  }
 }

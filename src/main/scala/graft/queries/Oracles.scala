@@ -344,6 +344,24 @@ object Oracles {
     // hash-blocked dedup/similarity: bit-exact splitmix64 replication (HashSql)
     "q_dedup_simhash" -> HashSql.simhashPairsSql(maxDist = 3, maxBucket = 1000),
     "q_dedup_minhash" -> HashSql.minhashLshSql(k = 3, threshold = 0.6, maxBucket = 1000),
+
+    // clusters = transitive closure over the SAME pair derivation (the
+    // engine's iterative min-label propagation vs a recursive-CTE closure)
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${HashSql.minhashLshSql(k = 3, threshold = 0.6, maxBucket = 1000)}
+         |),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION
+         |  SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b)
+         |SELECT CAST(a AS BIGINT) AS id,
+         |  CAST(least(a, min(b)) AS BIGINT) AS component
+         |FROM reach GROUP BY a""".stripMargin,
     "q_sim_lsh" -> HashSql.srpLshSql(dim = 64, nPlanes = 10, nTables = 4,
       minSim = 0.3, maxBucket = 1000),
     "q_sim_ivf" -> HashSql.ivfFixedSql(dim = 64, nCells = 16, nProbe = 4, k = 5, nQueries = 10),

@@ -300,6 +300,17 @@ object Queries {
       .withColumn("jaccard", F.round(F.col("jaccard"), 6))
       .orderBy("id_a", "id_b")
 
+  /** Near-dup clusters: connected components over the MinHash+LSH candidate
+    * pairs (component = min member id — the canonical keep decision).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLsh(docs(spark, dir), "doc_id", "text", k = 3, threshold = 0.6)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(F.col("id").cast("long").as("id"),
+        F.col("component").cast("long").as("component"))
+      .orderBy("id")
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(docs(spark, dir), "doc_id", "text", maxDist = 3)
       .orderBy("id_a", "id_b")

@@ -173,4 +173,52 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(r1.width == 16 && r1.height == 19 * 16 / 21)
     assert(Media.resizeStub(r1, 64) == r1) // no upscale
   }
+
+  test("connectedComponents: chain, separate clusters, and symmetric input") {
+    import graft.dedup.Dedup
+    // a 12-node chain (diameter 11 — pointer jumping must converge inside
+    // the iteration budget), a triangle, and an isolated pair
+    val pairs = ((0L until 11L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L), (201L, 200L)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 11L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L))
+    Seq(200L, 201L).foreach(i => assert(got(i) == 200L))
+    assert(got.size == 17)
+  }
+
+  test("connectedComponents matches union-find on random graphs (property)") {
+    import graft.dedup.Dedup
+    (1 to 5).foreach { trial =>
+      var seed = org.scalacheck.rng.Seed(trial.toLong * 31)
+      def nextInt(bound: Int): Int = {
+        val (v, s2) = seed.long; seed = s2
+        ((v % bound + bound) % bound).toInt
+      }
+      val n = 30
+      val edges = (0 until (10 + nextInt(30))).map(_ => (nextInt(n).toLong, nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find model
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+          .map(v => v -> {
+            // min member of v's component among vertices present in edges
+            val root = find(v.toInt)
+            edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+              .filter(u => find(u.toInt) == root).min
+          }).toMap
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got == want, s"trial=$trial edges=$edges")
+      }
+    }
+  }
 }
