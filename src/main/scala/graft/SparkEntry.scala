@@ -63,6 +63,8 @@ object SparkEntry {
     "q_sim_ivf" -> (Queries.simIvf _),
     "q_kg_mentions" -> (Queries.kgMentions _),
     "q_text_langid" -> (Queries.textLangId _),
+    "q_text_filter" -> (Queries.textFilter _),
+    "q_split_train_val" -> (Queries.splitTrainVal _),
     "q_text_quality" -> (Queries.textQuality _),
     "q_text_tokens" -> (Queries.textTokens _),
     "q_text_fingerprint" -> (Queries.textFingerprint _),

@@ -56,6 +56,15 @@ object HashSql {
        |      (h, c) -> $lam) AS HUGEINT)""".stripMargin
   }
 
+  /** Oracle for TextOps.trainValSplit: splitmix64 over (doc_id ^ seed),
+    * unsigned mod 1000 vs the val permille — bit-exact.
+    */
+  def splitSql(valPermille: Int, seed: Long): String =
+    s"""SELECT doc_id,
+       |  CASE WHEN (${mix64(xor64("CAST(doc_id AS HUGEINT)", s"CAST('${uc(seed)}' AS HUGEINT)"))}) % 1000 < $valPermille
+       |       THEN 'val' ELSE 'train' END AS split
+       |FROM documents""".stripMargin
+
   /** Oracle for Dedup.simHashPairs over `documents`: per-token splitmix hash,
     * 64 bit votes, chunk-blocked (cap mirrored) candidate pairs, hamming
     * verify. The 4-chunk pigeonhole is complete for maxDist <= 3, so this

@@ -368,6 +368,27 @@ object Oracles {
 
     "q_text_langid" -> langIdSql,
 
+    "q_text_filter" ->
+      s"""WITH lang AS ($langIdSql),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(${tokCountSql("text")} AS BIGINT) AS n_tokens,
+         |    round(
+         |      least(length(text) / 500.0, 1.0) * 0.4 +
+         |      (CASE WHEN length(text) > 0 THEN
+         |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+         |       ELSE 0.0 END) * 0.4 +
+         |      (CASE WHEN ${tokCountSql("text")} > 0 THEN
+         |         ${stopHitsSql("text", "en")} * 1.0 / ${tokCountSql("text")}
+         |       ELSE 0.0 END) * 0.2,
+         |    6) AS quality
+         |  FROM documents)
+         |SELECT m.doc_id, m.n_tokens, m.quality
+         |FROM m JOIN lang ON lang.doc_id = m.doc_id
+         |WHERE m.n_tokens >= 20 AND m.quality >= 0.5 AND lang.pred_lang = 'en'""".stripMargin,
+
+    "q_split_train_val" -> HashSql.splitSql(valPermille = 50, seed = 42L),
+
     "q_text_quality" ->
       s"""SELECT doc_id,
          |  round(

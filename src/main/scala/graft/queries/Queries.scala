@@ -409,6 +409,24 @@ object Queries {
       .select(F.col("doc_id"), TextOps.qualityScore(F.col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** C4-style document filter: tokens >= 20, quality >= 0.5, language 'en'. */
+  def textFilter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(F.col("doc_id"),
+        TextOps.tokenCount(F.col("text")).cast("long").as("n_tokens"),
+        TextOps.qualityScore(F.col("text")).as("quality"),
+        F.col("text"))
+      .filter(TextOps.passesFilter(F.col("text"), 20, 0.5, "en"))
+      .select("doc_id", "n_tokens", "quality")
+      .orderBy("doc_id")
+
+  /** Deterministic 5% val split (seed 42), bit-exact in DuckDB. */
+  def splitTrainVal(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(F.col("doc_id"),
+        TextOps.trainValSplit(F.col("doc_id"), valPermille = 50, seed = 42L).as("split"))
+      .orderBy("doc_id")
+
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       F.col("doc_id"),

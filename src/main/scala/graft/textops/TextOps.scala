@@ -68,6 +68,30 @@ object TextOps {
     F.round(lenScore * 0.4 + alphaRatio * 0.4 + stopRatio * 0.2, 6)
   }
 
+  /** C4-style composite keep/drop gate — the document-level filter a training
+    * pipeline runs before tokenization: enough tokens, high enough quality
+    * mix, and the target language. Pure Column expression (codegen'd).
+    */
+  def passesFilter(text: Column, minTokens: Int, minQuality: Double, lang: String): Column =
+    (tokenCount(text) >= minTokens) &&
+      (qualityScore(text) >= minQuality) &&
+      (langId(text) === lang)
+
+  /** Deterministic train/val split bucket in [0, 1000): splitmix64 over
+    * (id ^ seed), unsigned mod 1000. Stable under repartition and reruns
+    * (pure function of the id), seed-rotatable for k-fold, and bit-exactly
+    * reproducible in DuckDB (HashSql.mix64). A Scala UDF rather than Column
+    * arithmetic because wrapping u64 multiply is an overflow error under
+    * ANSI mode — one evaluation per document, not a hot path.
+    */
+  def splitBucket(seed: Long): org.apache.spark.sql.expressions.UserDefinedFunction =
+    F.udf((id: Long) =>
+      java.lang.Long.remainderUnsigned(graft.extract.Synth.mix64(id ^ seed), 1000L).toInt)
+
+  /** Train/val assignment from [[splitBucket]]: `val` below the permille cut. */
+  def trainValSplit(id: Column, valPermille: Int, seed: Long): Column =
+    F.when(splitBucket(seed)(id) < valPermille, "val").otherwise("train")
+
   /** Polynomial rolling-hash fingerprint of the first `n` chars:
     * `sum(code(c_i) * 31^i mod P) mod P`, P = 1e9+7. Exact integer math in both
     * Spark and DuckDB (documents are ASCII; `ascii()` == UTF-16 unit here).

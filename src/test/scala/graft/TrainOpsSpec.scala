@@ -174,6 +174,20 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(Media.resizeStub(r1, 64) == r1) // no upscale
   }
 
+  test("trainValSplit: deterministic, seed-sensitive, ~valPermille proportion") {
+    import graft.textops.TextOps
+    val ids = (0L until 10000L).toDF("id")
+    val split = ids.select($"id", TextOps.trainValSplit($"id", 50, 42L).as("s"))
+    val nVal = split.filter($"s" === "val").count()
+    assert(nVal > 300 && nVal < 700, s"5% of 10k expected ~500, got $nVal") // loose CLT bound
+    // pure function of (id, seed): rerun identical
+    val again = ids.select($"id", TextOps.trainValSplit($"id", 50, 42L).as("s"))
+    assert(split.except(again).count() == 0)
+    // different seed rotates the fold membership
+    val other = ids.select($"id", TextOps.trainValSplit($"id", 50, 43L).as("s"))
+    assert(split.except(other).count() > 0)
+  }
+
   test("connectedComponents: chain, separate clusters, and symmetric input") {
     import graft.dedup.Dedup
     // a 12-node chain (diameter 11 — pointer jumping must converge inside
