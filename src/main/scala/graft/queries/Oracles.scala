@@ -389,6 +389,18 @@ object Oracles {
 
     "q_split_train_val" -> HashSql.splitSql(valPermille = 50, seed = 42L),
 
+    // pack_id = floor(exclusive id-ordered cumsum of tokens / budget); the
+    // oracle's global window IS the semantics the engine's two-pass
+    // distributed prefix sum must reproduce
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(${tokCountSql("text")} AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id AS id, n_tokens,
+         |  CAST(COALESCE(sum(n_tokens) OVER
+         |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+         |    AS BIGINT) AS pack_id
+         |FROM t""".stripMargin,
+
     "q_text_quality" ->
       s"""SELECT doc_id,
          |  round(

@@ -427,6 +427,13 @@ object Queries {
         TextOps.trainValSplit(F.col("doc_id"), valPermille = 50, seed = 42L).as("split"))
       .orderBy("doc_id")
 
+  /** Sequence packing at a 512-token budget (two-pass distributed prefix sum,
+    * never a single-partition window).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(docs(spark, dir), "doc_id", "text", budget = 512L)
+      .orderBy("id")
+
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       F.col("doc_id"),

@@ -92,6 +92,58 @@ object TextOps {
   def trainValSplit(id: Column, valPermille: Int, seed: Long): Column =
     F.when(splitBucket(seed)(id) < valPermille, "val").otherwise("train")
 
+  /** Sequence packing (concatenate-then-chunk): assign each document the
+    * pack index where its first token lands in the id-ordered token stream —
+    * `pack_id = floor(exclusive_cumsum(n_tokens) / budget)` — the packing
+    * strategy GPT-style pretraining uses before writing fixed-length
+    * training sequences.
+    *
+    * Scale shape: a global `Window.orderBy` would collapse the corpus into
+    * ONE partition (Spark's single-partition window warning — the 100 TB
+    * failure mode). Instead this is the textbook two-pass distributed prefix
+    * sum: range-partition by id, (1) one pass computes per-partition token
+    * totals (collected: #partitions rows), scanned on the driver into
+    * per-partition offsets; (2) a mapPartitions pass emits each row's
+    * exclusive running sum = partition offset + local cumsum. Both passes
+    * are full-width scans; nothing ever concentrates on one task.
+    */
+  def packSequences(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Long
+  ): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(budget > 0, "budget must be positive")
+    val toks = df
+      .select(F.col(idCol).cast("long").as("id"),
+        tokenCount(F.col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(F.col("id"))
+      .sortWithinPartitions("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition totals, driver scan into exclusive offsets
+    // (RangePartitioner assigns ascending key ranges to ascending pids)
+    val perPart = toks.select(F.spark_partition_id().as("pid"), $"n_tokens")
+      .groupBy("pid").agg(F.sum("n_tokens").as("total"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = new java.util.HashMap[Int, Long]()
+    var acc = 0L
+    perPart.foreach { case (pid, total) => offsets.put(pid, acc); acc += total }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: local exclusive cumsum + broadcast offset
+    val packed = toks.as[(Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var running = bc.value.getOrDefault(pid, 0L)
+      it.map { case (id, n) =>
+        val start = running
+        running += n
+        (id, n, start / budget)
+      }
+    }.toDF("id", "n_tokens", "pack_id")
+    packed
+  }
+
   /** Polynomial rolling-hash fingerprint of the first `n` chars:
     * `sum(code(c_i) * 31^i mod P) mod P`, P = 1e9+7. Exact integer math in both
     * Spark and DuckDB (documents are ASCII; `ascii()` == UTF-16 unit here).

@@ -188,6 +188,27 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(split.except(other).count() > 0)
   }
 
+  test("packSequences matches the driver-computed exclusive-cumsum model") {
+    import graft.textops.TextOps
+    // uneven token counts across many partitions; ids deliberately unsorted
+    val data = (0L until 500L).map(i => (i, ("tok " * ((i % 37).toInt + 1)).trim))
+    val df = spark.createDataFrame(scala.util.Random.shuffle(data)).toDF("doc_id", "text")
+      .repartition(13)
+    val got = TextOps.packSequences(df, "doc_id", "text", budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var running = 0L
+    val want = data.sortBy(_._1).map { case (id, text) =>
+      val n = text.split(' ').length.toLong
+      val p = running / 100L
+      running += n
+      (id, n, p)
+    }
+    assert(got.toSeq == want)
+    // every pack except possibly the last begins within budget of its start
+    val packStarts = got.groupBy(_._3).map { case (p, rs) => p -> rs.map(_._1).min }
+    assert(packStarts.keySet == (0L to got.map(_._3).max).toSet) // contiguous pack ids
+  }
+
   test("connectedComponents: chain, separate clusters, and symmetric input") {
     import graft.dedup.Dedup
     // a 12-node chain (diameter 11 — pointer jumping must converge inside
