@@ -409,14 +409,14 @@ object Queries {
       .select(F.col("doc_id"), TextOps.qualityScore(F.col("text")).as("quality"))
       .orderBy("doc_id")
 
-  /** C4-style document filter: tokens >= 20, quality >= 0.5, language 'en'. */
+  /** C4-style document filter: tokens >= 20, quality >= 0.5, language 'en'.
+    * Tokenize-once shape (TextOps.withDocMetrics): one regex split per row,
+    * every metric and the pushed filter read the materialized token array.
+    */
   def textFilter(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(F.col("doc_id"),
-        TextOps.tokenCount(F.col("text")).cast("long").as("n_tokens"),
-        TextOps.qualityScore(F.col("text")).as("quality"),
-        F.col("text"))
-      .filter(TextOps.passesFilter(F.col("text"), 20, 0.5, "en"))
+    TextOps.withDocMetrics(docs(spark, dir), "text")
+      .filter(F.col("n_tokens") >= 20 && F.col("quality") >= 0.5 &&
+        F.col("pred_lang") === "en")
       .select("doc_id", "n_tokens", "quality")
       .orderBy("doc_id")
 

@@ -36,32 +36,54 @@ object TextOps {
   )
 
   /** Count of tokens belonging to `lang`'s stopword list (non-distinct). */
-  def stopwordHits(text: Column, lang: String): Column = {
+  def stopwordHits(text: Column, lang: String): Column =
+    stopwordHitsIn(tokens(text), lang)
+
+  /** [[stopwordHits]] over an already-tokenized array column — composite
+    * metrics tokenize ONCE and reuse the array (higher-order functions are
+    * not whole-stage-codegen'd, so they get no subexpression elimination;
+    * re-deriving the array per metric multiplies the regex split cost).
+    */
+  def stopwordHitsIn(toks: Column, lang: String): Column = {
     val list = stopwords(lang)
-    F.size(F.filter(tokens(text), t => t.isin(list.map(_.asInstanceOf[Any]): _*)))
+    F.size(F.filter(toks, t => t.isin(list.map(_.asInstanceOf[Any]): _*)))
   }
 
   /** Language-ID by stopword-hit argmax; ties break in fixed lang order. */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdFrom(tokens(text))
+
+  /** [[langId]] over an already-tokenized array column.
+    *
+    * Argmax as `greatest` over (hits, priority-rank) structs: each
+    * per-language hit count is evaluated exactly once. (The previous
+    * WHEN-chain fold nested the running best into BOTH branches of every
+    * step, doubling the expression tree per language — 2^5 copies of the
+    * first language's array filter, and higher-order functions get no
+    * codegen subexpression elimination: measured 4.8 s -> 0.3 s at sf0.1.)
+    * Tie-break matches the fold: higher rank = earlier in priority order.
+    */
+  def langIdFrom(toks: Column): Column = {
     val langs = Seq("en", "de", "es", "fr", "pt") // fixed priority order
-    val scored = langs.map(l => F.struct(stopwordHits(text, l).as("hits"), F.lit(l).as("lang")))
-    // argmax with deterministic tie-break: compare (hits, reverse priority)
-    langs.zip(scored).foldLeft((F.lit(-1).as("best_h"), F.lit("und"))) {
-      case ((bestH, bestL), (_, s)) =>
-        val h = s.getField("hits")
-        val better = h > bestH
-        (F.when(better, h).otherwise(bestH), F.when(better, s.getField("lang")).otherwise(bestL))
-    }._2
+    val n = langs.length
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      F.struct(stopwordHitsIn(toks, l).as("hits"), F.lit(n - i).as("rk"))
+    }
+    val best = F.greatest(scored: _*)
+    // rank -> language name (rk = n - index)
+    F.element_at(F.array(langs.map(F.lit): _*), F.lit(n + 1) - best.getField("rk"))
   }
 
   /** Quality score in [0,1]: mix of length, alpha ratio, stopword ratio.
     * Deterministic double arithmetic, identical formula on the oracle side.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = qualityScoreFrom(text, tokens(text))
+
+  /** [[qualityScore]] with the token array supplied (tokenize-once callers). */
+  def qualityScoreFrom(text: Column, toksArr: Column): Column = {
     val len = F.length(text).cast("double")
     val alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
-    val toks = tokenCount(text).cast("double")
-    val stops = stopwordHits(text, "en").cast("double")
+    val toks = F.size(toksArr).cast("double")
+    val stops = stopwordHitsIn(toksArr, "en").cast("double")
     val lenScore = F.least(len / 500.0, F.lit(1.0))
     val alphaRatio = F.when(len > 0, alpha / len).otherwise(0.0)
     val stopRatio = F.when(toks > 0, stops / toks).otherwise(0.0)
@@ -71,11 +93,34 @@ object TextOps {
   /** C4-style composite keep/drop gate — the document-level filter a training
     * pipeline runs before tokenization: enough tokens, high enough quality
     * mix, and the target language. Pure Column expression (codegen'd).
+    * For corpus-scale use prefer [[withDocMetrics]] + column filters: this
+    * single-expression form tokenizes once per metric.
     */
   def passesFilter(text: Column, minTokens: Int, minQuality: Double, lang: String): Column =
     (tokenCount(text) >= minTokens) &&
       (qualityScore(text) >= minQuality) &&
       (langId(text) === lang)
+
+  /** All document metrics in ONE tokenization pass: adds `n_tokens`,
+    * `quality`, `pred_lang`. The token array is materialized as a column
+    * behind a nondeterministic barrier — without it, CollapseProject /
+    * predicate pushdown inline the array alias back into every metric (and
+    * into pushed filters), re-running the regex split per reference; with
+    * it, downstream metric trees and filters read the array attribute.
+    * Higher-order functions get no codegen subexpression elimination, so
+    * this materialize-once shape is the difference between 1 and ~16 splits
+    * per row in a metrics+filter query.
+    */
+  def withDocMetrics(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame =
+    df.withColumn("_toks", tokens(F.col(textCol)))
+      .withColumn("_nd", F.monotonically_increasing_id())
+      .withColumn("n_tokens", F.size(F.col("_toks")).cast("long"))
+      .withColumn("quality", qualityScoreFrom(F.col(textCol), F.col("_toks")))
+      .withColumn("pred_lang", langIdFrom(F.col("_toks")))
+      .drop("_toks", "_nd")
 
   /** Deterministic train/val split bucket in [0, 1000): splitmix64 over
     * (id ^ seed), unsigned mod 1000. Stable under repartition and reruns
