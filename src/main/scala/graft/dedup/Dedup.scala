@@ -291,12 +291,42 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25
+      maxIter: Int = 25,
+      driverThreshold: Long = 100000
   ): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
-      .union(pairs.select(F.col(bCol).as("src"), F.col(aCol).as("dst")))
+    val edgesIn = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
       .filter(F.col("src") =!= F.col("dst"))
+      .persist(lvl)
+    // scale-adaptive cutover (same spirit as the broadcast-join threshold):
+    // a candidate graph under `driverThreshold` edges is union-find on the
+    // driver in milliseconds, vs ~5 Spark jobs per distributed iteration —
+    // near-dup graphs after blocking are usually tiny relative to the corpus
+    val nEdges = edgesIn.count()
+    val longIds = edgesIn.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (nEdges <= driverThreshold && longIds) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edgesIn.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edgesIn.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keys.toSeq.sorted.map(v => (v, find(v))).toDF("id", "component")
+    }
+    val sym = edgesIn
+      .union(edgesIn.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .distinct()
       .persist(lvl)
     // localCheckpoint (not just persist): the pointer-jump self-joins the
@@ -332,6 +362,7 @@ object Dedup {
       labels = jumped
     }
     sym.unpersist()
+    edgesIn.unpersist()
     labels
   }
 }

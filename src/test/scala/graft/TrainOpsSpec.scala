@@ -216,12 +216,16 @@ class TrainOpsSpec extends AnyFunSuite {
     val pairs = ((0L until 11L).map(i => (i, i + 1)) ++
       Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L), (201L, 200L)))
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    (0L to 11L).foreach(i => assert(got(i) == 0L, s"chain node $i"))
-    Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L))
-    Seq(200L, 201L).foreach(i => assert(got(i) == 200L))
-    assert(got.size == 17)
+    // both execution paths must agree: driver union-find (small-graph
+    // cutover) and the distributed label-propagation loop (threshold 0)
+    Seq(100000L, 0L).foreach { thr =>
+      val got = Dedup.connectedComponents(pairs, "id_a", "id_b", driverThreshold = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      (0L to 11L).foreach(i => assert(got(i) == 0L, s"thr=$thr chain node $i"))
+      Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L, s"thr=$thr"))
+      Seq(200L, 201L).foreach(i => assert(got(i) == 200L, s"thr=$thr"))
+      assert(got.size == 17)
+    }
   }
 
   test("connectedComponents matches union-find on random graphs (property)") {
@@ -250,7 +254,10 @@ class TrainOpsSpec extends AnyFunSuite {
             edges.flatMap { case (a, b) => Seq(a, b) }.distinct
               .filter(u => find(u.toInt) == root).min
           }).toMap
-        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        // threshold 0 pins the DISTRIBUTED path against the union-find model
+        // (the driver fast path IS union-find, so it would be a tautology)
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+            driverThreshold = 0L)
           .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
         assert(got == want, s"trial=$trial edges=$edges")
       }
