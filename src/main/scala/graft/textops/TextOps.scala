@@ -101,26 +101,65 @@ object TextOps {
       (qualityScore(text) >= minQuality) &&
       (langId(text) === lang)
 
-  /** All document metrics in ONE tokenization pass: adds `n_tokens`,
-    * `quality`, `pred_lang`. The token array is materialized as a column
-    * behind a nondeterministic barrier — without it, CollapseProject /
-    * predicate pushdown inline the array alias back into every metric (and
-    * into pushed filters), re-running the regex split per reference; with
-    * it, downstream metric trees and filters read the array attribute.
-    * Higher-order functions get no codegen subexpression elimination, so
-    * this materialize-once shape is the difference between 1 and ~16 splits
-    * per row in a metrics+filter query.
+  /** Exact local twins of the Column metrics (cf. `fingerprintLocal`): the
+    * composite-metrics path computes them once per row inside a JVM lambda,
+    * and the oracle gate pins them value-equal to the Column forms.
+    */
+  def tokensLocal(text: String): Array[String] =
+    LocalTok.split(text.toLowerCase).filter(_.nonEmpty)
+
+  private val LocalTok = java.util.regex.Pattern.compile("[^a-z0-9]+")
+  private val LocalNonAlpha = java.util.regex.Pattern.compile("[^a-zA-Z]")
+  private val LangPriority = Seq("en", "de", "es", "fr", "pt")
+  private val StopSets: Map[String, Set[String]] = stopwords.map { case (l, ws) => l -> ws.toSet }
+
+  def qualityScoreLocal(text: String, toks: Array[String]): Double = {
+    val len = text.length.toDouble
+    val alpha = LocalNonAlpha.matcher(text).replaceAll("").length.toDouble
+    val stops = toks.count(StopSets("en")).toDouble
+    val lenScore = math.min(len / 500.0, 1.0)
+    val alphaRatio = if (len > 0) alpha / len else 0.0
+    val stopRatio = if (toks.length > 0) stops / toks.length else 0.0
+    BigDecimal(lenScore * 0.4 + alphaRatio * 0.4 + stopRatio * 0.2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  def langIdLocal(toks: Array[String]): String = {
+    var bestHits = -1
+    var best = "und"
+    LangPriority.foreach { l =>
+      val hits = toks.count(StopSets(l))
+      if (hits > bestHits) { bestHits = hits; best = l }
+    }
+    best
+  }
+
+  /** All document metrics in ONE tokenization pass: (id, n_tokens, quality,
+    * pred_lang) via a typed mapPartitions. The object boundary
+    * (DeserializeToObject under the map) is a REAL optimizer barrier:
+    * Column-only shapes cannot stop predicate pushdown from inlining every
+    * metric over the raw text into a pushed filter (a nondeterministic
+    * marker column gets column-pruned away the moment it is dropped, taking
+    * the barrier with it — measured ~8 regex tokenizations per row in the
+    * pushed filter), while filters over this output stay above the map.
+    * Column pruning to the scan is preserved by the explicit select.
+    * Local metric functions are oracle-pinned equal to the Column forms.
     */
   def withDocMetrics(
       df: org.apache.spark.sql.DataFrame,
-      textCol: String
-  ): org.apache.spark.sql.DataFrame =
-    df.withColumn("_toks", tokens(F.col(textCol)))
-      .withColumn("_nd", F.monotonically_increasing_id())
-      .withColumn("n_tokens", F.size(F.col("_toks")).cast("long"))
-      .withColumn("quality", qualityScoreFrom(F.col(textCol), F.col("_toks")))
-      .withColumn("pred_lang", langIdFrom(F.col("_toks")))
-      .drop("_toks", "_nd")
+      textCol: String,
+      idCol: String = "doc_id"
+  ): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(idCol).cast("long").as("id"), F.col(textCol).as("t"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = tokensLocal(text)
+        (id, toks.length.toLong, qualityScoreLocal(text, toks), langIdLocal(toks))
+      })
+      .toDF(idCol, "n_tokens", "quality", "pred_lang")
+  }
 
   /** Deterministic train/val split bucket in [0, 1000): splitmix64 over
     * (id ^ seed), unsigned mod 1000. Stable under repartition and reruns

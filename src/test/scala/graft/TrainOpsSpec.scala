@@ -174,6 +174,19 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(Media.resizeStub(r1, 64) == r1) // no upscale
   }
 
+  test("withDocMetrics local twins equal the Column metric forms") {
+    import graft.textops.TextOps
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val local = TextOps.withDocMetrics(d, "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    val col = d.select(F.col("doc_id"),
+        TextOps.tokenCount(F.col("text")).cast("long").as("n"),
+        TextOps.qualityScore(F.col("text")).as("q"),
+        TextOps.langId(F.col("text")).as("l"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(local == col)
+  }
+
   test("trainValSplit: deterministic, seed-sensitive, ~valPermille proportion") {
     import graft.textops.TextOps
     val ids = (0L until 10000L).toDF("id")
