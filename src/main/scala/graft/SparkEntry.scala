@@ -66,6 +66,7 @@ object SparkEntry {
     "q_text_filter" -> (Queries.textFilter _),
     "q_split_train_val" -> (Queries.splitTrainVal _),
     "q_pack_sequences" -> (Queries.packSequences _),
+    "q_text_unigram_lm" -> (Queries.textUnigramLm _),
     "q_text_quality" -> (Queries.textQuality _),
     "q_text_tokens" -> (Queries.textTokens _),
     "q_text_fingerprint" -> (Queries.textFingerprint _),

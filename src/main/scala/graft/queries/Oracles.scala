@@ -389,6 +389,21 @@ object Oracles {
 
     "q_split_train_val" -> HashSql.splitSql(valPermille = 50, seed = 42L),
 
+    // corpus unigram LM: identical two-level aggregation (token freq ->
+    // per-doc mean -ln(freq/total)); docs with zero tokens drop out of the
+    // join on both sides
+    "q_text_unigram_lm" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |    x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM freq)
+         |SELECT t.doc_id,
+         |  round(avg(-ln(f.freq / (SELECT total FROM tot))), 6) AS neg_logprob
+         |FROM toks t JOIN freq f ON f.tok = t.tok
+         |GROUP BY t.doc_id""".stripMargin,
+
     // pack_id = floor(exclusive id-ordered cumsum of tokens / budget); the
     // oracle's global window IS the semantics the engine's two-pass
     // distributed prefix sum must reproduce

@@ -434,6 +434,12 @@ object Queries {
     TextOps.packSequences(docs(spark, dir), "doc_id", "text", budget = 512L)
       .orderBy("id")
 
+  /** Corpus-unigram LM scoring (CCNet-style perplexity-filter signal). */
+  def textUnigramLm(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramLogProb(docs(spark, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
   def textTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       F.col("doc_id"),

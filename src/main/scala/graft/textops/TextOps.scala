@@ -228,6 +228,31 @@ object TextOps {
     packed
   }
 
+  /** CCNet-style unigram language-model scoring: build the corpus unigram
+    * distribution, then score each document by the mean negative log
+    * probability of its tokens (lower = more typical of the corpus — the
+    * perplexity-filter signal used by CCNet/CC-Net-style pipelines, with the
+    * corpus itself as the model).
+    *
+    * Scale shape: two shuffles — (1) explode tokens -> groupBy(token) count
+    * with map-side partial aggregation (vocab-sized result, zipf-collapsed),
+    * (2) tokens join freq on token (sort-merge or broadcast when the vocab
+    * is small) -> groupBy(doc) mean. Documents with zero tokens score NULL.
+    */
+  def unigramLogProb(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(F.col(idCol).as("id"),
+        F.explode(tokens(F.col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(F.count(F.lit(1)).as("freq"))
+    val total = freq.agg(F.sum("freq")).collect()(0).getLong(0).toDouble
+    toks.join(freq, "tok")
+      .groupBy(F.col("id"))
+      .agg(F.round(F.avg(-F.log(F.col("freq") / total)), 6).as("neg_logprob"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the first `n` chars:
     * `sum(code(c_i) * 31^i mod P) mod P`, P = 1e9+7. Exact integer math in both
     * Spark and DuckDB (documents are ASCII; `ascii()` == UTF-16 unit here).

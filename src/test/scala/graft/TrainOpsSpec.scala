@@ -174,6 +174,18 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(Media.resizeStub(r1, 64) == r1) // no upscale
   }
 
+  test("unigramLogProb matches a hand-computed corpus model") {
+    import graft.textops.TextOps
+    // corpus: a a a b -> p(a)=3/4, p(b)=1/4
+    val d = Seq((1L, "a a"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r6(-math.log(0.75)))
+    assert(got(2L) == r6((-math.log(0.75) - math.log(0.25)) / 2.0))
+    assert(!got.contains(3L)) // token-less docs drop out
+  }
+
   test("withDocMetrics local twins equal the Column metric forms") {
     import graft.textops.TextOps
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
