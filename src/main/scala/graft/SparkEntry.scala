@@ -70,6 +70,10 @@ object SparkEntry {
     "q_text_quality" -> (Queries.textQuality _),
     "q_text_tokens" -> (Queries.textTokens _),
     "q_text_fingerprint" -> (Queries.textFingerprint _),
+    "q_text_repetition" -> (Queries.textRepetition _),
+    "q_text_overlap" -> (Queries.textOverlap _),
+    "q_text_pii" -> (Queries.textPii _),
+    "q_corpus_stats" -> (Queries.corpusStats _),
     "q_media_meta" -> (Queries.mediaMeta _),
     "q_media_frames" -> (Queries.mediaFrames _),
     "q_media_resize" -> (Queries.mediaResize _),

@@ -437,6 +437,72 @@ object Oracles {
 
     "q_text_fingerprint" -> fingerprintSql,
 
+    // Gopher-style repetition metrics: per-doc top-1-gram fraction and
+    // duplicate-bigram fraction, same two-level grouped aggregation
+    "q_text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |u AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+         |uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+         |um AS (SELECT doc_id, max(c) AS topc, sum(c) AS n FROM uc GROUP BY 1),
+         |b AS (SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |      FROM t WHERE len(toks) >= 2),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+         |bm AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+         |        sum(c) AS tot FROM bc GROUP BY 1)
+         |SELECT um.doc_id, CAST(um.n AS BIGINT) AS n_tokens,
+         |  round(um.topc * 1.0 / um.n, 6) AS top_tok_frac,
+         |  round(COALESCE(bm.dup * 1.0 / bm.tot, 0.0), 6) AS dup_bigram_frac
+         |FROM um LEFT JOIN bm ON bm.doc_id = um.doc_id""".stripMargin,
+
+    // cross-document trigram overlap: distinct (doc, shingle) -> shingle doc
+    // frequency -> per-doc duplicated fraction
+    "q_text_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |s AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+         |  FROM t WHERE len(toks) >= 3)),
+         |f AS (SELECT sh, count(*) AS n_docs FROM s GROUP BY 1)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         |    AS overlap_frac
+         |FROM s JOIN f ON f.sh = s.sh
+         |GROUP BY s.doc_id""".stripMargin,
+
+    // PII counts + masked-text digest over the identically-derived augmented
+    // corpus; replacement order (email, phone, ip) mirrors TextOps.redactPii
+    "q_text_pii" ->
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail' ||
+         |    CAST(doc_id % 10 AS VARCHAR) || '.com or call 555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' ip 10.0.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+         |    ELSE '' END AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$piiEmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '$piiPhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(aug, '$piiIpRe')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$piiEmailRe', '<EMAIL>', 'g'),
+         |    '$piiPhoneRe', '<PHONE>', 'g'),
+         |    '$piiIpRe', '<IP>', 'g')) AS redacted_md5
+         |FROM a""".stripMargin,
+
+    // grouped corpus stats; quantile_cont == Spark's exact `percentile`
+    "q_corpus_stats" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
     "q_media_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(16 + octet_length(encode(text)) % 32 AS INT) AS width,
@@ -527,6 +593,15 @@ object Oracles {
 
   private def tokCountSql(col: String): String =
     s"len(list_filter(string_split_regex(lower($col), '[^a-z0-9]+'), x -> len(x) > 0))"
+
+  private def toksSql(col: String): String =
+    s"list_filter(string_split_regex(lower($col), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  // TextOps PII regexes with Scala escaping unwound (single-backslash form
+  // embeds directly into DuckDB single-quoted strings)
+  private def piiEmailRe: String = TextOps.EmailRe
+  private def piiPhoneRe: String = TextOps.PhoneRe
+  private def piiIpRe: String = TextOps.IpRe
 
   private def stopHitsSql(col: String, lang: String): String = {
     val list = TextOps.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")

@@ -452,6 +452,59 @@ object Queries {
       .select(F.col("doc_id"), TextOps.fingerprint("text").as("fp"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition filters: top-1-gram fraction + duplicate-bigram
+    * fraction per document.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionMetrics(docs(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Cross-document trigram-shingle overlap (decontamination scoring). */
+  def textOverlap(spark: SparkSession, dir: String): DataFrame =
+    TextOps.shingleOverlap(docs(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** PII detection + redaction over a deterministically PII-augmented corpus
+    * (the synthetic documents carry no natural PII, so both engine and oracle
+    * derive the same augmented text from doc_id, then count and mask).
+    */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    val aug = F.concat(
+      F.col("text"),
+      F.lit(" contact u"), F.col("doc_id").cast("string"),
+      F.lit("@mail"), (F.col("doc_id") % 10).cast("string"),
+      F.lit(".com or call 555-"),
+      F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+      F.when(F.col("doc_id") % 3 === 0,
+        F.concat(F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+          F.lit("."), (F.col("doc_id") % 100).cast("string")))
+        .otherwise(F.lit("")))
+    docs(spark, dir)
+      .select(F.col("doc_id"), aug.as("aug"))
+      .select(F.col("doc_id"),
+        TextOps.piiEmailCount(F.col("aug")).cast("long").as("n_emails"),
+        TextOps.piiPhoneCount(F.col("aug")).cast("long").as("n_phones"),
+        TextOps.piiIpCount(F.col("aug")).cast("long").as("n_ips"),
+        F.md5(TextOps.redactPii(F.col("aug"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Grouped corpus statistics with exact quantiles (corpus reporting —
+    * per (lang, source): doc count, char totals, mean, p50/p90). Exact
+    * `percentile` matches DuckDB's `quantile_cont` interpolation; at 100 TB
+    * swap for `approx_percentile` (t-digest, one pass, no global sort).
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang", "source")
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum("n_chars").cast("long").as("total_chars"),
+        F.round(F.avg("n_chars"), 6).as("avg_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
+      .orderBy("lang", "source")
+
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     // binary plumbing: encode text as the opaque payload, run the stub decode
     val withPayload = docs(spark, dir)

@@ -291,4 +291,117 @@ object TextOps {
     }
     acc
   }
+
+  // --------------------------------------------------------------------------
+  // Repetition metrics (Gopher-style filters), shingle overlap, PII redaction
+  // --------------------------------------------------------------------------
+
+  /** Adjacent token bigrams ("a b") from a token-array column. */
+  def bigramsCol(toks: Column): Column =
+    F.when(F.size(toks) >= 2,
+      F.zip_with(
+        F.slice(toks, F.lit(1), F.size(toks) - 1),
+        F.slice(toks, F.lit(2), F.size(toks) - 1),
+        (a, b) => F.concat_ws(" ", a, b))
+    ).otherwise(F.array().cast("array<string>"))
+
+  /** Adjacent token trigrams ("a b c") from a token-array column. */
+  def trigramsCol(toks: Column): Column =
+    F.when(F.size(toks) >= 3,
+      F.zip_with(
+        F.zip_with(
+          F.slice(toks, F.lit(1), F.size(toks) - 2),
+          F.slice(toks, F.lit(2), F.size(toks) - 2),
+          (a, b) => F.concat_ws(" ", a, b)),
+        F.slice(toks, F.lit(3), F.size(toks) - 2),
+        (ab, c) => F.concat_ws(" ", ab, c))
+    ).otherwise(F.array().cast("array<string>"))
+
+  /** Gopher-style per-document repetition metrics:
+    * `top_tok_frac` = occurrences of the most frequent token / total tokens
+    * (Gopher's top-1-gram fraction) and `dup_bigram_frac` = fraction of
+    * bigram occurrences whose bigram appears more than once in the document
+    * (Gopher's duplicate-n-gram fraction, n=2). High values flag boilerplate
+    * and degenerate repetition; the usual drop thresholds are ~0.2 / ~0.2.
+    *
+    * Scale shape: two explode -> two-level hash aggregations, both with
+    * map-side partial agg on (doc_id, gram) — the shuffle carries one row
+    * per DISTINCT gram per doc, not per occurrence. No windows, no driver
+    * state; docs with zero tokens drop out (nothing to measure).
+    */
+  def repetitionMetrics(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val base = df.select(F.col(idCol).cast("long").as("doc_id"),
+      tokens(F.col(textCol)).as("toks"))
+    val uni = base.select(F.col("doc_id"), F.explode(F.col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).as("c"))
+      .groupBy("doc_id").agg(F.max("c").as("topc"), F.sum("c").as("n_tokens"))
+    val bi = base.select(F.col("doc_id"), F.explode(bigramsCol(F.col("toks"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0L)).as("dup"),
+        F.sum("c").as("tot"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.col("n_tokens").cast("long").as("n_tokens"),
+        F.round(F.col("topc").cast("double") / F.col("n_tokens"), 6).as("top_tok_frac"),
+        F.round(F.coalesce(F.col("dup").cast("double") / F.col("tot"), F.lit(0.0)), 6)
+          .as("dup_bigram_frac"))
+  }
+
+  /** Cross-document shingle overlap (decontamination-style scoring): for each
+    * document, the fraction of its DISTINCT token trigrams that also occur in
+    * at least one other document. Used to score training docs against a held
+    * corpus (here: the corpus itself) before dedup/decontamination decisions.
+    *
+    * Scale shape: per-doc distinct shingles (one shuffle keyed on
+    * (doc, shingle) with partial agg), then a shingle-keyed count — because
+    * the first distinct emits each shingle once per doc, `count(*)` IS the
+    * containing-doc count — joined back and folded per doc. At 100 TB the
+    * shingle strings would be xxhash64'd to 8-byte keys before the shuffle
+    * (identical plan shape, ~10x less wire); kept as strings here so the
+    * DuckDB oracle compares true shingles with zero hash-collision caveats.
+    */
+  def shingleOverlap(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val sh = df.select(F.col(idCol).cast("long").as("doc_id"),
+        F.explode(trigramsCol(tokens(F.col(textCol)))).as("sh"))
+      .distinct()
+    val freq = sh.groupBy("sh").agg(F.count(F.lit(1)).as("n_docs"))
+    sh.join(freq, "sh")
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_shingles"),
+        F.round(
+          F.sum(F.when(F.col("n_docs") >= 2, 1L).otherwise(0L)).cast("double") /
+            F.count(F.lit(1)), 6).as("overlap_frac"))
+  }
+
+  /** PII patterns (lower-case corpora): email, NNN-NNNN phone, dotted-quad
+    * IP. Java regex and DuckDB's RE2 agree on every construct used here
+    * (char classes, bounded repeats, `\b`).
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiEmailCount(text: Column): Column = F.regexp_count(text, F.lit(EmailRe))
+  def piiPhoneCount(text: Column): Column = F.regexp_count(text, F.lit(PhoneRe))
+  def piiIpCount(text: Column): Column = F.regexp_count(text, F.lit(IpRe))
+
+  /** Masked text: emails, then phones, then IPs (fixed order — the masks are
+    * uppercase/angle-bracketed so later patterns cannot re-match them).
+    * Pure codegen'd `regexp_replace` chain, no UDFs.
+    */
+  def redactPii(text: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(
+        F.regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
 }

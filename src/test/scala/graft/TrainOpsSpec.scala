@@ -288,4 +288,55 @@ class TrainOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("repetitionMetrics: hand-computed top-token and dup-bigram fractions") {
+    val d = Seq(
+      (0L, "a a a b"),          // top a=3/4; bigrams: aa,aa,ab -> dup 2/3
+      (1L, "x y z"),            // all unique: top 1/3, dup 0/2
+      (2L, "w"),                // single token: top 1/1, no bigrams -> 0.0
+      (3L, "p q p q p q")       // top p=3/6; bigrams pq*3,qp*2 -> dup 5/5
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionMetrics(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((4L, 0.75, 0.666667)))
+    assert(got(1L) == ((3L, 0.333333, 0.0)))
+    assert(got(2L) == ((1L, 1.0, 0.0)))
+    assert(got(3L) == ((6L, 0.5, 1.0)))
+    assert(got.size == 4)
+  }
+
+  test("shingleOverlap: shared trigram counted once per doc, distinct fraction") {
+    val d = Seq(
+      (0L, "a b c d"),      // shingles: "a b c","b c d"
+      (1L, "a b c x"),      // shares "a b c" with 0
+      (2L, "q r s q r s q r s"), // repeats its own shingles (distinct within doc!)
+      (3L, "u v")           // < 3 tokens -> no row
+    ).toDF("doc_id", "text")
+    val got = TextOps.shingleOverlap(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0L) == ((2L, 0.5)))   // "a b c" shared, "b c d" unique
+    assert(got(1L) == ((2L, 0.5)))
+    // doc 2: 7 raw trigrams but only 3 distinct, none in other docs
+    assert(got(2L) == ((3L, 0.0)))
+    assert(!got.contains(3L))
+  }
+
+  test("PII: counts and redaction on crafted text") {
+    val d = Seq(
+      (0L, "mail me at jane.doe@example.com or call 555-0123 now"),
+      (1L, "server at 10.0.42.7 and backup 192.168.1.1"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c.d@e-f.org one phone 123-4567")
+    ).toDF("doc_id", "text")
+    val got = d.select(F.col("doc_id"),
+        TextOps.piiEmailCount($"text").cast("int").as("e"),
+        TextOps.piiPhoneCount($"text").cast("int").as("p"),
+        TextOps.piiIpCount($"text").cast("int").as("i"),
+        TextOps.redactPii($"text").as("r"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got(0L) == ((1, 1, 0, "mail me at <EMAIL> or call <PHONE> now")))
+    assert(got(1L) == ((0, 0, 2, "server at <IP> and backup <IP>")))
+    assert(got(2L) == ((0, 0, 0, "no pii here at all")))
+    assert(got(3L)._1 == 2 && got(3L)._2 == 1)
+  }
 }
