@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming document ingestion with exact content-dedup — the streaming
+  * counterpart of `Dedup.exact` for a corpus that arrives continuously
+  * (new crawl segments landing as files/Kafka topics).
+  *
+  * The scale-critical choice is `dropDuplicatesWithinWatermark`, NOT
+  * `dropDuplicates`: a plain streaming dropDuplicates keeps every key ever
+  * seen in the state store — unbounded growth, the 100-TB failure mode. The
+  * watermarked variant expires state once the event-time watermark passes a
+  * key's window, so the store holds only the recent horizon (duplicates in
+  * web crawls cluster in time: recrawls and mirror bursts, which a
+  * few-hours watermark catches; far-apart duplicates are the batch dedup's
+  * job over the materialized table).
+  *
+  * Dedup is keyed on `xxhash64(text)` — the state store carries an 8-byte
+  * key per document in the horizon, never the body.
+  */
+object DocStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("text", StringType)
+  ))
+
+  /** Streaming doc source over a directory of parquet files (new files =
+    * new crawl segments).
+    */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
+  /** First-arrival-wins exact dedup by content hash, state bounded by the
+    * event-time watermark `delay`. On a batch DataFrame the same call
+    * degrades to a plain `dropDuplicates` on the hash (Spark rejects
+    * `dropDuplicatesWithinWatermark` outside streaming) — the spec pins
+    * that the streaming survivor set equals the batch distinct.
+    */
+  def dedupByContent(docs: DataFrame, delay: String): DataFrame = {
+    val hashed = docs.withColumn("content_hash", F.xxhash64(F.col("text")))
+    if (docs.isStreaming)
+      hashed.withWatermark("ts", delay).dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
+  /** Wire source -> dedup -> in-memory sink (tests / demos). */
+  def startMemoryDedup(
+      spark: SparkSession,
+      docsDir: String,
+      delay: String,
+      name: String
+  ): StreamingQuery =
+    dedupByContent(readDocs(spark, docsDir), delay)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(name)
+      .start()
+}

@@ -324,32 +324,38 @@ object TextOps {
     * (Gopher's duplicate-n-gram fraction, n=2). High values flag boilerplate
     * and degenerate repetition; the usual drop thresholds are ~0.2 / ~0.2.
     *
-    * Scale shape: two explode -> two-level hash aggregations, both with
-    * map-side partial agg on (doc_id, gram) — the shuffle carries one row
-    * per DISTINCT gram per doc, not per occurrence. No windows, no driver
-    * state; docs with zero tokens drop out (nothing to measure).
+    * Scale shape: ONE corpus scan — unigrams and bigrams are tagged
+    * ("u:" / "b:") and exploded from a single concatenated gram array, so
+    * one Generate feeds one (doc_id, gram) hash aggregation with map-side
+    * partial agg (the shuffle carries one row per DISTINCT gram per doc,
+    * not per occurrence), and the per-doc fold is a conditional aggregate
+    * over the tag — no second scan, no join, no windows, no driver state.
+    * Docs with zero tokens drop out (nothing to measure).
     */
   def repetitionMetrics(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String
   ): org.apache.spark.sql.DataFrame = {
-    val base = df.select(F.col(idCol).cast("long").as("doc_id"),
-      tokens(F.col(textCol)).as("toks"))
-    val uni = base.select(F.col("doc_id"), F.explode(F.col("toks")).as("tok"))
-      .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).as("c"))
-      .groupBy("doc_id").agg(F.max("c").as("topc"), F.sum("c").as("n_tokens"))
-    val bi = base.select(F.col("doc_id"), F.explode(bigramsCol(F.col("toks"))).as("bg"))
-      .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).as("c"))
+    val toks = tokens(F.col(textCol))
+    // "u:tok" ++ "b:tok tok" in one array; the tag survives the gram-level
+    // aggregation so the doc-level fold can split the families again
+    val grams = F.concat(
+      F.transform(toks, t => F.concat(F.lit("u:"), t)),
+      F.transform(bigramsCol(toks), b => F.concat(F.lit("b:"), b)))
+    val isUni = F.col("gram").startsWith("u:")
+    df.select(F.col(idCol).cast("long").as("doc_id"), F.explode(grams).as("gram"))
+      .groupBy("doc_id", "gram").agg(F.count(F.lit(1)).as("c"))
       .groupBy("doc_id").agg(
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0L)).as("dup"),
-        F.sum("c").as("tot"))
-    uni.join(bi, Seq("doc_id"), "left")
+        F.max(F.when(isUni, F.col("c"))).as("topc"),
+        F.sum(F.when(isUni, F.col("c")).otherwise(0L)).as("n_tokens"),
+        F.sum(F.when(!isUni && F.col("c") > 1, F.col("c")).otherwise(0L)).as("dup"),
+        F.sum(F.when(!isUni, F.col("c")).otherwise(0L)).as("tot"))
       .select(F.col("doc_id"),
         F.col("n_tokens").cast("long").as("n_tokens"),
         F.round(F.col("topc").cast("double") / F.col("n_tokens"), 6).as("top_tok_frac"),
-        F.round(F.coalesce(F.col("dup").cast("double") / F.col("tot"), F.lit(0.0)), 6)
-          .as("dup_bigram_frac"))
+        F.round(F.when(F.col("tot") > 0, F.col("dup").cast("double") / F.col("tot"))
+          .otherwise(0.0), 6).as("dup_bigram_frac"))
   }
 
   /** Cross-document shingle overlap (decontamination-style scoring): for each

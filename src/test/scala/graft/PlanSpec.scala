@@ -125,4 +125,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!dedup.contains("sh_a") && !dedup.contains("sh_b"),
       s"payload columns inside the dedup: $dedup")
   }
+
+  test("repetition metrics: ONE corpus scan feeds both gram families") {
+    // tagged-gram shape: a second scan would double the 100-TB read cost
+    val df = Queries.textRepetition(spark, dir)
+    val scans = planOf(df).linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, saw $scans")
+    assert(planOf(df).contains("partial_count"), "gram count lost its map-side phase")
+  }
+
+  test("shingle overlap: distinct-shingle exchange is computed once (reused)") {
+    // the (doc, shingle) distinct feeds BOTH the frequency agg and the
+    // join probe side; AQE must reuse the shuffle stage, not re-scan
+    val df = Queries.textOverlap(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), s"shingle distinct computed twice:\n$plan")
+  }
 }

@@ -71,6 +71,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming content dedup (watermark-bounded state) matches batch distinct") {
+    import graft.streaming.DocStream
+    val dir = SparkSuite.tmpDir("doc-stream")
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def batch(ids: Range, mod: Int) = ids.map { i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 1000L), s"doc body ${i % mod}")
+    }
+    // two "crawl segments" as separate files; duplicates within AND across
+    // segments (texts cycle mod 4 in both)
+    batch(0 until 10, 4).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    batch(10 until 16, 4).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = DocStream.startMemoryDedup(spark, dir, "1 hour", "doc_dedup")
+    q.awaitTermination()
+    val got = spark.table("doc_dedup").collect()
+      .map(r => r.getAs[String]("text")).toSeq
+    // one survivor per distinct content; survivor set == batch distinct
+    assert(got.sorted == (0 until 4).map(m => s"doc body $m"))
+    // and the same operator on a BATCH frame degrades to plain distinct
+    val asBatch = DocStream.dedupByContent(
+      batch(0 until 16, 4).toDF("doc_id", "ts", "text"), "1 hour")
+    assert(asBatch.count() == 4)
+    assert(asBatch.select("text").collect().map(_.getString(0)).sorted.toSeq ==
+      (0 until 4).map(m => s"doc body $m"))
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions") {
     val dir = SparkSuite.tmpDir("stream-sess")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
