@@ -33,6 +33,7 @@ object SparkEntry {
     // chilon core (real engine path; oracle re-derives from first principles)
     "q_p4_resolve_ns" -> (Queries.p4ResolveNs _),
     "q_a1_summary" -> (Queries.a1Summary _),
+    "q_incr_summary" -> (Queries.incrSummary _),
     "q_o1_stmt_ids" -> (Queries.o1StmtIds _),
     "q_a5_vis_nodes" -> (Queries.a5VisNodes _),
     "q_a6_vis_edges" -> (Queries.a6VisEdges _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "q_sim_topk" -> (Queries.simTopK _),
     "q_sim_lsh" -> (Queries.simLsh _),
     "q_sim_ivf" -> (Queries.simIvf _),
+    "q_embed_quant" -> (Queries.embedQuant _),
     "q_kg_mentions" -> (Queries.kgMentions _),
     "q_text_langid" -> (Queries.textLangId _),
     "q_text_filter" -> (Queries.textFilter _),

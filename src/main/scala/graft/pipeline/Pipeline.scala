@@ -182,6 +182,42 @@ object Pipeline {
     runFromTriples(spark, triples, cfg, triplesDir, metrics)
   }
 
+  /** Incremental Stage C over a new crawl segment: with the registry FROZEN
+    * (inference refreshes are periodic full builds — the same contract as the
+    * reference, which fixes the registry before its Stage 3), the namespace
+    * summary of (previous corpus ∪ delta) is the per-group sum of the
+    * previous summary SNAPSHOT and the delta's own summary
+    * ([[Normalize.mergeSummaries]] — summary counts are additive over
+    * disjoint triple sets). Cost: one distributed pass over the DELTA only;
+    * the previous corpus is never re-read (its summary is group-space-sized).
+    * With `outDir` set the merged summary is snapshotted with lineage =
+    * previous lineage + the delta tag, so a chain of increments records its
+    * full provenance.
+    */
+  def incrementalSummary(
+      spark: SparkSession,
+      prevSummaryDir: String,
+      deltaTriples: DataFrame,
+      registry: Registry,
+      ignoreUnknown: Boolean = false,
+      outDir: Option[String] = None,
+      deltaTag: String = "delta"
+  ): DataFrame = {
+    val bc = spark.sparkContext.broadcast(registry)
+    val prev = spark.read.parquet(prevSummaryDir)
+    val deltaSum = Normalize.summarize(Normalize.normalize(deltaTriples, bc, ignoreUnknown))
+    val merged = Normalize.mergeSummaries(prev, deltaSum)
+    outDir match {
+      case Some(d) =>
+        val rows = merged.count()
+        val prevInputs = Snapshot.readLineage(prevSummaryDir).map(_._2)
+          .getOrElse(Seq(prevSummaryDir))
+        Snapshot.writeSmall(merged, d, "summary", prevInputs :+ deltaTag, rows)
+        spark.read.parquet(d)
+      case None => merged
+    }
+  }
+
   private def runFromTriples(
       spark: SparkSession,
       triples: DataFrame,

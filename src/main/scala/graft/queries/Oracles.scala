@@ -112,6 +112,10 @@ object Oracles {
     "q_a1_summary" -> withT(
       "SELECT s_ns, p_ns, o_ns, is_datatype, occurs FROM summary"),
 
+    // incremental merge (prev-snapshot + delta) must equal the full recompute
+    "q_incr_summary" -> withT(
+      "SELECT s_ns, p_ns, o_ns, is_datatype, occurs FROM summary"),
+
     "q_o1_stmt_ids" -> withT(
       """SELECT printf('#t%04d', CAST(row_number() OVER
         |    (ORDER BY s_ns, p_ns, o_ns, is_datatype) AS INT)) AS stmt_id,
@@ -365,6 +369,28 @@ object Oracles {
     "q_sim_lsh" -> HashSql.srpLshSql(dim = 64, nPlanes = 10, nTables = 4,
       minSim = 0.3, maxBucket = 1000),
     "q_sim_ivf" -> HashSql.ivfFixedSql(dim = 64, nCells = 16, nProbe = 4, k = 5, nQueries = 10),
+
+    // int8 max-abs quantization: identical double arithmetic (float32 widens
+    // exactly), same HALF-AWAY-FROM-ZERO rounding, summation in index order
+    "q_embed_quant" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |      'max') AS DOUBLE) / 127 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, scale, embedding,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(greatest(-127.0, least(127.0,
+        |        round(CAST(x AS DOUBLE) / scale, 0))) AS INT) END) AS codes
+        |  FROM q)
+        |SELECT vec_id, round(scale, 9) AS scale,
+        |  md5(array_to_string(codes, ',')) AS codes_md5,
+        |  round(list_aggregate(list_transform(range(1, len(embedding) + 1),
+        |    i -> pow(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |             - CAST(codes[CAST(i AS INT)] AS DOUBLE) * scale, 2)), 'sum')
+        |    / len(embedding), 9) AS mse
+        |FROM c""".stripMargin,
 
     "q_text_langid" -> langIdSql,
 

@@ -102,6 +102,28 @@ object Queries {
     Normalize.summarize(normalizedDerived(spark, dir))
       .orderBy("s_ns", "p_ns", "o_ns", "is_datatype")
 
+  /** Incremental Stage C through the REAL snapshot+merge path: the even-doc
+    * half of the derived triples is summarized and snapshotted as the
+    * "previous corpus"; the odd half flows through
+    * [[graft.pipeline.Pipeline.incrementalSummary]] as the new crawl
+    * segment. The oracle recomputes the FULL summary over all derived
+    * triples — equality holds because summary counts are additive under a
+    * frozen registry, which is exactly the property the incremental path
+    * relies on at scale.
+    */
+  def incrSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = derivedTriples(spark, dir)
+    val docId = F.substring_index(F.col("srcUrl"), ":", -1).cast("long")
+    val bc = registryBc(spark)
+    val prevDir = java.nio.file.Files.createTempDirectory("graft-incr-prev").toString
+    val prevSum = Normalize.summarize(Normalize.normalize(t.filter(docId % 2 === 0), bc))
+    graft.sinks.Snapshot.writeSmall(prevSum, prevDir, "summary",
+      Seq("derived[even]"), prevSum.count())
+    graft.pipeline.Pipeline
+      .incrementalSummary(spark, prevDir, t.filter(docId % 2 === 1), Registry.community())
+      .orderBy("s_ns", "p_ns", "o_ns", "is_datatype")
+  }
+
   /** O1+O5: statement ids over the min-occurs-filtered, ordered summary. */
   def o1StmtIds(spark: SparkSession, dir: String): DataFrame =
     Normalize.withStatementIds(Normalize.summarize(normalizedDerived(spark, dir)), minOccurs = 10)
@@ -398,6 +420,18 @@ object Queries {
     Similarity.lshNeighbors(emb, "vec_id", "embedding", nPlanes = 10, nTables = 4, minSim = 0.3)
       .orderBy("id_a", "id_b")
   }
+
+  /** Int8 max-abs embedding quantization (ANN index compression step);
+    * codes hashed for the compare, mse = reconstruction error.
+    */
+  def embedQuant(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      .select(F.col("id").as("vec_id"), F.col("scale"),
+        F.md5(F.array_join(F.transform(F.col("codes"), _.cast("string")), ","))
+          .as("codes_md5"),
+        F.col("mse"))
+      .orderBy("vec_id")
 
   def textLangId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

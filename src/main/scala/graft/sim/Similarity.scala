@@ -195,4 +195,34 @@ object Similarity {
       .filter($"sim" >= minSim)
       .select("id_a", "id_b", "sim")
   }
+
+  /** Symmetric int8 max-abs quantization of an embedding column — the
+    * compression step before ANN index build at corpus scale (4x smaller
+    * vectors, SIMD-friendly int8 dot products): per-vector
+    * `scale = max(|x|)/127`, `code_i = clamp(round(x_i/scale), ±127)`.
+    * Pure codegen'd array expressions, one pass, no shuffle — embarrassingly
+    * parallel at any scale. Returns (id, scale, codes, mse); `mse` is the
+    * reconstruction error `mean((x - code*scale)^2)`, the quality signal a
+    * pipeline monitors when deciding int8 vs fp16 per collection. All
+    * arithmetic in explicit double (float32 inputs widen exactly), so the
+    * DuckDB oracle replicates bit-identical values.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = F.col(vecCol)
+    val maxabs = F.aggregate(v, F.lit(0.0), (acc, x) => F.greatest(acc, F.abs(x.cast("double"))))
+    val withScale = df.select(F.col(idCol).as("id"), v.as("vec"), (maxabs / 127.0).as("scale"))
+    val codes = F.transform(F.col("vec"), x =>
+      F.when(F.col("scale") === 0.0, F.lit(0)).otherwise(
+        F.greatest(F.lit(-127.0), F.least(F.lit(127.0),
+          F.round(x.cast("double") / F.col("scale"), 0))).cast("int")))
+    val withCodes = withScale.withColumn("codes", codes)
+    val sqErr = F.zip_with(F.col("vec"), F.col("codes"),
+      (x, c) => F.pow(x.cast("double") - c.cast("double") * F.col("scale"), 2.0))
+    withCodes.select(
+      F.col("id"),
+      F.round(F.col("scale"), 9).as("scale"),
+      F.col("codes"),
+      F.round(F.aggregate(sqErr, F.lit(0.0), (acc, e) => acc + e) / F.size(F.col("vec")), 9)
+        .as("mse"))
+  }
 }

@@ -113,6 +113,19 @@ object Normalize {
       .groupBy("s_ns", "p_ns", "o_ns", "is_datatype")
       .agg(F.count(F.lit(1)).as("occurs"))
 
+  /** Merge summaries by summing per-group counts. Summary counts are
+    * ADDITIVE over disjoint triple sets, so with a frozen registry
+    * `summarize(A ∪ B) == mergeSummaries(summarize(A), summarize(B))` —
+    * the algebra behind incremental Stage-C maintenance
+    * ([[graft.pipeline.Pipeline.incrementalSummary]]): a new crawl segment
+    * only ever aggregates ITS OWN triples; the merge input is two
+    * summary-sized relations (hundreds of rows), never the corpus.
+    */
+  def mergeSummaries(prev: DataFrame, delta: DataFrame): DataFrame =
+    prev.unionByName(delta)
+      .groupBy("s_ns", "p_ns", "o_ns", "is_datatype")
+      .agg(F.sum("occurs").as("occurs"))
+
   /** Deterministic reified-statement ids in lexicographic order (reference
     * BTreeMap iteration order + `#t%04d`, `src/normalize.rs:48-59,640-641`).
     *

@@ -267,6 +267,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(roll.getAs[Long]("iris") == expIris)
   }
 
+  test("incremental summary: prev snapshot + delta segment == full recompute") {
+    val out = SparkSuite.tmpDir("graft-incr-full")
+    val all = Synth.pages(spark, 300)
+    // full run fixes the registry (inference over the whole corpus) and the
+    // reference answer
+    val cfg = Pipeline.Config(outDir = out, minOccurs = 5,
+      minNsSize = 100, minDomainOccurs = 10, resume = false)
+    val res = Pipeline.run(spark, all, cfg)
+    val want = res.summary.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)) -> r.getLong(4))
+      .toMap
+    // "previous corpus" = first 200 pages, summarized under the frozen
+    // registry and snapshotted; "new crawl segment" = the remaining 100
+    val bc = spark.sparkContext.broadcast(res.registry)
+    val prevDir = SparkSuite.tmpDir("graft-incr-prev")
+    val prevSum = graft.summarize.Normalize.summarize(graft.summarize.Normalize.normalize(
+      Pipeline.extractTriples(Synth.pages(spark, 200)).toDF(), bc))
+    graft.sinks.Snapshot.writeSmall(prevSum, prevDir, "summary",
+      Seq("pages[0,200)"), prevSum.count())
+    // Synth urls end "/<id>": keep pages 200..299 as the delta segment
+    val deltaPages = all
+      .filter(F.substring_index(F.col("url"), "/", -1).cast("long") >= 200)
+      .as[graft.model.Page]
+    val deltaTriples = Pipeline.extractTriples(deltaPages).toDF()
+    val mergedDir = SparkSuite.tmpDir("graft-incr-merged")
+    val merged = Pipeline.incrementalSummary(spark, prevDir, deltaTriples,
+      res.registry, outDir = Some(mergedDir), deltaTag = "pages[200,300)")
+    val got = merged.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)) -> r.getLong(4))
+      .toMap
+    assert(got == want)
+    // merged snapshot records the chained lineage
+    val lin = graft.sinks.Snapshot.readLineage(mergedDir)
+    assert(lin.exists(_._2 == Seq("pages[0,200)", "pages[200,300)")))
+  }
+
   test("blank and literal kinds survive the distributed round trip") {
     val pages = Synth.pages(spark, 50)
     val triples = Pipeline.extractTriples(pages).toDF()

@@ -321,6 +321,23 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("int8 quantization: codes, scale and zero-vector guard hand-checked") {
+    val d = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0),
+        (r.getDouble(1), r.getSeq[Int](2).toList, r.getDouble(3)))).toMap
+    val s = 1.0 / 127.0
+    // 0.5/s = 63.5 rounds HALF-AWAY-FROM-ZERO to 64 (pins rounding parity)
+    assert(got(0L)._2 == List(64, -127, 32, 0))
+    assert(math.abs(got(0L)._1 - BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    val exp = (math.pow(0.5 - 64 * s, 2) + 0 + math.pow(0.25 - 32 * s, 2) + 0) / 4
+    assert(math.abs(got(0L)._3 - exp) < 1e-9)
+    assert(got(1L) == ((0.0, List(0, 0, 0, 0), 0.0)))
+  }
+
   test("PII: counts and redaction on crafted text") {
     val d = Seq(
       (0L, "mail me at jane.doe@example.com or call 555-0123 now"),
