@@ -365,4 +365,33 @@ object Dedup {
     edgesIn.unpersist()
     labels
   }
+
+  // ---------- bloom-filter decontamination ------------------------------------
+
+  /** Decontamination gate: drop corpus docs whose exact content appears in a
+    * blocklist (benchmark/eval sets), WITHOUT shuffling the corpus — the
+    * blocklist's xxhash64 set is folded into a Bloom filter (distributed
+    * aggregation over the blocklist only), broadcast, and applied as a
+    * map-side filter. Errors are one-sided in the safe direction: false
+    * positives (rate `fpp`) drop a few extra training docs; false NEGATIVES
+    * cannot occur, so no contaminated doc survives. At 10^12 docs the corpus
+    * never shuffles and the bloom is ~1.2 GB per 10^9 blocklist entries at
+    * 1% fpp (scale the executor broadcast budget, or shard the filter, from
+    * there). The exact alternative is a left_anti join on the hash —
+    * corpus-wide shuffle unless the blocklist broadcasts whole.
+    */
+  def bloomDecontaminate(
+      corpus: DataFrame,
+      textCol: String,
+      blocklist: DataFrame,
+      blockTextCol: String,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val bl = blocklist.select(F.xxhash64(F.col(blockTextCol)).as("h"))
+    val expected = math.max(1L, bl.count())
+    val bf = bl.stat.bloomFilter("h", expected, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val contaminated = F.udf((h: Long) => bc.value.mightContainLong(h))
+    corpus.filter(!contaminated(F.xxhash64(F.col(textCol))))
+  }
 }

@@ -321,6 +321,25 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("bloom decontamination: zero false negatives, bounded over-drop") {
+    val corpus = (0L until 500L).map(i => (i, s"training document number $i"))
+      .toDF("doc_id", "text")
+    val blocked = Seq(7L, 123L, 400L)
+    val blocklist = blocked.map(i => Tuple1(s"training document number $i"))
+      .toDF("bench_text")
+    val kept = Dedup.bloomDecontaminate(corpus, "text", blocklist, "bench_text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the one-sided guarantee: every contaminated doc is gone
+    assert(blocked.forall(b => !kept.contains(b)))
+    // false positives are rare at fpp=0.01 over 500 docs (allow generous slack)
+    assert(kept.size >= 480 && kept.size <= 497)
+    // agreement with the exact anti-join up to false positives only
+    val exact = corpus.join(blocklist,
+        F.col("text") === F.col("bench_text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(exact)) // bloom never keeps what exact drops
+  }
+
   test("int8 quantization: codes, scale and zero-vector guard hand-checked") {
     val d = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
