@@ -371,7 +371,9 @@ object Oracles {
     "q_sim_ivf" -> HashSql.ivfFixedSql(dim = 64, nCells = 16, nProbe = 4, k = 5, nQueries = 10),
 
     // int8 max-abs quantization: identical double arithmetic (float32 widens
-    // exactly), same HALF-AWAY-FROM-ZERO rounding, summation in index order
+    // exactly), same HALF-AWAY-FROM-ZERO code rounding, ordered list_reduce
+    // summation; scale/mse compared as RAW doubles (%.9g canon) — engine
+    // round(,9) algorithms disagree at half boundaries, the raw bits don't
     "q_embed_quant" ->
       """WITH q AS (
         |  SELECT vec_id, embedding,
@@ -384,12 +386,14 @@ object Oracles {
         |      ELSE CAST(greatest(-127.0, least(127.0,
         |        round(CAST(x AS DOUBLE) / scale, 0))) AS INT) END) AS codes
         |  FROM q)
-        |SELECT vec_id, round(scale, 9) AS scale,
+        |SELECT vec_id, scale,
         |  md5(array_to_string(codes, ',')) AS codes_md5,
-        |  round(list_aggregate(list_transform(range(1, len(embedding) + 1),
-        |    i -> pow(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
-        |             - CAST(codes[CAST(i AS INT)] AS DOUBLE) * scale, 2)), 'sum')
-        |    / len(embedding), 9) AS mse
+        |  list_reduce(list_transform(
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+        |           - CAST(codes[CAST(i AS INT)] AS DOUBLE) * scale),
+        |    d -> d * d), (acc, x) -> acc + x)
+        |    / len(embedding) AS mse
         |FROM c""".stripMargin,
 
     "q_text_langid" -> langIdSql,

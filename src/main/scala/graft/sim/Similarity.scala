@@ -216,13 +216,22 @@ object Similarity {
         F.greatest(F.lit(-127.0), F.least(F.lit(127.0),
           F.round(x.cast("double") / F.col("scale"), 0))).cast("int")))
     val withCodes = withScale.withColumn("codes", codes)
-    val sqErr = F.zip_with(F.col("vec"), F.col("codes"),
-      (x, c) => F.pow(x.cast("double") - c.cast("double") * F.col("scale"), 2.0))
+    // residual then explicit d*d (NOT pow: Math.pow vs libm pow can differ in
+    // the last ulp, which flips a round(,9) boundary — seen at sf0.1); the
+    // oracle folds the same products in the same order via list_reduce
+    val sqErr = F.transform(
+      F.zip_with(F.col("vec"), F.col("codes"),
+        (x, c) => x.cast("double") - c.cast("double") * F.col("scale")),
+      d => d * d)
+    // scale/mse emitted as RAW doubles: both engines compute bit-identical
+    // values, but their round(,9) ALGORITHMS disagree when a value sits at a
+    // half boundary (BigDecimal-exact vs multiply-round-divide — seen at
+    // sf0.1), so rounding would INTRODUCE mismatches the raw doubles don't have
     withCodes.select(
       F.col("id"),
-      F.round(F.col("scale"), 9).as("scale"),
+      F.col("scale"),
       F.col("codes"),
-      F.round(F.aggregate(sqErr, F.lit(0.0), (acc, e) => acc + e) / F.size(F.col("vec")), 9)
+      (F.aggregate(sqErr, F.lit(0.0), (acc, e) => acc + e) / F.size(F.col("vec")))
         .as("mse"))
   }
 }

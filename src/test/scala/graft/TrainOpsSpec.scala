@@ -351,7 +351,7 @@ class TrainOpsSpec extends AnyFunSuite {
     val s = 1.0 / 127.0
     // 0.5/s = 63.5 rounds HALF-AWAY-FROM-ZERO to 64 (pins rounding parity)
     assert(got(0L)._2 == List(64, -127, 32, 0))
-    assert(math.abs(got(0L)._1 - BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(got(0L)._1 == s) // raw double scale: exactly 1.0/127.0
     val exp = (math.pow(0.5 - 64 * s, 2) + 0 + math.pow(0.25 - 32 * s, 2) + 0) / 4
     assert(math.abs(got(0L)._3 - exp) < 1e-9)
     assert(got(1L) == ((0.0, List(0, 0, 0, 0), 0.0)))
