@@ -209,10 +209,16 @@ object Pipeline {
     val merged = Normalize.mergeSummaries(prev, deltaSum)
     outDir match {
       case Some(d) =>
-        val rows = merged.count()
-        val prevInputs = Snapshot.readLineage(prevSummaryDir).map(_._2)
-          .getOrElse(Seq(prevSummaryDir))
-        Snapshot.writeSmall(merged, d, "summary", prevInputs :+ deltaTag, rows)
+        // cache before count+write: otherwise the prev-snapshot read, delta
+        // normalize/summarize and merge execute TWICE (once per action); the
+        // merged summary is group-space-sized, so the cache is tiny
+        merged.persist()
+        try {
+          val rows = merged.count()
+          val prevInputs = Snapshot.readLineage(prevSummaryDir).map(_._2)
+            .getOrElse(Seq(prevSummaryDir))
+          Snapshot.writeSmall(merged, d, "summary", prevInputs :+ deltaTag, rows)
+        } finally merged.unpersist()
         spark.read.parquet(d)
       case None => merged
     }

@@ -17,8 +17,11 @@ import org.apache.spark.sql.types._
   * few-hours watermark catches; far-apart duplicates are the batch dedup's
   * job over the materialized table).
   *
-  * Dedup is keyed on `xxhash64(text)` — the state store carries an 8-byte
-  * key per document in the horizon, never the body.
+  * Dedup is keyed on `(xxhash64(text), md5(text))` — the same dual-hash
+  * collision guarantee as the batch path (`Dedup.exact` keys on
+  * md5+xxhash64+length precisely so a single 64-bit collision cannot drop a
+  * distinct document). The state store carries ~40 bytes per key in the
+  * horizon, never the body.
   */
 object DocStream {
 
@@ -41,10 +44,13 @@ object DocStream {
     * that the streaming survivor set equals the batch distinct.
     */
   def dedupByContent(docs: DataFrame, delay: String): DataFrame = {
-    val hashed = docs.withColumn("content_hash", F.xxhash64(F.col("text")))
+    val hashed = docs
+      .withColumn("content_hash", F.xxhash64(F.col("text")))
+      .withColumn("content_md5", F.md5(F.col("text")))
     if (docs.isStreaming)
-      hashed.withWatermark("ts", delay).dropDuplicatesWithinWatermark("content_hash")
-    else hashed.dropDuplicates("content_hash")
+      hashed.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("content_hash", "content_md5")
+    else hashed.dropDuplicates("content_hash", "content_md5")
   }
 
   /** Wire source -> dedup -> in-memory sink (tests / demos). */
