@@ -277,6 +277,12 @@ object Oracles {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
 
+    // exact decontamination: content-level anti join (hash equality == text
+    // equality absent 64-bit collisions, which the oracle would expose)
+    "q_decontam_exact" ->
+      """SELECT doc_id FROM documents
+        |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 7 = 0)""".stripMargin,
+
     "q_dedup_token_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
         |toks AS (SELECT DISTINCT doc_id, u.tok FROM d,
@@ -419,20 +425,24 @@ object Oracles {
 
     "q_split_train_val" -> HashSql.splitSql(valPermille = 50, seed = 42L),
 
-    // corpus unigram LM: identical two-level aggregation (token freq ->
-    // per-doc mean -ln(freq/total)); docs with zero tokens drop out of the
-    // join on both sides
+    // corpus unigram LM: mirrors the engine's single-scan shape — aggregate
+    // to (doc, tok, cnt) pairs, derive freq/total from that relation, score
+    // by the cnt-weighted fold sum(cnt·-ln(freq/total))/sum(cnt); docs with
+    // zero tokens drop out of the join on both sides
     "q_text_unigram_lm" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-         |    x -> len(x) > 0)) AS tok
-         |  FROM documents),
-         |freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+      s"""WITH dt AS (
+         |  SELECT doc_id, tok, count(*) AS cnt FROM (
+         |    SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> len(x) > 0)) AS tok
+         |    FROM documents)
+         |  GROUP BY doc_id, tok),
+         |freq AS (SELECT tok, sum(cnt) AS freq FROM dt GROUP BY tok),
          |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM freq)
-         |SELECT t.doc_id,
-         |  round(avg(-ln(f.freq / (SELECT total FROM tot))), 6) AS neg_logprob
-         |FROM toks t JOIN freq f ON f.tok = t.tok
-         |GROUP BY t.doc_id""".stripMargin,
+         |SELECT dt.doc_id,
+         |  round(sum(dt.cnt * -ln(f.freq / (SELECT total FROM tot)))
+         |    / CAST(sum(dt.cnt) AS DOUBLE), 6) AS neg_logprob
+         |FROM dt JOIN freq f ON f.tok = dt.tok
+         |GROUP BY dt.doc_id""".stripMargin,
 
     // pack_id = floor(exclusive id-ordered cumsum of tokens / budget); the
     // oracle's global window IS the semantics the engine's two-pass
@@ -482,8 +492,8 @@ object Oracles {
          |bm AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
          |        sum(c) AS tot FROM bc GROUP BY 1)
          |SELECT um.doc_id, CAST(um.n AS BIGINT) AS n_tokens,
-         |  round(um.topc * 1.0 / um.n, 6) AS top_tok_frac,
-         |  round(COALESCE(bm.dup * 1.0 / bm.tot, 0.0), 6) AS dup_bigram_frac
+         |  um.topc * 1.0 / um.n AS top_tok_frac,
+         |  COALESCE(bm.dup * 1.0 / bm.tot, 0.0) AS dup_bigram_frac
          |FROM um LEFT JOIN bm ON bm.doc_id = um.doc_id""".stripMargin,
 
     // cross-document trigram overlap: distinct (doc, shingle) -> shingle doc
@@ -497,7 +507,7 @@ object Oracles {
          |  FROM t WHERE len(toks) >= 3)),
          |f AS (SELECT sh, count(*) AS n_docs FROM s GROUP BY 1)
          |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-         |  round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         |  sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*)
          |    AS overlap_frac
          |FROM s JOIN f ON f.sh = s.sh
          |GROUP BY s.doc_id""".stripMargin,
@@ -524,35 +534,44 @@ object Oracles {
          |    '$piiIpRe', '<IP>', 'g')) AS redacted_md5
          |FROM a""".stripMargin,
 
-    // grouped corpus stats; quantile_cont == Spark's exact `percentile`
+    // grouped corpus stats; quantile_cont == Spark's exact `percentile`;
+    // raw doubles — integer sums are exact, so avg/percentiles agree bitwise
     "q_corpus_stats" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  round(avg(n_chars), 6) AS avg_chars,
-        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
-        |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+        |  avg(n_chars) AS avg_chars,
+        |  quantile_cont(n_chars, 0.5) AS p50_chars,
+        |  quantile_cont(n_chars, 0.9) AS p90_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
 
+    // real decode: the generation rule (Media.genWidth/genHeight/genFormat/
+    // genRgb) recomputed in closed form; Spark recovers the same values from
+    // the actual PNG/BMP bytes via javax.imageio — dims, container format,
+    // and the two corner-pixel RGB probes (header parsing alone can't fake
+    // px00/px_last)
     "q_media_meta" ->
-      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(16 + octet_length(encode(text)) % 32 AS INT) AS width,
-        |  CAST(16 + (octet_length(encode(text)) * 7) % 32 AS INT) AS height,
-        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
-        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
-        |       ELSE 'webp' END AS format
-        |FROM documents""".stripMargin,
+      """WITH m AS (SELECT doc_id AS id,
+        |  8 + doc_id % 57 AS w, 8 + (doc_id * 3) % 41 AS h FROM documents)
+        |SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST((id % 256) * 65536 + ((id * 3) % 256) * 256 + (id * 7) % 256
+        |    AS INT) AS px00,
+        |  CAST(((id + (w - 1) + 2 * (h - 1)) % 256) * 65536
+        |     + ((id * 3 + 5 * (w - 1) + (h - 1)) % 256) * 256
+        |     + ((id * 7 + (w - 1) + 3 * (h - 1)) % 256) AS INT) AS px_last
+        |FROM m""".stripMargin,
 
+    // real transcode: box-fit integer math over the generated dims; Spark's
+    // emitted dims come from re-decoding the resampled, re-encoded bytes
     "q_media_resize" ->
-      """WITH m AS (
-        |  SELECT doc_id AS id,
-        |    CAST(16 + octet_length(encode(text)) % 32 AS INT) AS w0,
-        |    CAST(16 + (octet_length(encode(text)) * 7) % 32 AS INT) AS h0
-        |  FROM documents)
+      """WITH m AS (SELECT doc_id AS id,
+        |  8 + doc_id % 57 AS w0, 8 + (doc_id * 3) % 41 AS h0 FROM documents)
         |SELECT id,
         |  CAST(CASE WHEN greatest(w0, h0) <= 24 THEN w0
         |       ELSE greatest(1, w0 * 24 // greatest(w0, h0)) END AS INT) AS width,
         |  CAST(CASE WHEN greatest(w0, h0) <= 24 THEN h0
-        |       ELSE greatest(1, h0 * 24 // greatest(w0, h0)) END AS INT) AS height
+        |       ELSE greatest(1, h0 * 24 // greatest(w0, h0)) END AS INT) AS height,
+        |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
         |FROM m""".stripMargin,
 
     "q_media_frames" ->

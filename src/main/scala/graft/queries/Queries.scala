@@ -295,6 +295,20 @@ object Queries {
     Dedup.exact(docs(spark, dir), "doc_id", "text")
       .select("keep_id", "n_dups").orderBy("keep_id")
 
+  /** Exact decontamination gate (the audited semantics the bloom variant
+    * approximates): every 7th document's text stands in for a benchmark/eval
+    * blocklist; kept = corpus docs whose content hash misses the broadcast
+    * blocklist (left_anti on xxhash64 — Dedup.exactDecontaminate). Note the
+    * gate is by CONTENT, so a non-blocklist doc sharing text with a
+    * blocklisted one drops too — exactly what decontamination wants.
+    */
+  def decontamExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val blocklist = d.filter(F.col("doc_id") % 7 === 0).select("text")
+    Dedup.exactDecontaminate(d, "text", blocklist, "text")
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** The `doc_id < 60` gate is a property of THIS synthetic table, not of the
     * operator: documents.text draws from a 31-token vocabulary where every
     * token has df ≈ 0.8·N, so no df cap can bind without emptying the token
@@ -534,34 +548,38 @@ object Queries {
       .agg(
         F.count(F.lit(1)).as("n_docs"),
         F.sum("n_chars").cast("long").as("total_chars"),
-        F.round(F.avg("n_chars"), 6).as("avg_chars"),
-        F.round(F.expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
-        F.round(F.expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
+        // raw doubles (ADVICE r3): integer sums stay exact below 2^53, so
+        // avg and the interpolated percentiles are bit-identical across
+        // engines, while per-engine round(,6) diverges at half boundaries
+        F.avg("n_chars").as("avg_chars"),
+        F.expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        F.expr("percentile(n_chars, 0.9)").as("p90_chars"))
       .orderBy("lang", "source")
 
+  /** REAL image decode: payloads are genuine PNG/BMP images synthesized
+    * under Media's deterministic generation rule (dims + pixel channels are
+    * closed-form in the id), decoded back with `javax.imageio`. The oracle
+    * recomputes dims/format AND the two corner-pixel RGB probes from the
+    * rule — Spark must recover them from the actual bytes.
+    */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
-    // binary plumbing: encode text as the opaque payload, run the stub decode
-    val withPayload = docs(spark, dir)
-      .select(F.col("doc_id").as("id"), F.encode(F.col("text"), "UTF-8").as("payload"))
     import spark.implicits._
-    val rows = withPayload.withColumn("kind", F.lit("image"))
-      .as[(Long, Array[Byte], String)]
-      .map { case (id, p, k) => Media.MediaRow(id, p, k) }
+    val rows = docs(spark, dir).select(F.col("doc_id")).as[Long]
+      .map(id => Media.MediaRow(id, Media.encodeImage(id), "image"))
     Media.extractMeta(rows).toDF()
-      .select("id", "n_bytes", "width", "height", "format").orderBy("id")
+      .select("id", "width", "height", "format", "px00", "px_last").orderBy("id")
   }
 
-  /** Resize (aspect-preserving integer box fit) over the stub-decoded
-    * metadata — the metadata transform of a real transcoder, SQL-exact.
+  /** Real transcode round trip: decode → Graphics2D box-fit resample →
+    * re-encode (same format) → re-decode; emitted dims come from the
+    * transcoded bytes.
     */
   def mediaResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = docs(spark, dir)
-      .select(F.col("doc_id").as("id"), F.encode(F.col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, p) => Media.MediaRow(id, p, "image") }
-    Media.resize(Media.extractMeta(rows), maxDim = 24).toDF()
-      .select("id", "width", "height").orderBy("id")
+    val rows = docs(spark, dir).select(F.col("doc_id")).as[Long]
+      .map(id => Media.MediaRow(id, Media.encodeImage(id), "image"))
+    Media.resize(rows, maxDim = 24).toDF()
+      .select("id", "width", "height", "format").orderBy("id")
   }
 
   def mediaFrames(spark: SparkSession, dir: String): DataFrame = {

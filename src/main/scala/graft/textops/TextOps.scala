@@ -234,23 +234,34 @@ object TextOps {
     * perplexity-filter signal used by CCNet/CC-Net-style pipelines, with the
     * corpus itself as the model).
     *
-    * Scale shape: two shuffles — (1) explode tokens -> groupBy(token) count
-    * with map-side partial aggregation (vocab-sized result, zipf-collapsed),
-    * (2) tokens join freq on token (sort-merge or broadcast when the vocab
-    * is small) -> groupBy(doc) mean. Documents with zero tokens score NULL.
+    * Scale shape — ONE corpus scan, no occurrence-level shuffle on a bare
+    * token key (zipf-hot: every "the" occurrence would route to one
+    * reducer): (1) aggregate to `(id, tok, cnt)` — the only corpus-sized
+    * shuffle, keyed on the (doc, token) PAIR (hash-spread across reducers
+    * even for stop words) with map-side partial agg, one row per DISTINCT
+    * pair; (2) token frequencies re-aggregate THAT relation (vocab-sized
+    * partials — Catalyst reuses the stage-1 exchange, so the scan and
+    * tokenize run once); (3) the vocab-sized freq table (with the corpus
+    * total attached via a 1-row broadcast cross join, keeping the whole plan
+    * lazy — no driver collect) BROADCASTS back onto the pair relation.
+    * Score = `sum(cnt·-ln(freq/total)) / sum(cnt)` — identical value to the
+    * per-occurrence mean. Documents with zero tokens drop out.
     */
   def unigramLogProb(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String
   ): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(F.col(idCol).as("id"),
+    val docTok = df.select(F.col(idCol).as("id"),
         F.explode(tokens(F.col(textCol))).as("tok"))
-    val freq = toks.groupBy("tok").agg(F.count(F.lit(1)).as("freq"))
-    val total = freq.agg(F.sum("freq")).collect()(0).getLong(0).toDouble
-    toks.join(freq, "tok")
+      .groupBy("id", "tok").agg(F.count(F.lit(1)).as("cnt"))
+    val freq = docTok.groupBy("tok").agg(F.sum("cnt").as("freq"))
+    val tot = freq.agg(F.sum("freq").cast("double").as("total"))
+    docTok.join(F.broadcast(freq.crossJoin(F.broadcast(tot))), "tok")
       .groupBy(F.col("id"))
-      .agg(F.round(F.avg(-F.log(F.col("freq") / total)), 6).as("neg_logprob"))
+      .agg(F.round(
+        F.sum(F.col("cnt") * -F.log(F.col("freq") / F.col("total"))) /
+          F.sum("cnt"), 6).as("neg_logprob"))
   }
 
   /** Polynomial rolling-hash fingerprint of the first `n` chars:
@@ -353,9 +364,12 @@ object TextOps {
         F.sum(F.when(!isUni, F.col("c")).otherwise(0L)).as("tot"))
       .select(F.col("doc_id"),
         F.col("n_tokens").cast("long").as("n_tokens"),
-        F.round(F.col("topc").cast("double") / F.col("n_tokens"), 6).as("top_tok_frac"),
-        F.round(F.when(F.col("tot") > 0, F.col("dup").cast("double") / F.col("tot"))
-          .otherwise(0.0), 6).as("dup_bigram_frac"))
+        // RAW double ratios (ADVICE r3): the divisions of exact small
+        // integers are bit-identical across engines, while per-engine
+        // round(,6) algorithms disagree at half boundaries
+        (F.col("topc").cast("double") / F.col("n_tokens")).as("top_tok_frac"),
+        F.when(F.col("tot") > 0, F.col("dup").cast("double") / F.col("tot"))
+          .otherwise(0.0).as("dup_bigram_frac"))
   }
 
   /** Cross-document shingle overlap (decontamination-style scoring): for each
@@ -366,26 +380,32 @@ object TextOps {
     * Scale shape: per-doc distinct shingles (one shuffle keyed on
     * (doc, shingle) with partial agg), then a shingle-keyed count — because
     * the first distinct emits each shingle once per doc, `count(*)` IS the
-    * containing-doc count — joined back and folded per doc. At 100 TB the
-    * shingle strings would be xxhash64'd to 8-byte keys before the shuffle
-    * (identical plan shape, ~10x less wire); kept as strings here so the
-    * DuckDB oracle compares true shingles with zero hash-collision caveats.
+    * containing-doc count — joined back and folded per doc.
+    *
+    * `hashShingles = true` is the at-scale wire format: shingles shuffle as
+    * `xxhash64` 8-byte keys instead of trigram strings (~10x less wire,
+    * identical plan shape; a 64-bit collision can only mark a unique shingle
+    * as shared — one-sided, vanishing). The string form stays the
+    * oracle-checked default; parity is spec-pinned (TrainOpsSpec).
     */
   def shingleOverlap(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
-      textCol: String
+      textCol: String,
+      hashShingles: Boolean = false
   ): org.apache.spark.sql.DataFrame = {
+    val grams = trigramsCol(tokens(F.col(textCol)))
     val sh = df.select(F.col(idCol).cast("long").as("doc_id"),
-        F.explode(trigramsCol(tokens(F.col(textCol)))).as("sh"))
+        F.explode(
+          if (hashShingles) F.transform(grams, g => F.xxhash64(g)) else grams).as("sh"))
       .distinct()
     val freq = sh.groupBy("sh").agg(F.count(F.lit(1)).as("n_docs"))
     sh.join(freq, "sh")
       .groupBy("doc_id")
       .agg(F.count(F.lit(1)).as("n_shingles"),
-        F.round(
-          F.sum(F.when(F.col("n_docs") >= 2, 1L).otherwise(0L)).cast("double") /
-            F.count(F.lit(1)), 6).as("overlap_frac"))
+        // raw double ratio of exact counts (see repetitionMetrics note)
+        (F.sum(F.when(F.col("n_docs") >= 2, 1L).otherwise(0L)).cast("double") /
+          F.count(F.lit(1))).as("overlap_frac"))
   }
 
   /** PII patterns (lower-case corpora): email, NNN-NNNN phone, dotted-quad

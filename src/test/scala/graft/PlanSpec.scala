@@ -55,6 +55,18 @@ class PlanSpec extends AnyFunSuite {
       s"queries not broadcast:\n$plan")
   }
 
+  test("top-k selection is a bounded partial aggregation, not a per-query window") {
+    // the Q-partition window shape (row_number over partitionBy(query_id))
+    // shuffles ALL scored rows into Q reducers; the bounded TopKAgg reduces
+    // each map task's slice to ≤k rows before the shuffle (VERDICT r3 #3)
+    Seq(Queries.simTopK(spark, dir), Queries.simIvf(spark, dir)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("Window"), s"per-query window over the scored set:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"top-k aggregator lost its partial phase:\n$plan")
+    }
+  }
+
   test("prefix counting is a two-phase (partial/final) aggregation") {
     val plan = planOf(Queries.a2PrefixCounts(spark, dir))
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2)
@@ -141,5 +153,23 @@ class PlanSpec extends AnyFunSuite {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange"), s"shingle distinct computed twice:\n$plan")
+  }
+
+  test("unigram LM: one corpus scan, (id,tok) exchange reused, freq broadcast") {
+    // the fixed plan shape (VERDICT r3 #3): the only corpus-sized shuffle is
+    // keyed on the (doc, token) PAIR; the vocab-sized freq table re-aggregates
+    // that exchange (reused, so the scan+tokenize run once) and BROADCASTS
+    // back — never a sort-merge/shuffle join on the zipf-hot bare token key
+    val df = Queries.textUnigramLm(spark, dir)
+    df.collect()
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" — count
+    // scans only in the final (actually executed) section
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"(id,tok) exchange computed twice:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"freq table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"occurrence-level shuffle join on the bare token key:\n$plan")
   }
 }

@@ -68,4 +68,29 @@ class SkewStressSpec extends AnyFunSuite {
     // identical vectors all land in the same bucket per table (> cap) -> dropped
     assert(!pairs.collect().exists(r => r.getLong(0) < 3000 && r.getLong(1) < 3000))
   }
+
+  test("unigram LM on a hot-token corpus: pair-keyed shuffle, no token-key join") {
+    // one stop word dominates every document (zipf head). The fixed plan
+    // aggregates to (doc, tok, cnt) BEFORE any token-keyed work, so the
+    // occurrence count never rides a shuffle keyed on the hot token — the
+    // corpus-sized exchange is keyed on the hash-spread (doc, token) pair and
+    // the freq table comes back as a broadcast, never a shuffle join.
+    val hot = (0L until 200L).map { i =>
+      (i, ("the " * 500) + s"rare$i unique$i")
+    }.toDF("doc_id", "text")
+    val scored = graft.textops.TextOps.unigramLogProb(hot, "doc_id", "text")
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"hot token key reached a shuffle join:\n$plan")
+    // value check: every doc has 500 'the' + 2 singletons; total = 200*502
+    val total = 200.0 * 502
+    val pThe = (200.0 * 500) / total
+    val pRare = 1.0 / total
+    val expect = BigDecimal((500 * -math.log(pThe) + 2 * -math.log(pRare)) / 502)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 200)
+    assert(got.values.forall(v => math.abs(v - expect) < 2e-6), s"got ${got(0L)} want $expect")
+  }
 }

@@ -148,30 +148,59 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(fp(0L) == fp(2L) && fp(0L) != fp(3L))
   }
 
-  test("multimodal: stub decode plumbing via mapPartitions and frame explode") {
-    val rows = Seq(
-      Media.MediaRow(1L, Array[Byte](1, 2, 3, 4, 5), "image"),
-      Media.MediaRow(2L, Array.fill[Byte](100)(7), "video"),
-      Media.MediaRow(3L, Array.emptyByteArray, "audio")
-    ).toDS()
+  test("multimodal: REAL decode recovers generation-rule dims, format, pixels") {
+    // encode under the rule, decode with the real codec (javax.imageio):
+    // the round trip must recover dims + container format + raster values
+    val ids = Seq(0L, 1L, 7L, 56L, 57L, 100L, 4999L)
+    val rows = ids.map(id => Media.MediaRow(id, Media.encodeImage(id), "image")).toDS()
     val meta = Media.extractMeta(rows).collect().map(m => m.id -> m).toMap
-    assert(meta(1L).n_bytes == 5 && meta(1L).width == 21 && meta(1L).format == "webp")
-    assert(meta(3L).n_bytes == 0 && meta(3L).format == "png")
-    val frames = Media.sampleFrames(rows).collect()
+    ids.foreach { id =>
+      val m = meta(id)
+      assert(m.width == Media.genWidth(id) && m.height == Media.genHeight(id),
+        s"id=$id dims ${m.width}x${m.height}")
+      assert(m.format == Media.genFormat(id), s"id=$id format ${m.format}")
+      assert(m.px00 == Media.genRgb(id, 0, 0))
+      assert(m.px_last == Media.genRgb(id, m.width - 1, m.height - 1))
+      assert(m.n_bytes > 0)
+    }
+    // FULL raster fidelity on one image: every pixel round-trips exactly
+    // (PNG and BMP are lossless)
+    Seq(4L, 9L).foreach { id =>
+      val Some((_, img)) = Media.tryDecode(Media.encodeImage(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert((img.getRGB(x, y) & 0xffffff) == Media.genRgb(id, x, y), s"id=$id ($x,$y)")
+    }
+    // undecodable payloads degrade observably, not silently
+    val junk = Seq(
+      Media.MediaRow(900L, Array[Byte](1, 2, 3, 4, 5), "audio"),
+      Media.MediaRow(901L, Array.emptyByteArray, "audio")).toDS()
+    val jm = Media.extractMeta(junk).collect().map(m => m.id -> m).toMap
+    assert(jm(900L).format == "undecodable" && jm(900L).width == 0)
+    assert(jm(901L).format == "undecodable" && jm(901L).n_bytes == 0)
+    // frame sampling over an opaque byte stream probes the actual bytes
+    val vid = Seq(Media.MediaRow(2L, Array.fill[Byte](100)(7), "video")).toDS()
+    val frames = Media.sampleFrames(vid).collect()
     assert(frames.count(_.id == 2L) == (1 + 100 % 8))
     assert(frames.filter(_.id == 2L).forall(_.checksum == 7L))
-    // columnar stub path produces identical metadata
-    val df = rows.toDF().select($"id", $"payload")
-    val cols = Media.metaColumns(df, "id", "payload", "image").collect()
-      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("n_bytes"), r.getAs[Int]("width"), r.getAs[String]("format")))).toMap
-    assert(cols(1L) == ((5L, 21, "webp")))
-    // resize: aspect-preserving box fit, no-op when already inside the box
-    val resized = Media.resize(Media.extractMeta(rows), maxDim = 16).collect().map(m => m.id -> m).toMap
-    resized.values.foreach(m => assert(m.width <= 16 && m.height <= 16))
-    val m1 = Media.decodeStub(1L, "image", Array[Byte](1, 2, 3, 4, 5)) // 21x19
-    val r1 = Media.resizeStub(m1, 16)
-    assert(r1.width == 16 && r1.height == 19 * 16 / 21)
-    assert(Media.resizeStub(r1, 64) == r1) // no upscale
+  }
+
+  test("multimodal: real resample round trip (decode-resize-encode-decode)") {
+    // id=20: 28x27 -> box 16 gives 16x(27*16/28)=16x15; id=6: 14x26 -> 8x16
+    val cases = Map(20L -> ((16, 15)), 6L -> ((8, 16)))
+    val rows = cases.keys.toSeq.map(id =>
+      Media.MediaRow(id, Media.encodeImage(id), "image")).toDS()
+    val resized = Media.resize(rows, maxDim = 16).collect().map(m => m.id -> m).toMap
+    cases.foreach { case (id, (w, h)) =>
+      val m = resized(id)
+      assert((m.width, m.height) == ((w, h)), s"id=$id got ${m.width}x${m.height}")
+      assert(m.format == Media.genFormat(id)) // re-encoded in the source format
+    }
+    // inside the box: payload passes through byte-identical (no upscale)
+    val small = Media.MediaRow(0L, Media.encodeImage(0L), "image") // 8x8
+    assert(Media.resizePayload(small.payload, 16).sameElements(small.payload))
+    // pure fit math
+    assert(Media.fitBox(65, 24, 16) == ((16, 5)))
+    assert(Media.fitBox(10, 10, 16) == ((10, 10)))
   }
 
   test("unigramLogProb matches a hand-computed corpus model") {
@@ -298,8 +327,8 @@ class TrainOpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val got = TextOps.repetitionMetrics(d, "doc_id", "text")
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
-    assert(got(0L) == ((4L, 0.75, 0.666667)))
-    assert(got(1L) == ((3L, 0.333333, 0.0)))
+    assert(got(0L) == ((4L, 0.75, 2.0 / 3)))  // raw double ratios (ADVICE r3)
+    assert(got(1L) == ((3L, 1.0 / 3, 0.0)))
     assert(got(2L) == ((1L, 1.0, 0.0)))
     assert(got(3L) == ((6L, 0.5, 1.0)))
     assert(got.size == 4)
@@ -321,6 +350,23 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("hashed-key wire format: jaccard and shingle overlap match string keys") {
+    // the at-scale option (8-byte xxhash64 keys on the shuffle instead of
+    // gram strings) must be a pure wire-format change: identical pairs,
+    // scores and per-doc fractions on a corpus with shared + unique grams
+    val d = (0L until 40L).map { i =>
+      (i, s"shared prefix tokens alpha beta gamma doc${i % 8} tail${i % 5} w$i")
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(canon(Dedup.tokenJaccardPairs(d, "doc_id", "text", 0.5)) ==
+      canon(Dedup.tokenJaccardPairs(d, "doc_id", "text", 0.5, hashKeys = true)))
+    assert(canon(Dedup.ngramJaccardPairs(d, "doc_id", "text", 4, 0.5)) ==
+      canon(Dedup.ngramJaccardPairs(d, "doc_id", "text", 4, 0.5, hashKeys = true)))
+    assert(canon(TextOps.shingleOverlap(d, "doc_id", "text")) ==
+      canon(TextOps.shingleOverlap(d, "doc_id", "text", hashShingles = true)))
+  }
+
   test("bloom decontamination: zero false negatives, bounded over-drop") {
     val corpus = (0L until 500L).map(i => (i, s"training document number $i"))
       .toDF("doc_id", "text")
@@ -338,6 +384,18 @@ class TrainOpsSpec extends AnyFunSuite {
         F.col("text") === F.col("bench_text"), "left_anti")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.subsetOf(exact)) // bloom never keeps what exact drops
+
+    // the exact gate (the audited semantics): equals the text-level anti
+    // join, and the bloom keep set is a subset of it by construction
+    val exactOp = Dedup.exactDecontaminate(corpus, "text", blocklist, "bench_text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactOp == exact)
+    assert(kept.subsetOf(exactOp))
+    // expectedItems hint path: same result, no count pass over the blocklist
+    val hinted = Dedup.bloomDecontaminate(corpus, "text", blocklist, "bench_text",
+      expectedItems = Some(3L)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(blocked.forall(b => !hinted.contains(b)))
+    assert(hinted.subsetOf(exactOp))
   }
 
   test("int8 quantization: codes, scale and zero-vector guard hand-checked") {
