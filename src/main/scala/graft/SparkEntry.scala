@@ -53,6 +53,7 @@ object SparkEntry {
     "q_kg_triples" -> (Queries.kgTriples _),
     // training-data operators
     "q_dedup_exact" -> (Queries.dedupExact _),
+    "q_decontam_exact" -> (Queries.decontamExact _),
     "q_dedup_token_jaccard" -> (Queries.dedupTokenJaccard _),
     "q_dedup_ngram" -> (Queries.dedupNgram _),
     "q_dedup_minhash" -> (Queries.dedupMinhash _),

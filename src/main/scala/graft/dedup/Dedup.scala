@@ -225,13 +225,13 @@ object Dedup {
     * oracle mirrors the cap 1:1.
     */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      maxDf: Int = 10000): DataFrame =
+      maxDf: Int = 10000, hashKeys: Boolean = false): DataFrame =
     setJaccardPairs(
       df.select(
         F.col(idCol).as("id"),
         F.explode(F.array_distinct(
           F.filter(F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"), t => F.length(t) > 0))).as("tok")),
-      threshold, maxDf)
+      threshold, maxDf, hashKeys)
 
   /** Character n-gram Jaccard pairs: same inverted-index shape over the
     * lowercased text's sliding n-grams (whitespace/punctuation included —
@@ -241,7 +241,7 @@ object Dedup {
     * contributes nothing.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, maxDf: Int = 10000): DataFrame = {
+      threshold: Double, maxDf: Int = 10000, hashKeys: Boolean = false): DataFrame = {
     val t = s"lower($textCol)"
     val grams = F.when(F.length(F.col(textCol)) === 0, F.expr("CAST(array() AS array<string>)"))
       .when(F.length(F.col(textCol)) < n, F.array(F.expr(t)))
@@ -250,15 +250,27 @@ object Dedup {
     setJaccardPairs(
       df.select(F.col(idCol).as("id"),
         F.explode(F.array_distinct(grams)).as("tok")),
-      threshold, maxDf)
+      threshold, maxDf, hashKeys)
   }
 
   /** Shared inverted-index set-Jaccard core over (id, tok) element rows:
     * df-cap (a token's document frequency IS its bucket size), shared-element
     * blocking join, exact |A∩B| / |A∪B| from the join + per-set sizes.
+    *
+    * `hashKeys = true` is the at-scale wire format: elements shuffle and join
+    * as `xxhash64` 8-byte keys instead of gram/token strings (~10x less wire
+    * for char-trigram sets; same plan shape). Semantics are exact up to
+    * 64-bit collisions INSIDE one blocking bucket — vanishingly rare and
+    * one-sided (a collision can only merge two distinct grams, inflating an
+    * intersection by 1). The string-key form stays the oracle-checked
+    * default; hashed-vs-string parity is spec-pinned (TrainOpsSpec).
     */
-  def setJaccardPairs(rawToks: DataFrame, threshold: Double, maxDf: Int): DataFrame = {
-    val toks = capBuckets(rawToks, Seq("tok"), maxDf)
+  def setJaccardPairs(rawToks: DataFrame, threshold: Double, maxDf: Int,
+      hashKeys: Boolean = false): DataFrame = {
+    val elems =
+      if (hashKeys) rawToks.select(F.col("id"), F.xxhash64(F.col("tok")).as("tok"))
+      else rawToks
+    val toks = capBuckets(elems, Seq("tok"), maxDf)
     val sizes = toks.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
     val l = toks.as("l")
     val r = toks.as("r")
@@ -385,13 +397,43 @@ object Dedup {
       textCol: String,
       blocklist: DataFrame,
       blockTextCol: String,
-      fpp: Double = 0.01
+      fpp: Double = 0.01,
+      expectedItems: Option[Long] = None
   ): DataFrame = {
     val bl = blocklist.select(F.xxhash64(F.col(blockTextCol)).as("h"))
-    val expected = math.max(1L, bl.count())
-    val bf = bl.stat.bloomFilter("h", expected, fpp)
+    // sizing the bloom needs |blocklist|: take the caller's hint when given
+    // (known-size eval sets), else count — but cache so the count pass and
+    // the bloomFilter aggregation read the blocklist once, not twice
+    val bf = expectedItems match {
+      case Some(n) => bl.stat.bloomFilter("h", math.max(1L, n), fpp)
+      case None =>
+        bl.persist()
+        try bl.stat.bloomFilter("h", math.max(1L, bl.count()), fpp)
+        finally bl.unpersist()
+    }
     val bc = corpus.sparkSession.sparkContext.broadcast(bf)
     val contaminated = F.udf((h: Long) => bc.value.mightContainLong(h))
     corpus.filter(!contaminated(F.xxhash64(F.col(textCol))))
+  }
+
+  /** EXACT decontamination gate — the semantics [[bloomDecontaminate]]
+    * approximates (and the one a production audit checks): drop corpus docs
+    * whose content hash appears in the blocklist, via a left_anti join on
+    * `xxhash64(text)`. Spark broadcasts the hash side when it fits
+    * (blocklists are eval sets — thousands of rows), so the corpus still
+    * never shuffles; past the broadcast threshold it degrades to a
+    * shuffled anti join, which is exactly when the bloom variant takes over.
+    * By construction `bloom-kept ⊆ exact-kept` (bloom has no false
+    * negatives) — spec-pinned in TrainOpsSpec.
+    */
+  def exactDecontaminate(
+      corpus: DataFrame,
+      textCol: String,
+      blocklist: DataFrame,
+      blockTextCol: String
+  ): DataFrame = {
+    val bl = blocklist.select(F.xxhash64(F.col(blockTextCol)).as("block_h")).distinct()
+    corpus.join(F.broadcast(bl),
+      F.xxhash64(F.col(textCol)) === F.col("block_h"), "left_anti")
   }
 }
