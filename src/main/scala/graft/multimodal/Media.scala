@@ -1,54 +1,174 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, functions => F}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
-/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
-  * `binary` columns with typed metadata; decode / feature-extract /
-  * frame-sample run batched per partition.
+import org.apache.spark.sql.Dataset
+
+/** Multimodal-column plumbing: image payloads ride as opaque `binary`
+  * columns; decode / resize / frame-sample run batched per partition with
+  * REAL codecs (`javax.imageio` — PNG/BMP/GIF/JPEG readers ship with the
+  * JDK, zero dependencies).
   *
-  * The decode step is STUBBED (no image/audio libraries in this container):
-  * [[decodeStub]] derives deterministic fake metadata from the bytes. The
-  * Spark-side plumbing — schema, batching via `mapPartitions` on a typed
-  * Dataset, partition-parallel feature extraction, frame-sample explode — is
-  * real and tested; swapping the stub for a real codec touches only
-  * `decodeStub`.
+  * [[decode]] parses the actual container (real width/height/format from the
+  * byte stream, real pixel reads from the raster); [[resize]] decodes,
+  * resamples through `Graphics2D`, re-encodes in the same format and
+  * re-decodes — a genuine transcode round trip. Payloads that are not a
+  * decodable image degrade to an observable `format="undecodable"` row
+  * (width/height 0) instead of being dropped or faked.
+  *
+  * The driver oracle works because test payloads are synthesized by
+  * [[encodeImage]] under a deterministic generation rule (dims and pixel
+  * channels are closed-form in the image id), so DuckDB recomputes the
+  * expected decode output from the rule while Spark recovers it from the
+  * actual bytes — if the decode were fake, the corner-pixel checks would
+  * mismatch immediately.
   */
 object Media {
 
   final case class MediaRow(id: Long, payload: Array[Byte], kind: String)
-  final case class MediaMeta(
-      id: Long, kind: String, n_bytes: Long, width: Int, height: Int, format: String)
-  final case class Frame(id: Long, frame_idx: Int, offset: Long, checksum: Long)
 
-  /** STUB decode: deterministic fake dimensions/format from the byte length.
-    * A real implementation would parse the container header here.
+  /** Decoded image metadata + two raster probes: `px00`/`px_last` are the
+    * 24-bit RGB of the top-left and bottom-right pixels — header-only
+    * parsing cannot produce them.
     */
-  def decodeStub(id: Long, kind: String, payload: Array[Byte]): MediaMeta = {
-    val n = payload.length.toLong
-    MediaMeta(
-      id = id,
-      kind = kind,
-      n_bytes = n,
-      width = (16 + n % 32).toInt,
-      height = (16 + (n * 7) % 32).toInt,
-      format = (n % 3) match { case 0 => "png"; case 1 => "jpeg"; case _ => "webp" }
-    )
+  final case class MediaMeta(
+      id: Long, kind: String, n_bytes: Long, width: Int, height: Int,
+      format: String, px00: Int, px_last: Int)
+
+  // --------------------------------------------------------------------------
+  // Deterministic image synthesis (fixture generation rule, mirrored in SQL)
+  // --------------------------------------------------------------------------
+
+  /** Generation rule: dims and per-pixel channels are linear in (id, x, y)
+    * so an oracle can recompute any probe in closed form.
+    */
+  def genWidth(id: Long): Int = (8 + id % 57).toInt
+  def genHeight(id: Long): Int = (8 + (id * 3) % 41).toInt
+  def genFormat(id: Long): String = if (id % 2 == 0) "png" else "bmp"
+  def genRgb(id: Long, x: Int, y: Int): Int = {
+    val r = ((id + x + 2L * y) % 256).toInt
+    val g = ((id * 3 + 5L * x + y) % 256).toInt
+    val b = ((id * 7 + x + 3L * y) % 256).toInt
+    (r << 16) | (g << 8) | b
   }
 
-  /** Batched decode over partitions (the mapInPandas-equivalent shape in Scala:
-    * one iterator per partition, amortized per-batch setup).
+  /** Encode a real image for `id` under the generation rule (PNG for even
+    * ids, BMP for odd — both lossless, so raster probes are exact).
+    */
+  def encodeImage(id: Long): Array[Byte] = {
+    val w = genWidth(id)
+    val h = genHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, genRgb(id, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    require(ImageIO.write(img, genFormat(id), out), s"no ${genFormat(id)} writer")
+    out.toByteArray
+  }
+
+  // --------------------------------------------------------------------------
+  // Real decode / resize
+  // --------------------------------------------------------------------------
+
+  /** Decode the payload with the real codec: container format from the
+    * registered reader, dims and corner pixels from the decoded raster.
+    * Returns None when no reader recognizes the bytes.
+    */
+  def tryDecode(payload: Array[Byte]): Option[(String, BufferedImage)] = {
+    if (payload == null || payload.isEmpty) return None
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          Some((reader.getFormatName.toLowerCase, reader.read(0)))
+        } finally reader.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
+  def decode(id: Long, kind: String, payload: Array[Byte]): MediaMeta =
+    tryDecode(payload) match {
+      case Some((fmt, img)) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        MediaMeta(id, kind, payload.length.toLong, w, h, fmt,
+          img.getRGB(0, 0) & 0xffffff, img.getRGB(w - 1, h - 1) & 0xffffff)
+      case None =>
+        MediaMeta(id, kind, if (payload == null) 0L else payload.length.toLong,
+          0, 0, "undecodable", 0, 0)
+    }
+
+  /** Batched decode over partitions (per-partition iterator — the
+    * mapInPandas-equivalent shape in Scala; codec setup is JVM-static here,
+    * but per-batch native-codec init would amortize the same way).
     */
   def extractMeta(rows: Dataset[MediaRow]): Dataset[MediaMeta] = {
     val spark = rows.sparkSession
     import spark.implicits._
-    rows.mapPartitions { it =>
-      // per-partition setup would initialize the codec once here
-      it.map(r => decodeStub(r.id, r.kind, r.payload))
-    }
+    rows.mapPartitions(_.map(r => decode(r.id, r.kind, r.payload)))
   }
 
+  /** Aspect-preserving box-fit target dims (integer math, no upscale). */
+  def fitBox(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val den = math.max(w, h)
+    if (den <= maxDim) (w, h)
+    else (math.max(1, w * maxDim / den), math.max(1, h * maxDim / den))
+  }
+
+  /** Real resample: decode, `Graphics2D.drawImage` into the box-fit target,
+    * re-encode in the source format. Undecodable payloads pass through
+    * unchanged (the gate is [[extractMeta]]'s observable marker).
+    */
+  def resizePayload(payload: Array[Byte], maxDim: Int): Array[Byte] =
+    tryDecode(payload) match {
+      case Some((fmt, img)) =>
+        val (tw, th) = fitBox(img.getWidth, img.getHeight, maxDim)
+        if (tw == img.getWidth && th == img.getHeight) payload
+        else {
+          val dst = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try g.drawImage(img, 0, 0, tw, th, null)
+          finally g.dispose()
+          val out = new ByteArrayOutputStream()
+          require(ImageIO.write(dst, fmt, out), s"no $fmt writer")
+          out.toByteArray
+        }
+      case None => payload
+    }
+
+  /** Distributed transcode: resample every payload, then RE-DECODE the
+    * result — the emitted metadata comes from the transcoded bytes, proving
+    * the round trip (encode → resample → encode → decode) end to end.
+    */
+  def resize(rows: Dataset[MediaRow], maxDim: Int): Dataset[MediaMeta] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.mapPartitions(_.map { r =>
+      decode(r.id, r.kind, resizePayload(r.payload, maxDim))
+    })
+  }
+
+  // --------------------------------------------------------------------------
+  // Frame sampling (video payloads stay opaque byte streams in this sandbox:
+  // no video codec ships with the JDK — the explode shape and offset math are
+  // the real sampler's; the checksum probes the actual bytes at each offset)
+  // --------------------------------------------------------------------------
+
+  final case class Frame(id: Long, frame_idx: Int, offset: Long, checksum: Long)
+
   /** Frame sampling: `1 + n_bytes % 8` frames per payload, deterministic
-    * offsets and checksums — the explode shape of a real frame sampler.
+    * offsets, checksum = byte at the sampled offset.
     */
   def sampleFrames(rows: Dataset[MediaRow]): Dataset[Frame] = {
     val spark = rows.sparkSession
@@ -63,38 +183,4 @@ object Media {
       }
     }
   }
-
-  /** STUB resize: deterministic target-box fit (aspect-preserving integer
-    * math). A real implementation would transcode `payload`; the stub keeps
-    * the metadata transform (the part the pipeline plans around) real.
-    */
-  def resizeStub(meta: MediaMeta, maxDim: Int): MediaMeta = {
-    val scaleNum = maxDim
-    val scaleDen = math.max(meta.width, meta.height)
-    if (scaleDen <= maxDim) meta
-    else meta.copy(
-      width = math.max(1, meta.width * scaleNum / scaleDen),
-      height = math.max(1, meta.height * scaleNum / scaleDen))
-  }
-
-  def resize(metas: Dataset[MediaMeta], maxDim: Int): Dataset[MediaMeta] = {
-    val spark = metas.sparkSession
-    import spark.implicits._
-    metas.map(m => resizeStub(m, maxDim))
-  }
-
-  /** Columnar variant of the stub metadata (oracle-parity path): identical
-    * output to [[extractMeta]] purely with built-in functions.
-    */
-  def metaColumns(df: DataFrame, idCol: String, payloadCol: String, kind: String): DataFrame =
-    df.select(
-      F.col(idCol).as("id"),
-      F.lit(kind).as("kind"),
-      F.length(F.col(payloadCol)).cast("long").as("n_bytes"))
-      .withColumn("width", (F.lit(16) + F.col("n_bytes") % 32).cast("int"))
-      .withColumn("height", (F.lit(16) + (F.col("n_bytes") * 7) % 32).cast("int"))
-      .withColumn("format",
-        F.when(F.col("n_bytes") % 3 === 0, "png")
-          .when(F.col("n_bytes") % 3 === 1, "jpeg")
-          .otherwise("webp"))
 }
