@@ -159,9 +159,10 @@ object Turtle {
           if (i < s.length && s.charAt(i) == ',') { i += 1 } else moreObjs = false
         }
         if (i < s.length && s.charAt(i) == ';') {
-          i += 1; ws()
-          // a ';' may be trailing before '.' (or before ']' in a bnode list)
-          if (i < s.length && (s.charAt(i) == '.' || s.charAt(i) == ';' || s.charAt(i) == ']'))
+          // the verb after ';' is optional (grammar [7]): consume any run of
+          // semicolons, then stop only at '.' (or ']' in a bnode list)
+          while (i < s.length && s.charAt(i) == ';') { i += 1; ws() }
+          if (i < s.length && (s.charAt(i) == '.' || s.charAt(i) == ']'))
             more = false
         } else more = false
       }
@@ -242,20 +243,51 @@ object Turtle {
         case '(' => val (n, k) = collection(); (n, k, None, None)
         case '"' | '\'' => literal()
         case c if c.isDigit || c == '+' || c == '-' || c == '.' => numericLiteral()
-        case 't' if s.regionMatches(i, "true", 0, 4)  => i += 4; ("true", Kind.LIT_TYPED, None, Some(XsdBoolean))
-        case 'f' if s.regionMatches(i, "false", 0, 5) => i += 5; ("false", Kind.LIT_TYPED, None, Some(XsdBoolean))
+        case 't' if s.regionMatches(i, "true", 0, 4) && boolBoundary(i + 4)  =>
+          i += 4; ("true", Kind.LIT_TYPED, None, Some(XsdBoolean))
+        case 'f' if s.regionMatches(i, "false", 0, 5) && boolBoundary(i + 5) =>
+          i += 5; ("false", Kind.LIT_TYPED, None, Some(XsdBoolean))
         case _ => (prefixedName(), Kind.IRI, None, None)
       }
     }
 
+    /** INTEGER / DECIMAL / DOUBLE per the W3C grammar ([19]-[21]): a '.' is
+      * part of the number only when digits follow it (so `1.` is the integer
+      * 1 and the statement terminator, as the spec requires), and an
+      * exponent needs at least one digit (else it is not consumed).
+      */
+    /** `true`/`false` are keywords only at a token boundary: `truely:x` is a
+      * prefixed name, not the boolean followed by garbage.
+      */
+    private def boolBoundary(j: Int): Boolean =
+      j >= s.length || {
+        val c = s.charAt(j)
+        !(c.isLetterOrDigit || c == '_' || c == '-' || c == ':')
+      }
+
     private def numericLiteral(): (String, Byte, Option[String], Option[String]) = {
       val start = i
-      while (i < s.length && (s.charAt(i).isDigit || "+-.eE".indexOf(s.charAt(i)) >= 0)) i += 1
+      if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+      while (i < s.length && s.charAt(i).isDigit) i += 1
+      var isDecimal = false
+      if (i + 1 < s.length && s.charAt(i) == '.' && s.charAt(i + 1).isDigit) {
+        isDecimal = true
+        i += 1
+        while (i < s.length && s.charAt(i).isDigit) i += 1
+      }
+      var isDouble = false
+      if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+        val save = i
+        i += 1
+        if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+        if (i < s.length && s.charAt(i).isDigit) {
+          isDouble = true
+          while (i < s.length && s.charAt(i).isDigit) i += 1
+        } else i = save
+      }
       val lex = s.substring(start, i)
-      val dt =
-        if (lex.exists(c => c == 'e' || c == 'E')) XsdDouble
-        else if (lex.contains('.')) XsdDecimal
-        else XsdInteger
+      if (!lex.exists(_.isDigit)) fail(s"bad numeric literal near '$lex'")
+      val dt = if (isDouble) XsdDouble else if (isDecimal) XsdDecimal else XsdInteger
       (lex, Kind.LIT_TYPED, None, Some(dt))
     }
 
@@ -270,6 +302,9 @@ object Turtle {
       } else if (i < s.length && s.charAt(i) == '@') {
         i += 1
         val start = i
+        // LANGTAG = [a-zA-Z]+ ('-' [a-zA-Z0-9]+)* — the leading char must be
+        // a letter (W3C Turtle [144s]; `"x"@1` is turtle-syntax-bad-lang-01)
+        if (i >= s.length || !s.charAt(i).isLetter) fail("language tag must start with a letter")
         while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
         (lex, Kind.LIT_LANG, Some(s.substring(start, i)), None)
       } else (lex, Kind.LIT_PLAIN, None, None)
@@ -318,8 +353,13 @@ object Turtle {
       i += 1
       val sb = new StringBuilder
       while (i < s.length && s.charAt(i) != '>') {
-        if (s.charAt(i) == '\\') sb.append(escape()) else { sb.append(s.charAt(i)); i += 1 }
+        val c = s.charAt(i)
+        // IRIREF excludes control/space and <"{}|^` (W3C Turtle [18]; only
+        // \u/\U escapes can reach them) — rio rejects these too
+        if (c <= ' ' || "<\"{}|^`".indexOf(c) >= 0) fail(s"character '$c' in IRIREF")
+        if (c == '\\') sb.append(escape()) else { sb.append(c); i += 1 }
       }
+      if (i >= s.length) fail("unterminated IRIREF")
       i += 1
       resolveAgainstBase(sb.toString)
     }
