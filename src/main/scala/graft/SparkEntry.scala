@@ -54,6 +54,8 @@ object SparkEntry {
     // training-data operators
     "q_dedup_exact" -> (Queries.dedupExact _),
     "q_decontam_exact" -> (Queries.decontamExact _),
+    "q_dedup_lines" -> (Queries.dedupLines _),
+    "q_domain_cap" -> (Queries.domainCap _),
     "q_dedup_token_jaccard" -> (Queries.dedupTokenJaccard _),
     "q_dedup_ngram" -> (Queries.dedupNgram _),
     "q_dedup_minhash" -> (Queries.dedupMinhash _),
@@ -63,6 +65,7 @@ object SparkEntry {
     "q_sim_topk" -> (Queries.simTopK _),
     "q_sim_lsh" -> (Queries.simLsh _),
     "q_sim_ivf" -> (Queries.simIvf _),
+    "q_sem_dedup" -> (Queries.semanticDedup _),
     "q_embed_quant" -> (Queries.embedQuant _),
     "q_kg_mentions" -> (Queries.kgMentions _),
     "q_text_langid" -> (Queries.textLangId _),

@@ -16,6 +16,43 @@ object Dedup {
 
   // ---------- exact ----------------------------------------------------------
 
+  /** CCNet-style LINE-level dedup: explode documents into lines, keep only
+    * the globally FIRST occurrence of each distinct line (first = smallest
+    * (doc id, line index)), and reconstruct each document from its surviving
+    * lines in original order. This is the standard crawl-corpus pass that
+    * strips boilerplate (nav bars, cookie banners, footers repeat across
+    * thousands of pages; the first page keeps them, every other page loses
+    * them) and was shown (CCNet, C4) to remove most near-duplicate bulk
+    * before any fuzzy dedup runs.
+    *
+    * Scale shape: ONE corpus scan and two shuffles. Lines shuffle once keyed
+    * on `xxhash64(line)`; the per-hash argmin and the per-instance verdict
+    * both read that single exchange (a window `min` over the hash partition
+    * — partition cardinality = distinct lines, so reducers stay thin), then
+    * docs reassemble with a per-doc sorted fold (second shuffle, keyed on
+    * doc id). A pathologically hot line (10^9-page cookie banner) routes all
+    * its instances to one reducer — inherent to any instance-level verdict
+    * on that key; the at-scale mitigation is the two-phase hot-key split
+    * (count, broadcast the few hot argmins, window the cold rest — same
+    * trick as the salted prefix counts). Documents whose every line was seen
+    * earlier vanish from the output (fully-duplicate docs).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(F.col(idCol).cast("long").as("id"),
+        F.posexplode(F.split(F.col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("h", F.xxhash64(F.col("line")))
+    val byHash = Window.partitionBy("h")
+    lines
+      .withColumn("first", F.min(F.struct(F.col("id"), F.col("idx"))).over(byHash))
+      .filter(F.col("id") === F.col("first.id") && F.col("idx") === F.col("first.idx"))
+      .groupBy("id")
+      .agg(
+        F.count(F.lit(1)).as("n_lines"),
+        F.concat_ws("\n",
+          F.transform(F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("line")))),
+            s => s.getField("line"))).as("text"))
+  }
+
   /** Exact dedup: one row per distinct text with the kept (minimum) id and the
     * duplicate count. The groupBy key is a 160-bit content key
     * (md5 + xxhash64 + length) so the shuffle carries fixed-width keys, never

@@ -56,6 +56,21 @@ object HashSql {
        |      (h, c) -> $lam) AS HUGEINT)""".stripMargin
   }
 
+  /** Oracle for TextOps.capPerDomain over documents(source): deterministic
+    * pseudo-random rank = (mix64(doc_id ^ seed) unsigned-mod 10^9, doc_id)
+    * within each source — bit-exact vs the engine's splitmix64 rank.
+    */
+  def domainCapSql(cap: Int, seed: Long): String = {
+    val rank =
+      s"(${mix64(xor64("CAST(doc_id AS HUGEINT)", s"CAST('${uc(seed)}' AS HUGEINT)"))}) % 1000000000"
+    s"""SELECT doc_id, source, domain_rank FROM (
+       |  SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY $rank, doc_id) AS INT)
+       |      AS domain_rank
+       |  FROM documents)
+       |WHERE domain_rank <= $cap""".stripMargin
+  }
+
   /** Oracle for TextOps.trainValSplit: splitmix64 over (doc_id ^ seed),
     * unsigned mod 1000 vs the val permille — bit-exact.
     */
@@ -251,6 +266,38 @@ object HashSql {
     * (strict-less argmin -> ties to the lower cell), nProbe nearest cells per
     * query, rounded-cosine top-k within probed cells.
     */
+  /** Oracle for Similarity.semanticDedup over `embeddings` with centroids
+    * pinned to the first `nCells` corpus vectors: same squared-L2 assignment
+    * contract as [[ivfFixedSql]]; within-cell pairs above `tau` (rounded
+    * cosine) mark the HIGHER id as a duplicate; over-cap cells contribute no
+    * pairs (their members are all kept).
+    */
+  def semanticDedupSql(dim: Int, nCells: Int, tau: Double, maxCell: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cents AS (SELECT vec_id AS cell, embedding AS cv FROM e WHERE vec_id < $nCells),
+       |dists AS (
+       |  SELECT e.vec_id, c.cell,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, $dim+1),
+       |        i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))),
+       |      (a, x) -> a + x) AS d
+       |  FROM e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM dists)
+       |  WHERE rn = 1),
+       |sz AS (SELECT cell, count(*) AS c FROM assign GROUP BY cell),
+       |ok AS (SELECT a.vec_id, a.cell FROM assign a JOIN sz ON sz.cell = a.cell
+       |       WHERE sz.c <= $maxCell),
+       |dups AS (SELECT DISTINCT r.vec_id AS dup_id
+       |  FROM ok l JOIN ok r ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |  JOIN e el ON el.vec_id = l.vec_id
+       |  JOIN e er ON er.vec_id = r.vec_id
+       |  WHERE round(${cosineSql("el.embedding", "er.embedding", dim)}, 6) >= $tau)
+       |SELECT a.vec_id, CAST(a.cell AS INT) AS cell
+       |FROM assign a LEFT JOIN dups d ON d.dup_id = a.vec_id
+       |WHERE d.dup_id IS NULL""".stripMargin
+
   def ivfFixedSql(dim: Int, nCells: Int, nProbe: Int, k: Int, nQueries: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |cents AS (SELECT vec_id AS cell, embedding AS cv FROM e WHERE vec_id < $nCells),

@@ -283,6 +283,27 @@ object Oracles {
       """SELECT doc_id FROM documents
         |WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 7 = 0)""".stripMargin,
 
+    // line-level dedup: first (doc_id, idx) occurrence of each distinct line
+    // wins (the engine groups by xxhash64(line) — hash equality == line
+    // equality absent collisions); docs reassemble in line order
+    "q_dedup_lines" ->
+      """WITH aug AS (SELECT doc_id,
+        |    text || chr(10) || 'common boilerplate ' || (doc_id % 7)
+        |         || chr(10) || 'footer ' || (doc_id % 3) AS t
+        |  FROM documents),
+        |p AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM aug),
+        |l AS (SELECT doc_id, CAST(i - 1 AS INT) AS idx, parts[CAST(i AS INT)] AS line
+        |      FROM p, UNNEST(range(1, len(parts) + 1)) AS u(i)),
+        |k AS (SELECT doc_id, idx, line,
+        |        row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |      FROM l)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  md5(string_agg(line, chr(10) ORDER BY idx)) AS kept_md5
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    // per-domain cap: bit-exact splitmix64 rank replication
+    "q_domain_cap" -> HashSql.domainCapSql(cap = 15, seed = 7L),
+
     "q_dedup_token_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
         |toks AS (SELECT DISTINCT doc_id, u.tok FROM d,
@@ -375,6 +396,7 @@ object Oracles {
     "q_sim_lsh" -> HashSql.srpLshSql(dim = 64, nPlanes = 10, nTables = 4,
       minSim = 0.3, maxBucket = 1000),
     "q_sim_ivf" -> HashSql.ivfFixedSql(dim = 64, nCells = 16, nProbe = 4, k = 5, nQueries = 10),
+    "q_sem_dedup" -> HashSql.semanticDedupSql(dim = 64, nCells = 16, tau = 0.3, maxCell = 2000),
 
     // int8 max-abs quantization: identical double arithmetic (float32 widens
     // exactly), same HALF-AWAY-FROM-ZERO code rounding, ordered list_reduce

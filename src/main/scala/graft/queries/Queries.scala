@@ -295,6 +295,33 @@ object Queries {
     Dedup.exact(docs(spark, dir), "doc_id", "text")
       .select("keep_id", "n_dups").orderBy("keep_id")
 
+  /** CCNet-style line-level dedup over documents augmented with shared
+    * boilerplate lines ("common boilerplate k" repeats across every doc with
+    * the same `doc_id % 7`, "footer k" across `doc_id % 3` — the nav-bar/
+    * cookie-banner scenario the pass exists for). First global occurrence
+    * of each line wins; docs reassemble from survivors; fully-duplicate
+    * docs vanish. Output keeps the reconstructed text as an md5.
+    */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val aug = docs(spark, dir).select(F.col("doc_id"),
+      F.concat_ws("\n", F.col("text"),
+        F.concat(F.lit("common boilerplate "), F.col("doc_id") % 7),
+        F.concat(F.lit("footer "), F.col("doc_id") % 3)).as("text"))
+    Dedup.dedupLines(aug, "doc_id", "text")
+      .select(F.col("id").as("doc_id"), F.col("n_lines"),
+        F.md5(F.col("text")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-domain cap (crawl curation): at most 15 documents per `source`,
+    * chosen by the deterministic splitmix64 rank — stable under
+    * repartitioning, bit-exact in the oracle.
+    */
+  def domainCap(spark: SparkSession, dir: String): DataFrame =
+    TextOps.capPerDomain(docs(spark, dir), "doc_id", "source", cap = 15, seed = 7L)
+      .select("doc_id", "source", "domain_rank")
+      .orderBy("source", "domain_rank")
+
   /** Exact decontamination gate (the audited semantics the bloom variant
     * approximates): every 7th document's text stands in for a benchmark/eval
     * blocklist; kept = corpus docs whose content hash misses the broadcast
@@ -385,6 +412,21 @@ object Queries {
     Similarity.ivfTopKFixed(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", 5,
       centroids, nProbe = 4)
       .orderBy("query_id", "rank")
+  }
+
+  /** SemDeDup-style semantic dedup with the centroids pinned to the first
+    * 16 corpus vectors (same contract as q_sim_ivf, so the DuckDB oracle
+    * recomputes the identical cell assignment): within-cell pairs with
+    * rounded cosine >= 0.3 drop the higher id. Output = kept vectors + cell.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    Similarity.semanticDedup(emb, "vec_id", "embedding", centroids,
+        tau = 0.3, maxCell = 2000)
+      .orderBy("vec_id")
   }
 
   /** Scale-factor-derived page count for the q_kg_* family: the synthesized

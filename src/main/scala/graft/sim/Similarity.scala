@@ -231,6 +231,55 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** SemDeDup-style semantic dedup (the embedding-space dedup pass used on
+    * web-scale training corpora): assign every vector to a coarse-quantizer
+    * cell, compare pairs only WITHIN a cell, and drop the higher id of every
+    * pair whose cosine clears `tau` — semantically-redundant documents
+    * collapse to one representative without any O(n²) global comparison.
+    *
+    * Scale shape: the corpus shuffles once on cell id; within-cell pairing
+    * is the blocking join (cells are the buckets — `maxCell` caps the
+    * quadratic blowup on a degenerate quantizer, observably via
+    * `Dedup.bucketOverflow`); members of over-cap cells are KEPT undeduped
+    * (the cap drops evidence, never documents). Deterministic and
+    * SQL-replicable with pinned centroids (strict-less argmin, ties to the
+    * lower cell — same contract as [[ivfTopKFixed]]).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      tau: Double,
+      maxCell: Int = 2000
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cellOf = F.udf { (a: Array[Float]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        while (i < a.length) { val x = a(i) - centroids(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val assigned = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
+      cellOf(F.col(vecCol)).as("cell"))
+    val capped = graft.dedup.Dedup.capBuckets(assigned, Seq("cell"), maxCell)
+    val l = capped.as("l")
+    val r = capped.as("r")
+    val dups = l.join(r, F.col("l.cell") === F.col("r.cell") && F.col("l.id") < F.col("r.id"))
+      .withColumn("sim", F.round(cosine(F.col("l.v"), F.col("r.v")), 6))
+      .filter(F.col("sim") >= tau)
+      .select(F.col("r.id").as("dup_id"))
+      .distinct()
+    assigned.join(dups, assigned("id") === dups("dup_id"), "left_anti")
+      .select(F.col("id").as("vec_id"), F.col("cell").cast("int").as("cell"))
+  }
+
   /** Symmetric int8 max-abs quantization of an embedding column — the
     * compression step before ANN index build at corpus scale (4x smaller
     * vectors, SIMD-friendly int8 dot products): per-vector

@@ -176,6 +176,38 @@ object TextOps {
   def trainValSplit(id: Column, valPermille: Int, seed: Long): Column =
     F.when(splitBucket(seed)(id) < valPermille, "val").otherwise("train")
 
+  /** Per-domain document cap — the crawl-curation step that stops a handful
+    * of giant hosts (content farms, mirrors) from dominating the corpus:
+    * within each domain keep at most `cap` documents, selected by a
+    * DETERMINISTIC pseudo-random rank (splitmix64 bucket of the id, doc id
+    * as tiebreak) so the survivor set is stable under repartitioning and
+    * re-runs — never "first N encountered", which depends on scan order.
+    *
+    * Scale shape: one shuffle keyed on domain; the per-domain window sorts
+    * only that domain's rows. A pathologically hot domain serializes on one
+    * reducer — at 100 TB pre-filter such domains with a cheap
+    * `groupBy(domain).count` + broadcast threshold (the same two-phase trick
+    * as the salted prefix counts), or sample-filter on the bucket before the
+    * window; the window form here is the exact-semantics reference.
+    */
+  def capPerDomain(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      domainCol: String,
+      cap: Int,
+      seed: Long
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 10^9 buckets: ties are vanishing, and the non-negative int mirrors
+    // exactly in DuckDB as mix64 % 10^9 over the unsigned HUGEINT value
+    val rank = F.udf((id: Long) =>
+      java.lang.Long.remainderUnsigned(graft.extract.Synth.mix64(id ^ seed), 1000000000L).toInt)
+    val w = Window.partitionBy(F.col(domainCol))
+      .orderBy(rank(F.col(idCol)).asc, F.col(idCol).asc)
+    df.withColumn("domain_rank", F.row_number().over(w).cast("int"))
+      .filter(F.col("domain_rank") <= cap)
+  }
+
   /** Sequence packing (concatenate-then-chunk): assign each document the
     * pack index where its first token lands in the id-ordered token stream —
     * `pack_id = floor(exclusive_cumsum(n_tokens) / budget)` — the packing

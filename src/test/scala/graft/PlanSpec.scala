@@ -155,6 +155,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), s"shingle distinct computed twice:\n$plan")
   }
 
+  test("line dedup: one corpus scan feeds both the argmin and the verdict") {
+    // the window-over-hash form reads a single exchange; an agg+join form
+    // would scan (and tokenize) the corpus twice
+    val df = Queries.dedupLines(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$plan")
+  }
+
   test("unigram LM: one corpus scan, (id,tok) exchange reused, freq broadcast") {
     // the fixed plan shape (VERDICT r3 #3): the only corpus-sized shuffle is
     // keyed on the (doc, token) PAIR; the vocab-sized freq table re-aggregates

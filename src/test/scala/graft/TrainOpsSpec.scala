@@ -350,6 +350,64 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("semanticDedup: within-cell cosine dups drop higher id; cap keeps all") {
+    // centroids at the two axes; vectors cluster around them
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val d = Seq(
+      (0L, Array(1.0f, 0.01f, 0f, 0f)),   // cell 0
+      (1L, Array(0.99f, 0.02f, 0f, 0f)),  // cell 0, ~identical to 0 -> dropped
+      (2L, Array(0.7f, 0f, 0.7f, 0f)),    // cell 0, dissimilar (cos ~0.7) -> kept with tau .95
+      (3L, Array(0f, 1.0f, 0f, 0f)),      // cell 1
+      (4L, Array(0.01f, 0.99f, 0f, 0f))   // cell 1, dup of 3 -> dropped
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(d, "vec_id", "embedding", cents, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept.keySet == Set(0L, 2L, 3L))
+    assert(kept(0L) == 0 && kept(2L) == 0 && kept(3L) == 1)
+    // over-cap cell: evidence dropped, members KEPT (cap drops pairs, not docs)
+    val keptCapped = Similarity.semanticDedup(d, "vec_id", "embedding", cents,
+      tau = 0.95, maxCell = 2).collect().map(_.getLong(0)).toSet
+    // cell 0 (3 members) exceeds the cap -> no pairs, all kept; cell 1 (2
+    // members) still dedups, so 4 drops
+    assert(keptCapped == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("dedupLines: first occurrence wins, docs reassemble, full dups vanish") {
+    val d = Seq(
+      (0L, "alpha\nshared banner\nbody zero"),
+      (1L, "beta\nshared banner\nbody one"),   // loses "shared banner" to doc 0
+      (2L, "alpha\nshared banner"),            // every line seen before -> gone
+      (3L, "shared banner\ngamma")             // keeps only "gamma"
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(0L) == ((3L, "alpha\nshared banner\nbody zero")))
+    assert(got(1L) == ((2L, "beta\nbody one")))
+    assert(!got.contains(2L)) // fully-duplicate doc dropped
+    assert(got(3L) == ((1L, "gamma")))
+  }
+
+  test("capPerDomain: bounded, deterministic, stable under repartitioning") {
+    val d = (0L until 300L).map(i => (i, s"doc $i", s"host${i % 3}"))
+      .toDF("doc_id", "text", "domain")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.capPerDomain(df, "doc_id", "domain", cap = 10, seed = 42L)
+        .select("doc_id", "domain", "domain_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val a = run(d)
+    assert(a.size == 30) // 3 domains x cap 10
+    assert(a.groupBy(_._2).forall { case (_, rows) =>
+      rows.size == 10 && rows.map(_._3).toSeq.sorted == (1 to 10)
+    })
+    // survivor set is a pure function of (id, domain, seed): identical under
+    // a different physical layout — never "first N encountered"
+    assert(run(d.repartition(7)) == a)
+    // and a different seed picks a different (but equally bounded) set
+    val b = TextOps.capPerDomain(d, "doc_id", "domain", cap = 10, seed = 43L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(b.size == 30 && b != a.map(_._1))
+  }
+
   test("hashed-key wire format: jaccard and shingle overlap match string keys") {
     // the at-scale option (8-byte xxhash64 keys on the shuffle instead of
     // gram strings) must be a pure wire-format change: identical pairs,
