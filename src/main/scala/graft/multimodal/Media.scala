@@ -27,6 +27,11 @@ import org.apache.spark.sql.Dataset
   */
 object Media {
 
+  // ImageIO defaults to FILE-backed stream caches (a temp file per
+  // encode/decode call — serial disk I/O that dwarfs the codec work on
+  // small images); in-memory caching makes the per-image cost pure CPU.
+  ImageIO.setUseCache(false)
+
   final case class MediaRow(id: Long, payload: Array[Byte], kind: String)
 
   /** Decoded image metadata + two raster probes: `px00`/`px_last` are the

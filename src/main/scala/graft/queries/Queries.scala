@@ -606,7 +606,10 @@ object Queries {
     */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the small fixture parquet reads as ONE split — repartition before the
+    // codec work or the whole encode/decode pipeline serializes on one core
     val rows = docs(spark, dir).select(F.col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .map(id => Media.MediaRow(id, Media.encodeImage(id), "image"))
     Media.extractMeta(rows).toDF()
       .select("id", "width", "height", "format", "px00", "px_last").orderBy("id")
@@ -619,6 +622,7 @@ object Queries {
   def mediaResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rows = docs(spark, dir).select(F.col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .map(id => Media.MediaRow(id, Media.encodeImage(id), "image"))
     Media.resize(rows, maxDim = 24).toDF()
       .select("id", "width", "height", "format").orderBy("id")

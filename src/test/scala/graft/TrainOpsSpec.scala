@@ -350,6 +350,28 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("CosineSim expression: bitwise parity with the higher-order-function form") {
+    // the codegen'd native expression must produce the EXACT double bits of
+    // the zip_with/aggregate reference (same fold order) — the oracles hash
+    // rounded values derived from these
+    val rng = new scala.util.Random(7)
+    val d = (0L until 200L).map { i =>
+      (i, Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }.toDF("id", "va", "vb")
+    val both = d.select(
+      Similarity.cosine(F.col("va"), F.col("vb")).as("fast"),
+      Similarity.cosineColumns(F.col("va"), F.col("vb")).as("ref")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // and the generated-code path actually ran compiled (no codegen fallback
+    // marker in the plan)
+    val plan = d.select(Similarity.cosine(F.col("va"), F.col("vb")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
   test("semanticDedup: within-cell cosine dups drop higher id; cap keeps all") {
     // centroids at the two axes; vectors cluster around them
     val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
