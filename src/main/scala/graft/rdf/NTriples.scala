@@ -61,6 +61,9 @@ object NTriples {
       val sb = new StringBuilder
       while (i < s.length && s.charAt(i) != '>') {
         val c = s.charAt(i)
+        // IRIREF excludes control/space and <"{}|^` (W3C N-Triples [8];
+        // only \u/\U escapes can reach them)
+        if (c <= ' ' || "<\"{}|^`".indexOf(c) >= 0) fail(s"character '$c' in IRIREF")
         if (c == '\\') { sb.append(uchar()) } else { sb.append(c); i += 1 }
       }
       expect('>')
@@ -90,6 +93,8 @@ object NTriples {
           } else if (i < s.length && s.charAt(i) == '@') {
             i += 1
             val start = i
+            // LANGTAG = [a-zA-Z]+ ('-' [a-zA-Z0-9]+)* — leading letter required
+            if (i >= s.length || !s.charAt(i).isLetter) fail("language tag must start with a letter")
             while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
             (lex, Kind.LIT_LANG, Some(s.substring(start, i)), None)
           } else (lex, Kind.LIT_PLAIN, None, None)
