@@ -71,6 +71,7 @@ object SparkEntry {
     "q_text_langid" -> (Queries.textLangId _),
     "q_text_filter" -> (Queries.textFilter _),
     "q_split_train_val" -> (Queries.splitTrainVal _),
+    "q_select_budget" -> (Queries.selectBudget _),
     "q_pack_sequences" -> (Queries.packSequences _),
     "q_text_unigram_lm" -> (Queries.textUnigramLm _),
     "q_text_quality" -> (Queries.textQuality _),

@@ -304,6 +304,31 @@ object Oracles {
     // per-domain cap: bit-exact splitmix64 rank replication
     "q_domain_cap" -> HashSql.domainCapSql(cap = 15, seed = 7L),
 
+    // token-budget selection: inclusive running sum over (quality desc, id)
+    // order — the global window IS the semantics the engine's two-pass
+    // distributed prefix sum must reproduce; quality = the 6-dp-rounded
+    // composite, so the sort key agrees bitwise
+    "q_select_budget" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    round(
+         |      least(length(text) / 500.0, 1.0) * 0.4 +
+         |      (CASE WHEN length(text) > 0 THEN
+         |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+         |       ELSE 0.0 END) * 0.4 +
+         |      (CASE WHEN ${tokCountSql("text")} > 0 THEN
+         |         ${stopHitsSql("text", "en")} * 1.0 / ${tokCountSql("text")}
+         |       ELSE 0.0 END) * 0.2,
+         |    6) AS quality,
+         |    CAST(${tokCountSql("text")} AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, quality, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM m)
+         |SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= 20000""".stripMargin,
+
     "q_dedup_token_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
         |toks AS (SELECT DISTINCT doc_id, u.tok FROM d,

@@ -313,6 +313,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Quality-ordered token-budget selection: the best-scored documents in
+    * (quality desc, id) order until 20k tokens are used. The quality score
+    * is the 6-dp-rounded composite (same as q_text_quality), so the sort
+    * key is bit-identical across engines.
+    */
+  def selectBudget(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir).select(F.col("doc_id"),
+      TextOps.qualityScore(F.col("text")).as("quality"),
+      TextOps.tokenCount(F.col("text")).cast("long").as("n_tokens"))
+    TextOps.selectToBudget(scored, "doc_id", "quality", "n_tokens", budget = 20000L)
+      .select(F.col("id").as("doc_id"), F.col("score").as("quality"),
+        F.col("n_tokens"), F.col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Per-domain cap (crawl curation): at most 15 documents per `source`,
     * chosen by the deterministic splitmix64 rank — stable under
     * repartitioning, bit-exact in the oracle.

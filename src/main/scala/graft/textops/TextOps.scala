@@ -260,6 +260,55 @@ object TextOps {
     packed
   }
 
+  /** Quality-ordered token-budget selection — "fill the training budget with
+    * the best documents": order the corpus by (score desc, id asc) and keep
+    * every document whose INCLUSIVE running token sum stays within `budget`.
+    * The curation step that turns a scored crawl into a fixed-size training
+    * mix (e.g. "the best 500B tokens").
+    *
+    * Scale shape: same textbook two-pass distributed prefix sum as
+    * [[packSequences]], but range-partitioned on the QUALITY order — a
+    * global `Window.orderBy` would collapse the corpus into one partition.
+    * Pass 1 totals tokens per range partition (driver holds #partitions
+    * rows); pass 2 emits each row's running sum from the broadcast offsets
+    * and filters. The score used for ordering should be identically
+    * computable by an auditor (here: the 6-dp-rounded quality score — ties
+    * broken by id, so the survivor set is fully deterministic).
+    */
+  def selectToBudget(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokenCol: String,
+      budget: Long
+  ): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(budget > 0, "budget must be positive")
+    val rows = df
+      .select(F.col(idCol).cast("long").as("id"),
+        F.col(scoreCol).cast("double").as("score"),
+        F.col(tokenCol).cast("long").as("n_tokens"))
+      .repartitionByRange(F.col("score").desc, F.col("id").asc)
+      .sortWithinPartitions(F.col("score").desc, F.col("id").asc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perPart = rows.select(F.spark_partition_id().as("pid"), $"n_tokens")
+      .groupBy("pid").agg(F.sum("n_tokens").as("total"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = new java.util.HashMap[Int, Long]()
+    var acc = 0L
+    perPart.foreach { case (pid, total) => offsets.put(pid, acc); acc += total }
+    val bc = spark.sparkContext.broadcast(offsets)
+    rows.as[(Long, Double, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var running = bc.value.getOrDefault(pid, 0L)
+      it.flatMap { case (id, score, n) =>
+        running += n
+        if (running <= budget) Some((id, score, n, running)) else None
+      }
+    }.toDF("id", "score", "n_tokens", "cum_tokens")
+  }
+
   /** CCNet-style unigram language-model scoring: build the corpus unigram
     * distribution, then score each document by the mean negative log
     * probability of its tokens (lower = more typical of the corpus — the

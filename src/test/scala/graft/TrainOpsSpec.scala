@@ -350,6 +350,24 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  test("selectToBudget: quality-order prefix, tie-broken by id, layout-stable") {
+    // scores: doc 2 best, then 0 and 3 tied (id breaks the tie), then 1
+    val d = Seq(
+      (0L, 0.8, 30L), (1L, 0.2, 50L), (2L, 0.9, 40L), (3L, 0.8, 25L)
+    ).toDF("doc_id", "score", "n_tokens")
+    def run(df: org.apache.spark.sql.DataFrame, budget: Long) =
+      TextOps.selectToBudget(df, "doc_id", "score", "n_tokens", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // order: 2 (cum 40), 0 (70), 3 (95), 1 (145)
+    assert(run(d, 100L) == Map(2L -> 40L, 0L -> 70L, 3L -> 95L))
+    assert(run(d, 95L) == Map(2L -> 40L, 0L -> 70L, 3L -> 95L))  // inclusive
+    assert(run(d, 94L) == Map(2L -> 40L, 0L -> 70L))
+    assert(run(d, 39L) == Map.empty[Long, Long]) // best doc alone over budget
+    // survivor set is a prefix of the global quality order regardless of
+    // physical layout
+    assert(run(d.repartition(5), 95L) == Map(2L -> 40L, 0L -> 70L, 3L -> 95L))
+  }
+
   test("CosineSim expression: bitwise parity with the higher-order-function form") {
     // the codegen'd native expression must produce the EXACT double bits of
     // the zip_with/aggregate reference (same fold order) — the oracles hash
