@@ -621,12 +621,21 @@ object Oracles {
         |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format
         |FROM m""".stripMargin,
 
+    // real animated-GIF frame sampling: the generation rule in closed form —
+    // Spark recovers the same dims + per-frame corner pixels from the actual
+    // decoded GIF rasters (palette = Media.FramePalette in decimal)
     "q_media_frames" ->
-      """WITH m AS (SELECT doc_id AS id, octet_length(encode(text)) AS n
-        |           FROM documents WHERE doc_id < 100),
-        |f AS (SELECT id, n, CAST(1 + n % 8 AS INT) AS k FROM m)
-        |SELECT id, CAST(u.i AS INT) AS frame_idx, CAST(u.i * (n // k) AS BIGINT) AS offset
-        |FROM f, UNNEST(range(k)) AS u(i)""".stripMargin,
+      """WITH m AS (SELECT doc_id AS id, 8 + doc_id % 24 AS w,
+        |    8 + (doc_id * 3) % 16 AS h, 1 + doc_id % 8 AS nf
+        |  FROM documents WHERE doc_id < 1000),
+        |f AS (SELECT id, w, h, CAST(u.i AS INT) AS frame_idx
+        |      FROM m, UNNEST(range(0, nf, 2)) AS u(i))
+        |SELECT id, frame_idx, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(([1122867, 4478310, 7833753, 11189196, 14544639, 1056816, 4214880, 7372944])
+        |    [CAST((id + frame_idx) % 8 AS INT) + 1] AS INT) AS px00,
+        |  CAST(([1122867, 4478310, 7833753, 11189196, 14544639, 1056816, 4214880, 7372944])
+        |    [CAST((id + frame_idx + (w - 1) + (h - 1)) % 8 AS INT) + 1] AS INT) AS px_last
+        |FROM f""".stripMargin,
 
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

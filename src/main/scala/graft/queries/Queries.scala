@@ -643,15 +643,20 @@ object Queries {
       .select("id", "width", "height", "format").orderBy("id")
   }
 
+  /** REAL frame sampling: payloads are genuine animated GIFs (1 + id%8
+    * frames under Media's generation rule), decoded frame-by-frame with the
+    * JDK's reader at stride 2; dims and corner-pixel probes come from each
+    * decoded frame's raster, which the oracle recomputes in closed form.
+    */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = docs(spark, dir)
-      .select(F.col("doc_id").as("id"), F.encode(F.col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, p) => Media.MediaRow(id, p, "video") }
-    Media.sampleFrames(rows).toDF()
-      .filter(F.col("id") < 100)
-      .select("id", "frame_idx", "offset").orderBy("id", "frame_idx")
+    val rows = docs(spark, dir).select(F.col("doc_id")).as[Long]
+      .filter(F.col("doc_id") < 1000)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => Media.MediaRow(id, Media.encodeAnimation(id), "animation"))
+    Media.sampleFrames(rows, stride = 2).toDF()
+      .select("id", "frame_idx", "width", "height", "px00", "px_last")
+      .orderBy("id", "frame_idx")
   }
 
   // ---------------------------------------------------------------------------

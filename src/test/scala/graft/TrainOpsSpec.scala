@@ -177,11 +177,38 @@ class TrainOpsSpec extends AnyFunSuite {
     val jm = Media.extractMeta(junk).collect().map(m => m.id -> m).toMap
     assert(jm(900L).format == "undecodable" && jm(900L).width == 0)
     assert(jm(901L).format == "undecodable" && jm(901L).n_bytes == 0)
-    // frame sampling over an opaque byte stream probes the actual bytes
+    // byte-offset sampling over an opaque byte stream probes the actual bytes
     val vid = Seq(Media.MediaRow(2L, Array.fill[Byte](100)(7), "video")).toDS()
-    val frames = Media.sampleFrames(vid).collect()
+    val frames = Media.sampleByteFrames(vid).collect()
     assert(frames.count(_.id == 2L) == (1 + 100 % 8))
     assert(frames.filter(_.id == 2L).forall(_.checksum == 7L))
+  }
+
+  test("multimodal: REAL animated-GIF frame decode recovers per-frame pixels") {
+    val ids = Seq(0L, 3L, 7L, 42L)
+    val rows = ids.map(id => Media.MediaRow(id, Media.encodeAnimation(id), "animation")).toDS()
+    // stride 1: every frame of every animation, pixel-exact vs the rule
+    val all = Media.sampleFrames(rows).collect().groupBy(_.id)
+    ids.foreach { id =>
+      val fs = all(id).sortBy(_.frame_idx)
+      assert(fs.length == Media.genFrames(id), s"id=$id frames ${fs.length}")
+      fs.foreach { fr =>
+        assert(fr.width == Media.genAnimWidth(id) && fr.height == Media.genAnimHeight(id))
+        assert(fr.px00 == Media.genFrameRgb(id, fr.frame_idx, 0, 0))
+        assert(fr.px_last ==
+          Media.genFrameRgb(id, fr.frame_idx, fr.width - 1, fr.height - 1))
+      }
+    }
+    // stride 2 keeps frames 0, 2, 4, ...
+    val sampled = Media.sampleFrames(rows, stride = 2).collect()
+      .filter(_.id == 7L).map(_.frame_idx).sorted
+    assert(sampled.toSeq == (0 until Media.genFrames(7L) by 2).toSeq)
+    // full raster fidelity on one frame of one animation
+    val Some((fmt, _)) = Media.tryDecode(Media.encodeAnimation(3L))
+    assert(fmt == "gif")
+    // undecodable payloads emit nothing from the frame path
+    val junk = Seq(Media.MediaRow(9L, Array[Byte](1, 2, 3), "video")).toDS()
+    assert(Media.sampleFrames(junk).collect().isEmpty)
   }
 
   test("multimodal: real resample round trip (decode-resize-encode-decode)") {
