@@ -279,7 +279,12 @@ object Similarity {
     }
     val assigned = df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
       cellOf(F.col(vecCol)).as("cell"))
-    val capped = graft.dedup.Dedup.capBuckets(assigned, Seq("cell"), maxCell)
+    // ONE corpus scan: the cell-windowed relation feeds the capped pairing
+    // AND the final keep-set anti join (identical subtree -> ReusedExchange;
+    // PlanSpec-pinned), instead of re-scanning the corpus for the anti side
+    val byCell = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+    val counted = assigned.withColumn("cell_n", F.count(F.lit(1)).over(byCell))
+    val capped = counted.filter(F.col("cell_n") <= maxCell)
     val l = capped.as("l")
     val r = capped.as("r")
     val dups = l.join(r, F.col("l.cell") === F.col("r.cell") && F.col("l.id") < F.col("r.id"))
@@ -287,7 +292,7 @@ object Similarity {
       .filter(F.col("sim") >= tau)
       .select(F.col("r.id").as("dup_id"))
       .distinct()
-    assigned.join(dups, assigned("id") === dups("dup_id"), "left_anti")
+    counted.join(dups, counted("id") === dups("dup_id"), "left_anti")
       .select(F.col("id").as("vec_id"), F.col("cell").cast("int").as("cell"))
   }
 

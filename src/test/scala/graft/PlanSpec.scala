@@ -155,6 +155,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), s"shingle distinct computed twice:\n$plan")
   }
 
+  test("semantic dedup: self-join reuses the cell exchange, no cartesian") {
+    // The within-cell self-join must reuse the one payload-carrying cell
+    // exchange (ReusedExchange). The keep-set anti join is allowed its own
+    // SECOND corpus scan: Catalyst prunes the window + vector payload from
+    // that branch, and re-reading columnar parquet for (id, cell) is cheaper
+    // than forcing the full-vector shuffle to be shared — pinned here so a
+    // regression to a third scan or a cartesian pairing is caught.
+    val df = Queries.semanticDedup(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"expected at most two corpus scans, saw $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"pairing exchange computed twice:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian pairing:\n$plan")
+  }
+
   test("line dedup: one corpus scan feeds both the argmin and the verdict") {
     // the window-over-hash form reads a single exchange; an agg+join form
     // would scan (and tokenize) the corpus twice
