@@ -28,8 +28,22 @@ object Similarity {
     * and sorts 10^9 rows per query at corpus scale (VERDICT r3 #3).
     */
   final class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
+    // Explicit comparator matching Spark SQL's (sim DESC, id ASC) ordering,
+    // not Scala TotalOrdering: NaN sorts as the LARGEST double (desc -> rank
+    // first, exactly where the replaced row_number window put it) and
+    // -0.0 == 0.0 (so the id tiebreak applies across the two zero
+    // encodings). Scala's sortBy((-sim, id)) got both wrong for the
+    // degenerate vectors CosineSim can emit (ADVICE r4).
+    private val ord: Ordering[Scored] = new Ordering[Scored] {
+      private def norm(d: Double): Double = if (d == 0.0) 0.0 else d // -0.0 -> 0.0; NaN != 0.0 stays
+      override def compare(a: Scored, b: Scored): Int = {
+        // Double.compare: NaN > everything; desc = compare(b, a)
+        val c = java.lang.Double.compare(norm(b.sim), norm(a.sim))
+        if (c != 0) c else java.lang.Long.compare(a.neighbor_id, b.neighbor_id)
+      }
+    }
     private def compact(s: Seq[Scored]): Seq[Scored] =
-      s.sortBy(r => (-r.sim, r.neighbor_id)).take(k)
+      s.sorted(ord).take(k)
     override def zero: TopKBuf = TopKBuf(Nil)
     override def reduce(b: TopKBuf, a: Scored): TopKBuf = {
       val grown = a +: b.items

@@ -67,6 +67,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("per-domain cap is a bounded partial aggregation, not a full-domain window") {
+    // row_number over partitionBy(domain) sorts EVERY row of a hot domain on
+    // one reducer; the bounded BottomKAgg reduces each map task's slice to
+    // <= cap rows per domain before the shuffle (VERDICT r4 #1)
+    val plan = planOf(Queries.domainCap(spark, dir))
+    assert(!plan.contains("Window"), s"full-domain window in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"domain-cap aggregator lost its partial phase:\n$plan")
+  }
+
   test("prefix counting is a two-phase (partial/final) aggregation") {
     val plan = planOf(Queries.a2PrefixCounts(spark, dir))
     assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2)

@@ -93,4 +93,24 @@ class SkewStressSpec extends AnyFunSuite {
     assert(got.size == 200)
     assert(got.values.forall(v => math.abs(v - expect) < 2e-6), s"got ${got(0L)} want $expect")
   }
+
+  test("capPerDomain on a 90%-hot domain: bounded aggregation, window parity") {
+    // a content-farm domain holding 90% of the corpus — the exact case the
+    // cap exists for, and the case the full-domain window serializes on one
+    // reducer. The bounded form must (a) plan no Window over the corpus and
+    // (b) pick the IDENTICAL survivor set the window form defines.
+    val hot = (0L until 9000L).map(i => (i, s"farm doc $i", "megafarm.example"))
+    val cold = (9000L until 10000L).map(i => (i, s"doc $i", s"host${i % 50}.example"))
+    val df = (hot ++ cold).toDF("doc_id", "text", "domain")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "domain", "domain_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val agg = graft.textops.TextOps.capPerDomain(df, "doc_id", "domain", cap = 15, seed = 7L)
+    val win = graft.textops.TextOps.capPerDomainWindow(df, "doc_id", "domain", cap = 15, seed = 7L)
+    val a = canon(agg)
+    assert(a == canon(win))
+    assert(a.count(_._2 == "megafarm.example") == 15)
+    assert(!agg.queryExecution.executedPlan.toString.contains("Window"),
+      "hot domain reached a full-partition window")
+  }
 }

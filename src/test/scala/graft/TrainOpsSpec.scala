@@ -475,6 +475,29 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(b.size == 30 && b != a.map(_._1))
   }
 
+  test("topKPerQuery degenerate scores: NaN ranks first, -0.0 ties 0.0 on id") {
+    // Spark SQL desc ordering treats NaN as the LARGEST double and
+    // normalizes -0.0 == 0.0; the bounded aggregator's comparator must match
+    // the row_number window it replaced on exactly these edge cases
+    val scored = Seq(
+      (1L, 10L, Double.NaN),
+      (1L, 11L, 0.9),
+      (1L, 12L, -0.0),
+      (1L, 13L, 0.0),
+      (1L, 14L, 0.5)
+    ).toDF("query_id", "neighbor_id", "sim")
+    val got = Similarity.topKPerQuery(scored, 4)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 10L), (2, 11L), (3, 14L), (4, 12L)))
+    // parity with the window form on the same degenerate input
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(F.col("sim").desc, F.col("neighbor_id").asc)
+    val win = scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= 4)
+      .orderBy("rank").collect().map(r => (r.getInt(3), r.getLong(1))).toSeq
+    assert(got == win, s"aggregator $got != window $win")
+  }
+
   test("hashed-key wire format: jaccard and shingle overlap match string keys") {
     // the at-scale option (8-byte xxhash64 keys on the shuffle instead of
     // gram strings) must be a pure wire-format change: identical pairs,
