@@ -94,6 +94,25 @@ class SkewStressSpec extends AnyFunSuite {
     assert(got.values.forall(v => math.abs(v - expect) < 2e-6), s"got ${got(0L)} want $expect")
   }
 
+  test("dedupLines on a hot-line corpus: argmin aggregation, window parity") {
+    // one cookie-banner line appears in EVERY document (the 10^9-page case
+    // at fleet scale): the argmin-aggregation form must pick the identical
+    // survivor set the window form defines, with no Window in the plan —
+    // the hot line collapses map-side in the partial min
+    val hotDocs = (0L until 3000L).map(i =>
+      (i, s"unique opener $i\naccept all cookies to continue\nunique body $i"))
+      .toDF("doc_id", "text")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val agg = Dedup.dedupLines(hotDocs, "doc_id", "text")
+    assert(canon(agg) == canon(Dedup.dedupLinesWindow(hotDocs, "doc_id", "text")))
+    // doc 0 keeps the banner; every other doc keeps only its unique lines
+    val rows = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(0L) == 3L && rows(1L) == 2L && rows.size == 3000)
+    assert(!agg.queryExecution.executedPlan.toString.contains("Window"),
+      "hot line reached a per-hash window")
+  }
+
   test("capPerDomain on a 90%-hot domain: bounded aggregation, window parity") {
     // a content-farm domain holding 90% of the corpus — the exact case the
     // cap exists for, and the case the full-domain window serializes on one
