@@ -265,15 +265,34 @@ object Turtle {
         !(c.isLetterOrDigit || c == '_' || c == '-' || c == ':')
       }
 
+    /** True when position `j` starts a complete EXPONENT ([154s]:
+      * [eE] [+-]? [0-9]+) — lookahead only, consumes nothing.
+      */
+    private def exponentAt(j: Int): Boolean =
+      j < s.length && (s.charAt(j) == 'e' || s.charAt(j) == 'E') && {
+        var k = j + 1
+        if (k < s.length && (s.charAt(k) == '+' || s.charAt(k) == '-')) k += 1
+        k < s.length && s.charAt(k).isDigit
+      }
+
     private def numericLiteral(): (String, Byte, Option[String], Option[String]) = {
       val start = i
       if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+      val digitsStart = i
       while (i < s.length && s.charAt(i).isDigit) i += 1
+      val hadIntDigits = i > digitsStart
       var isDecimal = false
       if (i + 1 < s.length && s.charAt(i) == '.' && s.charAt(i + 1).isDigit) {
         isDecimal = true
         i += 1
         while (i < s.length && s.charAt(i).isDigit) i += 1
+      } else if (hadIntDigits && i < s.length && s.charAt(i) == '.' && exponentAt(i + 1)) {
+        // DOUBLE with an empty fraction ([21]: [0-9]+ '.' [0-9]* EXPONENT),
+        // e.g. `1.e3` — without this the '.' would be taken as the statement
+        // terminator and `e3` would corrupt the next statement (ADVICE r4).
+        // `.e3` (no integer digits) stays invalid: [21] requires [0-9]+
+        // on one side of the '.'.
+        i += 1
       }
       var isDouble = false
       if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {

@@ -491,17 +491,27 @@ object TextOps {
     * the first distinct emits each shingle once per doc, `count(*)` IS the
     * containing-doc count — joined back and folded per doc.
     *
+    * HOT-SHINGLE TWO-PHASE (VERDICT r4 #6): the freq join is 1:1 per row,
+    * but a zipf-head shingle ("all rights reserved" in 10^9 docs) would
+    * route all its instance rows through one join reducer. Shingles with
+    * `n_docs > hotDf` are split out: they are shared by definition
+    * (n_docs >= 2), so their instances take a MAP-SIDE broadcast semi join
+    * (the hot set is tiny by construction, <= total/hotDf rows) and never
+    * shuffle; only the cold remainder — every key bounded by hotDf — takes
+    * the shuffle join against the freq table.
+    *
     * `hashShingles = true` is the at-scale wire format: shingles shuffle as
     * `xxhash64` 8-byte keys instead of trigram strings (~10x less wire,
     * identical plan shape; a 64-bit collision can only mark a unique shingle
     * as shared — one-sided, vanishing). The string form stays the
-    * oracle-checked default; parity is spec-pinned (TrainOpsSpec).
+    * oracle-checked default; both parities are spec-pinned (TrainOpsSpec).
     */
   def shingleOverlap(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      hashShingles: Boolean = false
+      hashShingles: Boolean = false,
+      hotDf: Long = 100000L
   ): org.apache.spark.sql.DataFrame = {
     val grams = trigramsCol(tokens(F.col(textCol)))
     val sh = df.select(F.col(idCol).cast("long").as("doc_id"),
@@ -509,11 +519,17 @@ object TextOps {
           if (hashShingles) F.transform(grams, g => F.xxhash64(g)) else grams).as("sh"))
       .distinct()
     val freq = sh.groupBy("sh").agg(F.count(F.lit(1)).as("n_docs"))
-    sh.join(freq, "sh")
+    val hot = freq.filter(F.col("n_docs") > hotDf).select("sh")
+    val hotShared = sh.join(F.broadcast(hot), Seq("sh"), "left_semi")
+      .select(F.col("doc_id"), F.lit(true).as("shared"))
+    val coldShared = sh.join(F.broadcast(hot), Seq("sh"), "left_anti")
+      .join(freq, "sh")
+      .select(F.col("doc_id"), (F.col("n_docs") >= 2).as("shared"))
+    hotShared.union(coldShared)
       .groupBy("doc_id")
       .agg(F.count(F.lit(1)).as("n_shingles"),
         // raw double ratio of exact counts (see repetitionMetrics note)
-        (F.sum(F.when(F.col("n_docs") >= 2, 1L).otherwise(0L)).cast("double") /
+        (F.sum(F.when(F.col("shared"), 1L).otherwise(0L)).cast("double") /
           F.count(F.lit(1))).as("overlap_frac"))
   }
 

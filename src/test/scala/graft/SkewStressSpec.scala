@@ -113,6 +113,22 @@ class SkewStressSpec extends AnyFunSuite {
       "hot line reached a per-hash window")
   }
 
+  test("shingleOverlap hot-shingle split: parity with the unsplit join") {
+    // one trigram shared by every document (the zipf-head boilerplate key):
+    // with hotDf small enough to bind, the hot instances take the broadcast
+    // semi-join path — the output must be identical to the unsplit form
+    val d = (0L until 400L).map(i =>
+      (i, s"all rights reserved unique$i tail$i word$i more$i end$i"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val split = graft.textops.TextOps.shingleOverlap(d, "doc_id", "text", hotDf = 10L)
+    val unsplit = graft.textops.TextOps.shingleOverlap(d, "doc_id", "text")
+    assert(canon(split) == canon(unsplit))
+    // the shared boilerplate trigrams really did cross the threshold
+    assert(canon(split).forall(_._3 > 0.0))
+  }
+
   test("capPerDomain on a 90%-hot domain: bounded aggregation, window parity") {
     // a content-farm domain holding 90% of the corpus — the exact case the
     // cap exists for, and the case the full-domain window serializes on one

@@ -176,6 +176,14 @@ class TurtleW3cSpec extends AnyFunSuite {
     "<http://a.example/s> <http://a.example/p> 1e0 .",
     "<http://a.example/s> <http://a.example/p> \"1e0\"^^<http://www.w3.org/2001/XMLSchema#double> .")
 
+  evalCase("double_empty_fraction (grammar [21]: [0-9]+ '.' [0-9]* EXPONENT)",
+    "<http://a.example/s> <http://a.example/p> 1.e3 .",
+    "<http://a.example/s> <http://a.example/p> \"1.e3\"^^<http://www.w3.org/2001/XMLSchema#double> .")
+
+  evalCase("double_empty_fraction_signed_exponent",
+    "<http://a.example/s> <http://a.example/p> -42.E-2 .",
+    "<http://a.example/s> <http://a.example/p> \"-42.E-2\"^^<http://www.w3.org/2001/XMLSchema#double> .")
+
   evalCase("integer_dot_terminates (grammar [19]: `1.` is 1 then DOT)",
     "<http://a.example/s> <http://a.example/p> 1. <http://a.example/s2> <http://a.example/p2> <http://a.example/o2> .",
     """<http://a.example/s> <http://a.example/p> "1"^^<http://www.w3.org/2001/XMLSchema#integer> .
