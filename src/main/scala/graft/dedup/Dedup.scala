@@ -487,11 +487,14 @@ object Dedup {
   /** EXACT decontamination gate — the semantics [[bloomDecontaminate]]
     * approximates (and the one a production audit checks): drop corpus docs
     * whose content hash appears in the blocklist, via a left_anti join on
-    * `xxhash64(text)`. Spark broadcasts the hash side when it fits
-    * (blocklists are eval sets — thousands of rows), so the corpus still
-    * never shuffles; past the broadcast threshold it degrades to a
-    * shuffled anti join, which is exactly when the bloom variant takes over.
-    * By construction `bloom-kept ⊆ exact-kept` (bloom has no false
+    * `xxhash64(text)`. No explicit broadcast hint: a hint would bypass
+    * `autoBroadcastJoinThreshold` unconditionally and OOM the driver on a
+    * large blocklist (ADVICE r4) — the optimizer broadcasts the hash side
+    * when it fits (blocklists are eval sets — thousands of rows, and AQE
+    * re-plans to broadcast from the OBSERVED post-distinct size), so the
+    * corpus still never shuffles; past the threshold it genuinely degrades
+    * to a shuffled anti join, which is exactly when the bloom variant takes
+    * over. By construction `bloom-kept ⊆ exact-kept` (bloom has no false
     * negatives) — spec-pinned in TrainOpsSpec.
     */
   def exactDecontaminate(
@@ -501,7 +504,7 @@ object Dedup {
       blockTextCol: String
   ): DataFrame = {
     val bl = blocklist.select(F.xxhash64(F.col(blockTextCol)).as("block_h")).distinct()
-    corpus.join(F.broadcast(bl),
+    corpus.join(bl,
       F.xxhash64(F.col(textCol)) === F.col("block_h"), "left_anti")
   }
 }

@@ -473,9 +473,13 @@ object Oracles {
     "q_split_train_val" -> HashSql.splitSql(valPermille = 50, seed = 42L),
 
     // corpus unigram LM: mirrors the engine's single-scan shape — aggregate
-    // to (doc, tok, cnt) pairs, derive freq/total from that relation, score
-    // by the cnt-weighted fold sum(cnt·-ln(freq/total))/sum(cnt); docs with
-    // zero tokens drop out of the join on both sides
+    // to (doc, tok, cnt) pairs, derive freq/total from that relation, and
+    // score with the fixed-point micro-nat table: per-token
+    // q = round(-ln(freq/total)*1e6) as BIGINT (DuckDB round = half away
+    // from zero = Spark HALF_UP for these non-negative values), per-doc
+    // fold = exact integer sum(cnt*q) over one correctly-rounded division —
+    // the emitted raw double is bit-identical across engines, with no
+    // boundary-seeking round() of a float sum (ADVICE r4 flake class)
     "q_text_unigram_lm" ->
       s"""WITH dt AS (
          |  SELECT doc_id, tok, count(*) AS cnt FROM (
@@ -484,11 +488,14 @@ object Oracles {
          |    FROM documents)
          |  GROUP BY doc_id, tok),
          |freq AS (SELECT tok, sum(cnt) AS freq FROM dt GROUP BY tok),
-         |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM freq)
+         |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM freq),
+         |q AS (SELECT tok,
+         |  CAST(round(-ln(freq / (SELECT total FROM tot)) * 1000000.0) AS BIGINT) AS q
+         |  FROM freq)
          |SELECT dt.doc_id,
-         |  round(sum(dt.cnt * -ln(f.freq / (SELECT total FROM tot)))
-         |    / CAST(sum(dt.cnt) AS DOUBLE), 6) AS neg_logprob
-         |FROM dt JOIN freq f ON f.tok = dt.tok
+         |  CAST(sum(dt.cnt * q.q) AS DOUBLE)
+         |    / (CAST(sum(dt.cnt) AS DOUBLE) * 1000000.0) AS neg_logprob
+         |FROM dt JOIN q ON q.tok = dt.tok
          |GROUP BY dt.doc_id""".stripMargin,
 
     // pack_id = floor(exclusive id-ordered cumsum of tokens / budget); the

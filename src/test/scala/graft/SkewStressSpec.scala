@@ -83,15 +83,17 @@ class SkewStressSpec extends AnyFunSuite {
     val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"hot token key reached a shuffle join:\n$plan")
-    // value check: every doc has 500 'the' + 2 singletons; total = 200*502
+    // value check: every doc has 500 'the' + 2 singletons; total = 200*502;
+    // fixed-point model: integer micro-nat per-token quants, exact fold
     val total = 200.0 * 502
-    val pThe = (200.0 * 500) / total
-    val pRare = 1.0 / total
-    val expect = BigDecimal((500 * -math.log(pThe) + 2 * -math.log(pRare)) / 502)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q(p: Double) = BigDecimal(-math.log(p) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect =
+      (500L * q((200.0 * 500) / total) + 2L * q(1.0 / total)).toDouble /
+        (502.0 * 1e6)
     val got = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got.size == 200)
-    assert(got.values.forall(v => math.abs(v - expect) < 2e-6), s"got ${got(0L)} want $expect")
+    assert(got.values.forall(_ == expect), s"got ${got(0L)} want $expect")
   }
 
   test("dedupLines on a hot-line corpus: argmin aggregation, window parity") {

@@ -236,9 +236,12 @@ class TrainOpsSpec extends AnyFunSuite {
     val d = Seq((1L, "a a"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
     val got = TextOps.unigramLogProb(d, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
-    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got(1L) == r6(-math.log(0.75)))
-    assert(got(2L) == r6((-math.log(0.75) - math.log(0.25)) / 2.0))
+    // fixed-point model: per-token integer micro-nats, exact integer fold,
+    // one final division (see unigramLogProb's docstring)
+    def q(p: Double) = BigDecimal(-math.log(p) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(got(1L) == (2L * q(0.75)).toDouble / (2.0 * 1e6))
+    assert(got(2L) == (q(0.75) + q(0.25)).toDouble / (2.0 * 1e6))
     assert(!got.contains(3L)) // token-less docs drop out
   }
 
