@@ -84,6 +84,7 @@ object SparkEntry {
     "q_media_meta" -> (Queries.mediaMeta _),
     "q_media_frames" -> (Queries.mediaFrames _),
     "q_media_resize" -> (Queries.mediaResize _),
+    "q_media_audio" -> (Queries.mediaAudio _),
     // relational fundamentals (perf anchors)
     "q_agg_lineitem" -> (Queries.aggLineitem _),
     "q_join_broadcast" -> (Queries.joinBroadcast _),

@@ -644,6 +644,25 @@ object Oracles {
         |    [CAST((id + frame_idx + (w - 1) + (h - 1)) % 8 AS INT) + 1] AS INT) AS px_last
         |FROM f""".stripMargin,
 
+    // real audio decode: the generation rule (Media.genRate/genChannels/
+    // genAudioFrames/genSample) in closed form — Spark recovers the same
+    // container type, stream parameters, and the three 16-bit amplitude
+    // probes from the actual decoded PCM via javax.sound.sampled (header
+    // parsing alone can't fake s0/s_mid/s_last); all-integer math, exact
+    "q_media_audio" ->
+      """WITH m AS (SELECT doc_id AS id, 256 + (doc_id * 7) % 512 AS nf,
+        |    1 + doc_id % 2 AS ch FROM documents)
+        |SELECT id,
+        |  CASE WHEN id % 2 = 0 THEN 'WAVE' ELSE 'AIFF' END AS format,
+        |  CAST(8000 + (id % 3) * 4000 AS INT) AS sample_rate,
+        |  CAST(ch AS INT) AS channels,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST((id * 31) % 65536 - 32768 AS INT) AS s0,
+        |  CAST((id * 31 + (nf // 2) * 17) % 65536 - 32768 AS INT) AS s_mid,
+        |  CAST((id * 31 + (nf - 1) * 17 + (ch - 1) * 7919) % 65536 - 32768
+        |    AS INT) AS s_last
+        |FROM m""".stripMargin,
+
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

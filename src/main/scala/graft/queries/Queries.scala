@@ -659,6 +659,24 @@ object Queries {
       .orderBy("id", "frame_idx")
   }
 
+  /** REAL audio decode: payloads are genuine WAV/AIFF containers synthesized
+    * under Media's generation rule (rate/channels/frame-count and every
+    * 16-bit PCM sample are closed-form in the id), decoded back with
+    * `javax.sound.sampled`. The oracle recomputes container type, stream
+    * parameters AND the three amplitude probes from the rule — Spark must
+    * recover them from the actual decoded PCM.
+    */
+  def mediaAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = docs(spark, dir).select(F.col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => Media.MediaRow(id, Media.encodeAudio(id), "audio"))
+    Media.extractAudioMeta(rows).toDF()
+      .select("id", "format", "sample_rate", "channels", "n_frames",
+        "s0", "s_mid", "s_last")
+      .orderBy("id")
+  }
+
   // ---------------------------------------------------------------------------
   // Relational fundamentals on the TPC-H-ish tables (perf anchors)
   // ---------------------------------------------------------------------------

@@ -230,6 +230,47 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(Media.fitBox(10, 10, 16) == ((10, 10)))
   }
 
+  test("multimodal: REAL audio decode recovers the full PCM waveform") {
+    // one WAV (even, little-endian) and one AIFF (odd, big-endian) id:
+    // decode EVERY sample of the real container and compare to the rule —
+    // a header-only parser cannot survive this
+    Seq(4L, 9L).foreach { id =>
+      import javax.sound.sampled.AudioSystem
+      val payload = Media.encodeAudio(id)
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate.toInt == Media.genRate(id))
+      assert(fmt.getChannels == Media.genChannels(id))
+      assert(ais.getFrameLength == Media.genAudioFrames(id).toLong)
+      val data = ais.readAllBytes()
+      val ch = fmt.getChannels
+      for (f <- 0 until Media.genAudioFrames(id); c <- 0 until ch) {
+        val off = (f * ch + c) * 2
+        val s =
+          if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+          else (data(off + 1) << 8) | (data(off) & 0xff)
+        assert(s == Media.genSample(id, f, c), s"id=$id f=$f c=$c")
+      }
+    }
+    // the distributed path emits container type + probes per row
+    val rows = Seq(4L, 9L).map(id =>
+      Media.MediaRow(id, Media.encodeAudio(id), "audio")).toDS()
+    val metas = Media.extractAudioMeta(rows).collect().map(m => m.id -> m).toMap
+    assert(metas(4L).format == "WAVE" && metas(9L).format == "AIFF")
+    Seq(4L, 9L).foreach { id =>
+      val m = metas(id)
+      val nf = Media.genAudioFrames(id)
+      assert(m.n_frames == nf.toLong && m.sample_rate == Media.genRate(id))
+      assert(m.s0 == Media.genSample(id, 0, 0))
+      assert(m.s_mid == Media.genSample(id, nf / 2, 0))
+      assert(m.s_last == Media.genSample(id, nf - 1, m.channels - 1))
+    }
+    // non-audio bytes degrade to the observable marker, never a crash
+    val junk = Seq(Media.MediaRow(1L, Array[Byte](1, 2, 3), "audio")).toDS()
+    assert(Media.extractAudioMeta(junk).collect().head.format == "undecodable")
+  }
+
   test("unigramLogProb matches a hand-computed corpus model") {
     import graft.textops.TextOps
     // corpus: a a a b -> p(a)=3/4, p(b)=1/4
