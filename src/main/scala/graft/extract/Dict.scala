@@ -19,6 +19,22 @@ object Dict {
   /** Unregistered namespace that inference must discover at scale. */
   val inferNs = "http://kgraft.example.net/res/"
 
+  /** LONG-TAIL inference targets (multi-round trigger, reference
+    * `src/prefixes.rs:209-247`): entity IRIs directly under the unregistered
+    * DOMAIN root (no shared sub-segment), each individually rare. On a
+    * corpus where the domain's big `res/` subtree expands in round 1, these
+    * stay unresolved (each IRI is below `minNsSize`, so none is a suitable
+    * child) and — their SUM being above `minNsSize` — force a round-2
+    * domain-level re-candidacy: the genuine multi-round maintenance path.
+    * Synth attaches their sentences only to ids >= 100000, so every small
+    * fixture and golden is byte-identical.
+    */
+  val inferDomainRoot = "http://kgraft.example.net/"
+  val longTail: Map[String, Vector[Candidate]] = (0 until 8).map { k =>
+    s"Tachyon Spool $k" ->
+      Vector(Candidate(inferDomainRoot + s"Tachyon_Spool_$k", 0.9, Set.empty))
+  }.toMap
+
   /** surface form -> linkable candidates (most surfaces unambiguous). */
   val entities: Map[String, Vector[Candidate]] = Map(
     "Ada Lovelace" -> Vector(Candidate(dbr + "Ada_Lovelace", 0.9, Set.empty)),
@@ -44,7 +60,7 @@ object Dict {
     "Flux Capacitor" -> Vector(Candidate(inferNs + "Flux_Capacitor", 0.9, Set.empty)),
     "Neural Loom" -> Vector(Candidate(inferNs + "Neural_Loom", 0.9, Set.empty)),
     "Data Forge" -> Vector(Candidate(inferNs + "Data_Forge", 0.9, Set.empty))
-  )
+  ) ++ longTail
 
   /** Longest surface first for greedy longest-match scanning. */
   val surfacesByLength: Vector[String] =

@@ -57,7 +57,17 @@ object Synth {
         if (Math.floorMod(h(seed, id, 4), 2L) == 0L) Vector("It is a planet in orbit.")
         else Vector("It is a liquid metal.")
       } else Vector.empty
-    val sentences = rels ++ Vector(born, abstractS, someone) ++ ctx
+    // long-tail gadget sentences (Dict.longTail): only ids >= 100000 — the
+    // bench-scale id range — carry them, so every small fixture and golden
+    // stays byte-identical. Rate 8/1009 of pages, one gadget per page: at
+    // the bench's 800k pages each gadget IRI occurs ~694 times (below the
+    // bench minNsSize=1000, so none is a suitable child on its own) while
+    // the eight together are well above it — the round-2 inference trigger.
+    val tail =
+      if (id >= 100000L && Math.floorMod(id, 1009L) < 8L)
+        Vector(s"Someone knows Tachyon Spool ${Math.floorMod(id, 1009L)}.")
+      else Vector.empty
+    val sentences = rels ++ Vector(born, abstractS, someone) ++ ctx ++ tail
     val lang = pick(Langs, h(seed, id, 5))
     val tsMs = FixedEpochMs + Math.floorMod(h(seed, id, 6), 365L * 24 * 3600) * 1000L
     PageSpec(id, url, topic, sentences, lang, tsMs)
