@@ -106,9 +106,15 @@ class RegistrySpec extends AnyFunSuite {
     // ...and fix_pv removes exactly those classes
     assert(!pairs.exists { case (p, _) => p == "walmart" || p == "movie" })
     assert(!pairs.exists { case (_, ns) => "#.*#".r.findFirstIn(ns).isDefined })
-    assert(pairs.size >= 410)
+    assert(pairs.size >= 700)
     val reg = Registry.community()
-    assert(reg.size >= 410)
+    assert(reg.size >= 690)
+    // r5 additions resolve (identifiers.org collections, OBO legacy, LOV)
+    assert(reg.resolveAlias("http://identifiers.org/rnacentral/URS0000000001").contains("rnacentral"))
+    assert(reg.resolveAlias("http://identifiers.org/arxiv/1703.10593").contains("arxiv"))
+    assert(reg.resolveAlias("http://purl.obolibrary.org/obo/EHDA_1").contains("EHDA"))
+    assert(reg.resolveAlias("https://w3id.org/tree#Node").contains("tree"))
+    assert(reg.resolveAlias("http://id.loc.gov/authorities/genreForms/gf2014026049").contains("lcgft"))
     // r3 additions resolve (LOC bibframe, QUDT, SPAR, wikidata statement family)
     assert(reg.resolveAlias("http://id.loc.gov/ontologies/bibframe/Work").contains("bf"))
     assert(reg.resolveAlias("http://qudt.org/vocab/unit/KiloGM").contains("unit"))
