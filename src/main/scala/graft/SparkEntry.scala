@@ -51,6 +51,7 @@ object SparkEntry {
     // splitmix page derivation is replicated in DuckDB SQL, queries/KgSql.scala)
     "q_kg_summary" -> (Queries.kgSummary _),
     "q_kg_triples" -> (Queries.kgTriples _),
+    "q_stream_summary" -> (Queries.streamSummary _),
     // training-data operators
     "q_dedup_exact" -> (Queries.dedupExact _),
     "q_decontam_exact" -> (Queries.decontamExact _),

@@ -396,6 +396,8 @@ object Oracles {
     "q_kg_mentions" -> KgSql.mentionsSql,
     "q_kg_triples" -> KgSql.triplesSql,
     "q_kg_summary" -> KgSql.summarySql,
+    // streaming path over the same corpus MUST reproduce the batch summary
+    "q_stream_summary" -> KgSql.summarySql,
 
     // hash-blocked dedup/similarity: bit-exact splitmix64 replication (HashSql)
     "q_dedup_simhash" -> HashSql.simhashPairsSql(maxDist = 3, maxBucket = 1000),

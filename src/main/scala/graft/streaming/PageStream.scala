@@ -35,11 +35,19 @@ object PageStream {
   ))
 
   /** Streaming page source over a directory of parquet files (new files =
-    * new crawl segments).
+    * new crawl segments). `maxFilesPerTrigger > 0` bounds each micro-batch to
+    * that many files — with `Trigger.AvailableNow` the backlog still drains
+    * to completion, but across SEVERAL micro-batches, which is what exercises
+    * the state-store accumulation path (a single giant batch would be
+    * indistinguishable from the batch job).
     */
-  def readPages(spark: SparkSession, dir: String): Dataset[Page] = {
+  def readPages(spark: SparkSession, dir: String,
+                maxFilesPerTrigger: Int = 0): Dataset[Page] = {
     import spark.implicits._
-    spark.readStream.schema(pageSchema).parquet(dir).as[Page]
+    val base = spark.readStream.schema(pageSchema)
+    val r = if (maxFilesPerTrigger > 0)
+      base.option("maxFilesPerTrigger", maxFilesPerTrigger) else base
+    r.parquet(dir).as[Page]
   }
 
   /** Streaming triple extraction: identical per-row logic to the batch
@@ -71,6 +79,28 @@ object PageStream {
     runningSummary(extractTriples(readPages(spark, pagesDir)), registry)
       .writeStream
       .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(name)
+      .start()
+
+  /** Complete-mode variant for the driver's correctness gate: after
+    * `AvailableNow` drains the staged segments (in `maxFilesPerTrigger`-file
+    * micro-batches), the memory table holds EXACTLY the final summary — the
+    * same (s_ns, p_ns, o_ns, is_datatype) -> occurs rows the batch job
+    * produces, so the batch DuckDB oracle applies verbatim to the streaming
+    * path.
+    */
+  def startCompleteSummary(
+      spark: SparkSession,
+      pagesDir: String,
+      registry: Registry,
+      name: String,
+      maxFilesPerTrigger: Int
+  ): StreamingQuery =
+    runningSummary(extractTriples(readPages(spark, pagesDir, maxFilesPerTrigger)), registry)
+      .writeStream
+      .outputMode(OutputMode.Complete)
       .trigger(Trigger.AvailableNow())
       .format("memory")
       .queryName(name)

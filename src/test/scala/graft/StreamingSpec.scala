@@ -71,6 +71,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("Complete-mode summary drains AvailableNow across multiple micro-batches") {
+    import graft.streaming.PageStream
+    val dir = SparkSuite.tmpDir("page-stream-complete")
+    // 8 segment files, 2-file micro-batches => 4 state-store accumulations
+    graft.extract.Synth.pages(spark, 120).toDF()
+      .repartition(8).write.mode("overwrite").parquet(dir)
+    val registry = {
+      val out = SparkSuite.tmpDir("page-stream-complete-reg")
+      graft.pipeline.Pipeline.run(spark, graft.extract.Synth.pages(spark, 120),
+        graft.pipeline.Pipeline.Config(outDir = out, minOccurs = 1,
+          minNsSize = 50, minDomainOccurs = 5, resume = false)).registry
+    }
+    val q = PageStream.startCompleteSummary(spark, dir, registry,
+      "page_sum_complete", maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    // the backlog genuinely drained across >1 micro-batch (state-store path)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length > 1,
+      s"expected multiple micro-batches, got ${batches.length}")
+    val streamed = spark.table("page_sum_complete").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)) -> r.getLong(4))
+      .toMap
+    val bc = spark.sparkContext.broadcast(registry)
+    val batch = graft.summarize.Normalize
+      .summarize(graft.summarize.Normalize.normalize(
+        graft.pipeline.Pipeline.extractTriples(graft.extract.Synth.pages(spark, 120)).toDF(), bc))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3)) -> r.getLong(4))
+      .toMap
+    assert(streamed == batch)
+  }
+
   test("streaming content dedup (watermark-bounded state) matches batch distinct") {
     import graft.streaming.DocStream
     val dir = SparkSuite.tmpDir("doc-stream")
