@@ -52,6 +52,7 @@ object SparkEntry {
     "q_kg_summary" -> (Queries.kgSummary _),
     "q_kg_triples" -> (Queries.kgTriples _),
     "q_stream_summary" -> (Queries.streamSummary _),
+    "q_stream_dedup" -> (Queries.streamDedup _),
     // training-data operators
     "q_dedup_exact" -> (Queries.dedupExact _),
     "q_decontam_exact" -> (Queries.decontamExact _),

@@ -277,6 +277,13 @@ object Oracles {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
 
+    // streaming content dedup: survivor CONTENT set == batch distinct
+    // (which instance survives a within-batch tie is arbitrary on both paths)
+    "q_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_md5,
+        |  CAST(length(text) AS BIGINT) AS len
+        |FROM documents""".stripMargin,
+
     // exact decontamination: content-level anti join (hash equality == text
     // equality absent 64-bit collisions, which the oracle would expose)
     "q_decontam_exact" ->

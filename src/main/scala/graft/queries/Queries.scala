@@ -516,6 +516,35 @@ object Queries {
       .orderBy("s_ns", "p_ns", "o_ns", "is_datatype")
   }
 
+  /** Streaming exact content-dedup surfaced through the driver: the
+    * `documents` table (with a deterministic event time derived from doc_id)
+    * is staged as 8 parquet segments and drained by
+    * [[graft.streaming.DocStream]] with `Trigger.AvailableNow` in 2-file
+    * micro-batches. WHICH duplicate instance survives a within-batch tie is
+    * arbitrary (same as batch `dropDuplicates`), so the oracled projection is
+    * the survivor CONTENT set — `(md5(text), length)` — which must equal the
+    * batch `SELECT DISTINCT` exactly. The watermark delay (30 days) exceeds
+    * the staged corpus's event-time span at every sf, so no state expires
+    * mid-drain and the streaming survivor set is the global distinct.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val staged = docs(spark, dir)
+      .select(
+        F.col("doc_id"),
+        F.timestamp_seconds(F.lit(1767225600L) + F.col("doc_id")).as("ts"),
+        F.col("text"))
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-docs").toString
+    staged.repartition(8).write.mode("overwrite").parquet(stage)
+    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.DocStream.startMemoryDedup(
+      spark, stage, delay = "30 days", name, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    spark.table(name)
+      .select(F.col("content_md5"),
+        F.length(F.col("text")).cast("long").as("len"))
+      .orderBy("content_md5")
+  }
+
   def simLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     Similarity.lshNeighbors(emb, "vec_id", "embedding", nPlanes = 10, nTables = 4, minSim = 0.3)

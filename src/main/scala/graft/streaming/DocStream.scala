@@ -32,10 +32,17 @@ object DocStream {
   ))
 
   /** Streaming doc source over a directory of parquet files (new files =
-    * new crawl segments).
+    * new crawl segments). `maxFilesPerTrigger > 0` bounds each micro-batch so
+    * an `AvailableNow` drain spans several batches (exercising state-store
+    * carry-over between them) instead of one giant batch.
     */
-  def readDocs(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(docSchema).parquet(dir)
+  def readDocs(spark: SparkSession, dir: String,
+               maxFilesPerTrigger: Int = 0): DataFrame = {
+    val base = spark.readStream.schema(docSchema)
+    val r = if (maxFilesPerTrigger > 0)
+      base.option("maxFilesPerTrigger", maxFilesPerTrigger) else base
+    r.parquet(dir)
+  }
 
   /** First-arrival-wins exact dedup by content hash, state bounded by the
     * event-time watermark `delay`. On a batch DataFrame the same call
@@ -58,9 +65,10 @@ object DocStream {
       spark: SparkSession,
       docsDir: String,
       delay: String,
-      name: String
+      name: String,
+      maxFilesPerTrigger: Int = 0
   ): StreamingQuery =
-    dedupByContent(readDocs(spark, docsDir), delay)
+    dedupByContent(readDocs(spark, docsDir, maxFilesPerTrigger), delay)
       .writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
