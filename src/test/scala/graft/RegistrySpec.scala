@@ -106,9 +106,14 @@ class RegistrySpec extends AnyFunSuite {
     // ...and fix_pv removes exactly those classes
     assert(!pairs.exists { case (p, _) => p == "walmart" || p == "movie" })
     assert(!pairs.exists { case (_, ns) => "#.*#".r.findFirstIn(ns).isDefined })
-    assert(pairs.size >= 700)
+    assert(pairs.size >= 730)
     val reg = Registry.community()
-    assert(reg.size >= 690)
+    assert(reg.size >= 715)
+    // r5 tranche 2 resolves (Darwin Core, RDA registry, LOC authorities)
+    assert(reg.resolveAlias("http://rs.tdwg.org/dwc/terms/scientificName").contains("dwc"))
+    assert(reg.resolveAlias("http://rdaregistry.info/Elements/u/P60049").contains("rdau"))
+    assert(reg.resolveAlias("http://id.loc.gov/authorities/names/n79021164").contains("lcnaf"))
+    assert(reg.resolveAlias("http://purl.obolibrary.org/obo/FBbt_00003624").contains("FBbt"))
     // r5 additions resolve (identifiers.org collections, OBO legacy, LOV)
     assert(reg.resolveAlias("http://identifiers.org/rnacentral/URS0000000001").contains("rnacentral"))
     assert(reg.resolveAlias("http://identifiers.org/arxiv/1703.10593").contains("arxiv"))
