@@ -73,6 +73,9 @@ object SparkEntry {
     "q_text_langid" -> (Queries.textLangId _),
     "q_text_filter" -> (Queries.textFilter _),
     "q_split_train_val" -> (Queries.splitTrainVal _),
+    "q_stratified_sample" -> (Queries.stratifiedSample _),
+    "q_vocab_topk" -> (Queries.vocabTop _),
+    "q_tokenize_ids" -> (Queries.tokenizeIds _),
     "q_select_budget" -> (Queries.selectBudget _),
     "q_pack_sequences" -> (Queries.packSequences _),
     "q_text_unigram_lm" -> (Queries.textUnigramLm _),

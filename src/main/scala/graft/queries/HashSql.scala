@@ -80,6 +80,15 @@ object HashSql {
        |       THEN 'val' ELSE 'train' END AS split
        |FROM documents""".stripMargin
 
+  /** Oracle for TextOps.stratifiedSample over documents(lang): the same
+    * splitmix64 bucket as splitSql vs a per-stratum permille CASE —
+    * bit-exact.
+    */
+  def stratifiedSampleSql(enPermille: Int, defaultPermille: Int, seed: Long): String =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE (${mix64(xor64("CAST(doc_id AS HUGEINT)", s"CAST('${uc(seed)}' AS HUGEINT)"))}) % 1000
+       |  < CASE WHEN lang = 'en' THEN $enPermille ELSE $defaultPermille END""".stripMargin
+
   /** Oracle for Dedup.simHashPairs over `documents`: per-token splitmix hash,
     * 64 bit votes, chunk-blocked (cap mirrored) candidate pairs, hamming
     * verify. The 4-chunk pigeonhole is complete for maxDist <= 3, so this

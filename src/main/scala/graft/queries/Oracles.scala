@@ -540,6 +540,37 @@ object Oracles {
 
     "q_text_fingerprint" -> fingerprintSql,
 
+    "q_stratified_sample" ->
+      HashSql.stratifiedSampleSql(enPermille = 300, defaultPermille = 700, seed = 11L),
+
+    // top-500 vocabulary: total order (freq desc, token asc) on both sides,
+    // contiguous ids from 0
+    "q_vocab_topk" ->
+      s"""WITH tf AS (
+         |  SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |    x -> len(x) > 0)) AS tok FROM documents),
+         |freq AS (SELECT tok, count(*) AS freq FROM tf GROUP BY tok)
+         |SELECT tok AS token,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, tok) - 1 AS INT) AS token_id,
+         |  CAST(freq AS BIGINT) AS freq
+         |FROM freq ORDER BY freq DESC, tok LIMIT 500""".stripMargin,
+
+    // per-doc token-id sequence under the SAME top-500 vocab (OOV = -1),
+    // hashed in token order
+    "q_tokenize_ids" ->
+      s"""WITH tf AS (
+         |  SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |    x -> len(x) > 0)) AS tok FROM documents),
+         |freq AS (SELECT tok, count(*) AS freq FROM tf GROUP BY tok),
+         |v AS (SELECT tok, CAST(row_number() OVER (ORDER BY freq DESC, tok) - 1 AS INT) AS token_id
+         |      FROM freq ORDER BY freq DESC, tok LIMIT 500),
+         |mm AS (SELECT map(list(tok ORDER BY token_id), list(token_id ORDER BY token_id)) AS m FROM v)
+         |SELECT doc_id,
+         |  md5(array_to_string(list_transform(
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0),
+         |    t -> CAST(COALESCE(map_extract(m, t)[1], -1) AS VARCHAR)), ',')) AS ids_md5
+         |FROM documents, mm""".stripMargin,
+
     // Gopher-style repetition metrics: per-doc top-1-gram fraction and
     // duplicate-bigram fraction, same two-level grouped aggregation
     "q_text_repetition" ->

@@ -584,6 +584,35 @@ object Queries {
       .select("doc_id", "n_tokens", "quality")
       .orderBy("doc_id")
 
+  /** Deterministic stratified sampling: down-sample English to 300‰, keep
+    * 700‰ of every other language (seed 11) — bit-exact splitmix64 buckets
+    * on both sides.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    TextOps.stratifiedSample(docs(spark, dir), "doc_id", "lang",
+      permille = Map("en" -> 300), defaultPermille = 700, seed = 11L)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** Top-500 corpus vocabulary (freq desc, token asc), contiguous ids. */
+  def vocabTop(spark: SparkSession, dir: String): DataFrame =
+    TextOps.buildVocab(docs(spark, dir), "text", vocabSize = 500)
+      .orderBy("token_id")
+
+  /** Documents encoded as vocab token-id sequences (OOV = -1), hashed for
+    * the compare — the id sequence must match DuckDB's re-derivation of the
+    * same vocab and the same per-position lookup.
+    */
+  def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val vocab = TextOps.buildVocab(d, "text", vocabSize = 500)
+    TextOps.encodeTokenIds(d, "doc_id", "text", vocab)
+      .select(F.col("doc_id"),
+        F.md5(F.array_join(F.transform(F.col("token_ids"), _.cast("string")), ","))
+          .as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic 5% val split (seed 42), bit-exact in DuckDB. */
   def splitTrainVal(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

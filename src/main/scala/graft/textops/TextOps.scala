@@ -176,6 +176,74 @@ object TextOps {
   def trainValSplit(id: Column, valPermille: Int, seed: Long): Column =
     F.when(splitBucket(seed)(id) < valPermille, "val").otherwise("train")
 
+  /** Deterministic stratified sampling — the corpus-rebalancing step (e.g.
+    * down-sample English to 30%, keep 70% of everything else when fighting
+    * web-crawl language skew): a document survives iff its splitmix64 bucket
+    * ([[splitBucket]] — stable under repartition and reruns, seed-rotatable,
+    * bit-exact in DuckDB) falls below its stratum's permille rate. The rate
+    * lookup is a folded CASE over the (small, closed) rate map and the
+    * whole operator is a pure Column predicate: no shuffle, no state, and
+    * the filter sits directly on the scan — at 100 TB the rejected rows
+    * never leave their input partition.
+    */
+  def stratifiedSample(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      strataCol: String,
+      permille: Map[String, Int],
+      defaultPermille: Int,
+      seed: Long
+  ): org.apache.spark.sql.DataFrame = {
+    val rate = permille.toSeq.sortBy(_._1).foldLeft(F.lit(defaultPermille)) {
+      case (acc, (k, v)) => F.when(F.col(strataCol) === k, F.lit(v)).otherwise(acc)
+    }
+    df.filter(splitBucket(seed)(F.col(idCol)) < rate)
+  }
+
+  /** Top-`vocabSize` corpus vocabulary by token frequency, ids contiguous
+    * from 0 in (freq desc, token asc) order — the tokenizer-prep step of a
+    * training pipeline. The frequency aggregation is the only corpus-sized
+    * shuffle (map-side partial combine); the global top-V plans as
+    * `TakeOrderedAndProject` — each task keeps its own top V and the driver
+    * merges V·#partitions candidates, never a global sort. Id assignment
+    * happens on the collected ≤V rows (explicitly bounded by `vocabSize`,
+    * the same driver-side discipline as the pinned ANN centroids).
+    */
+  def buildVocab(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      vocabSize: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val top = df.select(F.explode(tokens(F.col(textCol))).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("freq"))
+      .orderBy(F.col("freq").desc, F.col("token")).limit(vocabSize)
+      .as[(String, Long)].collect()
+    val withIds = top.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((t, f), i) => (t, i, f) }.toSeq
+    spark.createDataFrame(withIds).toDF("token", "token_id", "freq")
+  }
+
+  /** Encode each document as its vocab token-id sequence (OOV = -1). The
+    * vocab (≤V rows) rides a broadcast map and encoding is a per-row pure
+    * function over the tokenized array — no join, no shuffle: the corpus
+    * never moves, which is the only acceptable shape when the corpus is
+    * 100 TB and the vocab is kilobytes.
+    */
+  def encodeTokenIds(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame = {
+    val m = vocab.select("token", "token_id").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val bc = df.sparkSession.sparkContext.broadcast(m)
+    val enc = F.udf((ts: Seq[String]) => ts.map(t => bc.value.getOrElse(t, -1)))
+    df.select(F.col(idCol), enc(tokens(F.col(textCol))).as("token_ids"))
+  }
+
   /** Per-domain document cap — the crawl-curation step that stops a handful
     * of giant hosts (content farms, mirrors) from dominating the corpus:
     * within each domain keep at most `cap` documents, selected by a

@@ -313,6 +313,47 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(split.except(other).count() > 0)
   }
 
+  test("stratifiedSample: per-stratum rates bind, deterministic, bucket-exact") {
+    import graft.textops.TextOps
+    val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+    val kept = TextOps.stratifiedSample(rows, "id", "lang",
+      Map("en" -> 100), defaultPermille = 900, seed = 11L)
+    val en = kept.filter($"lang" === "en").count()
+    val fr = kept.filter($"lang" === "fr").count()
+    assert(en > 120 && en < 280, s"10% of 2000 en expected ~200, got $en") // loose CLT bound
+    assert(fr > 1700 && fr < 1900, s"90% of 2000 fr expected ~1800, got $fr")
+    // survivor set == direct bucket-rule recomputation (bit-exact, not statistical)
+    val expect = (0L until 4000L).filter { i =>
+      val b = java.lang.Long.remainderUnsigned(graft.extract.Synth.mix64(i ^ 11L), 1000L)
+      b < (if (i % 2 == 0) 100 else 900)
+    }.toSet
+    assert(kept.select("id").as[Long].collect().toSet == expect)
+    // rerun identical (pure function of (id, stratum, seed))
+    assert(kept.except(TextOps.stratifiedSample(rows, "id", "lang",
+      Map("en" -> 100), 900, 11L)).count() == 0)
+  }
+
+  test("buildVocab + encodeTokenIds: rank order, contiguous ids, OOV = -1") {
+    import graft.textops.TextOps
+    val docs = Seq(
+      (0L, "b b b a a c"),
+      (1L, "a a b zz"),
+      (2L, "c a b")
+    ).toDF("id", "text")
+    // freqs: a=5, b=5, c=2, zz=1 -> order (freq desc, tok asc): a,b,c | zz cut
+    val vocab = TextOps.buildVocab(docs, "text", vocabSize = 3)
+    val got = vocab.orderBy("token_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 0, 5L), ("b", 1, 5L), ("c", 2, 2L)))
+    // encode: per-position lookup, OOV -> -1
+    val enc = TextOps.encodeTokenIds(docs, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(0L) == Seq(1, 1, 1, 0, 0, 2))
+    assert(enc(1L) == Seq(0, 0, 1, -1)) // zz is out-of-vocab
+    assert(enc(2L) == Seq(2, 0, 1))
+  }
+
   test("packSequences matches the driver-computed exclusive-cumsum model") {
     import graft.textops.TextOps
     // uneven token counts across many partitions; ids deliberately unsorted
