@@ -56,6 +56,7 @@ object SparkEntry {
     // training-data operators
     "q_dedup_exact" -> (Queries.dedupExact _),
     "q_decontam_exact" -> (Queries.decontamExact _),
+    "q_decontam_ngram" -> (Queries.decontamNgram _),
     "q_dedup_lines" -> (Queries.dedupLines _),
     "q_domain_cap" -> (Queries.domainCap _),
     "q_dedup_token_jaccard" -> (Queries.dedupTokenJaccard _),

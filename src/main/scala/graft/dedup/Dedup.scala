@@ -497,6 +497,40 @@ object Dedup {
     * over. By construction `bloom-kept ⊆ exact-kept` (bloom has no false
     * negatives) — spec-pinned in TrainOpsSpec.
     */
+  /** N-gram decontamination — the standard eval-set contamination gate one
+    * level past exact match (the GPT-3/PaLM-style "shared 13-gram" check,
+    * k-parameterized): drop every corpus document sharing at least one
+    * k-token shingle with the blocklist. Docs shorter than k tokens fall
+    * back to their whole token string ([[shingles]]), so exact matches of
+    * short eval items are still caught.
+    *
+    * Scale shape: the blocklist's DISTINCT shingle-hash set (bounded by the
+    * eval-set size, 8-byte splitmix keys) collects to the driver and
+    * broadcasts; the corpus side is a map-side array probe — a pure filter,
+    * the corpus NEVER shuffles. Same shape as [[bloomDecontaminate]] but
+    * exact up to 64-bit collisions, which are one-sided (a collision can
+    * only over-drop) and which the text-level oracle would expose.
+    */
+  def ngramDecontaminate(
+      corpus: DataFrame,
+      textCol: String,
+      blocklist: DataFrame,
+      blockTextCol: String,
+      k: Int,
+      seed: Long = 0L
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val shingleHashes =
+      F.udf((t: String) => shingles(t, k).map(s => hashShingle(s, seed)))
+    val bl = blocklist
+      .select(F.explode(shingleHashes(F.col(blockTextCol))).as("h"))
+      .distinct().as[Long].collect().toSet
+    val bc = spark.sparkContext.broadcast(bl)
+    val clean = F.udf((hs: Seq[Long]) => !hs.exists(bc.value.contains))
+    corpus.filter(clean(shingleHashes(F.col(textCol))))
+  }
+
   def exactDecontaminate(
       corpus: DataFrame,
       textCol: String,

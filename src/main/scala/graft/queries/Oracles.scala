@@ -284,6 +284,22 @@ object Oracles {
         |  CAST(length(text) AS BIGINT) AS len
         |FROM documents""".stripMargin,
 
+    // n-gram decontamination: text-level shared-5-gram NOT IN (engine probes
+    // splitmix shingle hashes — a collision would surface here)
+    "q_decontam_ngram" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |sh AS (SELECT doc_id, UNNEST(CASE
+        |    WHEN len(ts) >= 5 THEN list_transform(range(1, len(ts) - 3), i ->
+        |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])
+        |    WHEN len(ts) >= 1 THEN [array_to_string(ts, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s
+        |  FROM t),
+        |bl AS (SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sh JOIN bl USING (s))""".stripMargin,
+
     // exact decontamination: content-level anti join (hash equality == text
     // equality absent 64-bit collisions, which the oracle would expose)
     "q_decontam_exact" ->

@@ -351,6 +351,19 @@ object Queries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** N-gram decontamination at k=5: with this table's 31-token vocabulary,
+    * 5-gram space is 31^5 ≈ 28.6M, so a non-blocklist doc shares a 5-gram
+    * with the eval set only occasionally — the gate binds in both
+    * directions (trigrams would drop the whole corpus; exact-only would
+    * drop just the blocklist docs themselves).
+    */
+  def decontamNgram(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val blocklist = d.filter(F.col("doc_id") % 7 === 0).select("text")
+    Dedup.ngramDecontaminate(d, "text", blocklist, "text", k = 5)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** The `doc_id < 60` gate is a property of THIS synthetic table, not of the
     * operator: documents.text draws from a 31-token vocabulary where every
     * token has df ≈ 0.8·N, so no df cap can bind without emptying the token

@@ -600,6 +600,27 @@ class TrainOpsSpec extends AnyFunSuite {
       canon(TextOps.shingleOverlap(d, "doc_id", "text", hashShingles = true)))
   }
 
+  test("ngramDecontaminate: shared k-gram drops, short-doc fallback, subset of exact") {
+    import graft.dedup.Dedup
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // blocklisted verbatim
+      (1L, "x y alpha beta gamma delta epsilon w"), // shares the 5-gram, not the text
+      (2L, "completely different words here with no overlap at all"),
+      (3L, "short doc"), // < k tokens, fallback = whole token string
+      (4L, "short doc"), // exact dup of a short blocklist item -> caught
+      (5L, "short")
+    ).toDF("id", "text")
+    val bl = Seq("alpha beta gamma delta epsilon zeta", "short doc").toDF("text")
+    val kept = Dedup.ngramDecontaminate(corpus, "text", bl, "text", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L))
+    // n-gram-clean is a SUBSET of exact-clean (a verbatim copy always shares
+    // its own shingles)
+    val exactKept = Dedup.exactDecontaminate(corpus, "text", bl, "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept.subsetOf(exactKept))
+  }
+
   test("bloom decontamination: zero false negatives, bounded over-drop") {
     val corpus = (0L until 500L).map(i => (i, s"training document number $i"))
       .toDF("doc_id", "text")
