@@ -80,7 +80,9 @@ object SparkEntry {
     "q_select_budget" -> (Queries.selectBudget _),
     "q_pack_sequences" -> (Queries.packSequences _),
     "q_text_unigram_lm" -> (Queries.textUnigramLm _),
+    "q_text_bigram_lm" -> (Queries.textBigramLm _),
     "q_text_quality" -> (Queries.textQuality _),
+    "q_quality_classify" -> (Queries.qualityClassify _),
     "q_text_tokens" -> (Queries.textTokens _),
     "q_text_fingerprint" -> (Queries.textFingerprint _),
     "q_text_repetition" -> (Queries.textRepetition _),

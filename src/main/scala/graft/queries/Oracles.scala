@@ -622,6 +622,45 @@ object Oracles {
          |FROM s JOIN f ON f.sh = s.sh
          |GROUP BY s.doc_id""".stripMargin,
 
+    // corpus bigram LM (add-one smoothing): same fixed-point micro-nat
+    // construction as q_text_unigram_lm — per-bigram
+    // q = round(-ln((c12+1)/(c1+V))·1e6) as BIGINT, per-doc fold is exact
+    // integer arithmetic over one correctly-rounded division. The hot/cold
+    // split in the engine is a pure execution strategy: hot ∪ cold = all
+    // bigram types, so this unsplit oracle IS the semantics.
+    "q_text_bigram_lm" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |db AS (
+         |  SELECT doc_id, bg, count(*) AS cnt FROM (
+         |    SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+         |    FROM t WHERE len(toks) >= 2)
+         |  GROUP BY doc_id, bg),
+         |big AS (SELECT bg, sum(cnt) AS c12 FROM db GROUP BY bg),
+         |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+         |        FROM big GROUP BY 1),
+         |voc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
+         |  SELECT split_part(bg, ' ', 1) AS tok FROM big
+         |  UNION SELECT split_part(bg, ' ', 2) FROM big)),
+         |q AS (SELECT big.bg,
+         |  CAST(round(-ln(CAST(big.c12 + 1 AS DOUBLE) /
+         |    (CAST(ctx.c1 AS DOUBLE) + (SELECT v FROM voc))) * 1000000.0)
+         |    AS BIGINT) AS q
+         |  FROM big JOIN ctx ON ctx.w1 = split_part(big.bg, ' ', 1))
+         |SELECT db.doc_id,
+         |  CAST(sum(db.cnt * q.q) AS DOUBLE)
+         |    / (CAST(sum(db.cnt) AS DOUBLE) * 1000000.0) AS neg_logprob_bg
+         |FROM db JOIN q ON q.bg = db.bg
+         |GROUP BY db.doc_id""".stripMargin,
+
+    // hashed-feature linear classifier: per-feature polyhash31 (exact
+    // integer ascii arithmetic) -> splitmix64 bucket -> splitmix64 integer
+    // per-mille weight, per-doc exact integer sum. The engine computes the
+    // same fold inside one codegen'd scalar; this oracle materializes the
+    // feature relation instead — same semantics, value-exact.
+    "q_quality_classify" -> qualityClassifySql,
+
     // PII counts + masked-text digest over the identically-derived augmented
     // corpus; replacement order (email, phone, ip) mirrors TextOps.redactPii
     "q_text_pii" ->
@@ -806,6 +845,40 @@ object Oracles {
        |FROM (SELECT doc_id,
        |    $hits
        |  FROM documents)""".stripMargin
+  }
+
+  /** DuckDB replica of the HashedLinearScore fold: unigram + bigram
+    * features, polyhash31 over the first 64 chars, splitmix64 bucket and
+    * integer per-mille weight (graft.textops.HashedLinearScore).
+    */
+  private def qualityClassifySql: String = {
+    import graft.textops.HashedLinearScore
+    val p = TextOps.FpPrime
+    val powList = (0 until TextOps.FpLen)
+      .scanLeft(1L)((a, _) => a * 31 % p).init
+      .mkString("[", ", ", "]")
+    val polyhash =
+      s"""CAST(list_aggregate(list_transform(range(0, least(len(f), ${TextOps.FpLen})),
+         |      i -> (CAST(ascii(substr(f, CAST(i AS INT) + 1, 1)) AS BIGINT) * ($powList)[CAST(i AS INT) + 1]) % $p),
+         |      'sum') % $p AS HUGEINT)""".stripMargin
+    val two64 = "18446744073709551616"
+    val seedU = java.lang.Long.toUnsignedString(HashedLinearScore.DefaultSeed)
+    val saltU = java.lang.Long.toUnsignedString(HashedLinearScore.WeightSalt)
+    val bucket = s"(${HashSql.mix64(HashSql.xor64("h", seedU))} % ${HashedLinearScore.DefaultBuckets})"
+    val weight = s"((${HashSql.mix64(s"((b + $saltU) % $two64)")} % 2001) - 1000)"
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |f AS (SELECT doc_id, UNNEST(list_concat(toks,
+       |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS f
+       |      FROM t WHERE len(toks) > 0),
+       |hf AS (SELECT doc_id, $polyhash AS h FROM f),
+       |bf AS (SELECT doc_id, $bucket AS b FROM hf),
+       |wf AS (SELECT doc_id, $weight AS w FROM bf)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_feats,
+       |  CAST(sum(w) AS BIGINT) AS score_milli,
+       |  CAST(sum(w) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000.0) AS score,
+       |  sum(w) > 0 AS keep
+       |FROM wf GROUP BY doc_id""".stripMargin
   }
 
   private def fingerprintSql: String = {

@@ -670,6 +670,34 @@ object Queries {
     TextOps.shingleOverlap(docs(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Corpus-bigram LM scoring (add-one smoothing, integer micro-nat scores).
+    * hotDf = 50 so BOTH halves of the hot/cold score join run under the
+    * driver's oracle at every sf (the zipf head of this corpus crosses 50
+    * even at sf0.001).
+    */
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bigramLogProb(docs(spark, dir), "doc_id", "text", hotDf = 50L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  /** Hashed-feature linear classifier scoring (fastText/FineWeb-Edu shape):
+    * one codegen'd scalar per document, zero shuffle, exact integer
+    * milli-weights. n_feats = unigrams + adjacent bigrams = 2n-1.
+    */
+  def qualityClassify(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(F.col("doc_id"), TextOps.tokens(F.col("text")).as("toks"))
+      .filter(F.size(F.col("toks")) > 0)
+      .select(F.col("doc_id"),
+        (F.size(F.col("toks")).cast("long") * 2 - 1).as("n_feats"),
+        graft.textops.HashedLinearScore.column(F.col("toks"),
+          graft.textops.HashedLinearScore.DefaultBuckets,
+          graft.textops.HashedLinearScore.DefaultSeed).as("score_milli"))
+      .withColumn("score", F.col("score_milli").cast("double") /
+        (F.col("n_feats").cast("double") * 1000.0))
+      .withColumn("keep", F.col("score_milli") > 0L)
+      .orderBy("doc_id")
+
   /** PII detection + redaction over a deterministically PII-augmented corpus
     * (the synthetic documents carry no natural PII, so both engine and oracle
     * derive the same augmented text from doc_id, then count and mask).

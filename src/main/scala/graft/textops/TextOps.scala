@@ -459,6 +459,66 @@ object TextOps {
         (F.sum("cnt").cast("double") * 1e6)).as("neg_logprob"))
   }
 
+  /** Corpus-bigram LM scoring with add-one smoothing: per-doc mean negative
+    * log probability of its adjacent-token bigrams under
+    * `p(w2|w1) = (c(w1 w2)+1) / (c(w1·)+V)`, where `c(w1·)` is the count of
+    * bigram starts with `w1` and `V` the number of distinct tokens occupying
+    * any bigram slot. A sharper perplexity-filter signal than the unigram
+    * model (CCNet scores with a 5-gram KenLM; bigram+Laplace is the smallest
+    * model that still conditions on context).
+    *
+    * Scale shape — the unigram plan does NOT transfer: the q-table here is
+    * keyed on the BIGRAM (pair-TYPE count grows with the corpus, NOT
+    * vocab-bounded), so broadcasting it is the 100-TB mistake. Instead:
+    * (1) one corpus scan aggregates to `(id, bg, cnt)` pairs (hash-spread,
+    * map-side combine — same shape as [[unigramLogProb]] stage 1);
+    * (2) bigram totals re-aggregate THAT relation (exchange reuse); context
+    * counts and the smoothing vocab derive from the bigram-TYPE relation
+    * (never a second corpus scan), and ctx IS vocab-bounded so it broadcasts
+    * onto the type relation to build integer micro-nat scores
+    * (`q = round(-ln(p)·1e6)` — exact-arithmetic rationale documented on
+    * [[unigramLogProb]]); (3) the score join back onto the pair relation is
+    * HOT/COLD SPLIT on `hotDf` (the [[shingleOverlap]] trick): bigrams with
+    * `c12 > hotDf` are at most `total/hotDf` types — their scores broadcast
+    * and the zipf-head ("of the" in 10^9 docs) never shuffles — while every
+    * cold key carries <= hotDf matching pair rows into the shuffled join, so
+    * no reducer sees an unbounded key. Documents with < 2 tokens (no
+    * bigrams) drop out, mirrored by the oracle's inner join.
+    */
+  def bigramLogProb(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      hotDf: Long = 100000L
+  ): org.apache.spark.sql.DataFrame = {
+    val docBig = df.select(F.col(idCol).as("id"),
+        F.explode(bigramsCol(tokens(F.col(textCol)))).as("bg"))
+      .groupBy("id", "bg").agg(F.count(F.lit(1)).as("cnt"))
+    val big = docBig.groupBy("bg").agg(F.sum("cnt").as("c12"))
+    val w1 = F.substring_index(F.col("bg"), " ", 1)
+    val w2 = F.substring_index(F.col("bg"), " ", -1)
+    val ctx = big.groupBy(w1.as("w1")).agg(F.sum("c12").as("c1"))
+    val voc = big.select(F.explode(F.array(w1, w2)).as("tok"))
+      .agg(F.count_distinct(F.col("tok")).cast("double").as("v"))
+    val qtab = big.withColumn("w1", w1)
+      .join(F.broadcast(ctx), "w1")
+      .crossJoin(F.broadcast(voc))
+      .select(F.col("bg"), F.col("c12"),
+        F.round(-F.log((F.col("c12") + 1L).cast("double") /
+          (F.col("c1").cast("double") + F.col("v"))) * 1e6, 0)
+          .cast("long").as("q"))
+    val hot = qtab.filter(F.col("c12") > hotDf).select("bg", "q")
+    val scoredHot = docBig.join(F.broadcast(hot), "bg")
+    val scoredCold = docBig
+      .join(F.broadcast(hot.select("bg")), Seq("bg"), "left_anti")
+      .join(qtab.filter(F.col("c12") <= hotDf).select("bg", "q"), "bg")
+    scoredHot.select("id", "cnt", "q")
+      .union(scoredCold.select("id", "cnt", "q"))
+      .groupBy("id")
+      .agg((F.sum(F.col("cnt") * F.col("q")).cast("double") /
+        (F.sum("cnt").cast("double") * 1e6)).as("neg_logprob_bg"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the first `n` chars:
     * `sum(code(c_i) * 31^i mod P) mod P`, P = 1e9+7. Exact integer math in both
     * Spark and DuckDB (documents are ASCII; `ascii()` == UTF-16 unit here).

@@ -131,6 +131,21 @@ class SkewStressSpec extends AnyFunSuite {
     assert(canon(split).forall(_._3 > 0.0))
   }
 
+  test("bigramLogProb hot-bigram split: parity, zipf head broadcasts") {
+    // one bigram ("all rights") in every document — the zipf-head key whose
+    // pair rows must NEVER meet a shuffled join. With hotDf binding, the hot
+    // score rides the broadcast; the cold tail (each key df <= hotDf)
+    // shuffles. Output must equal the effectively-unsplit form.
+    val d = (0L until 500L).map(i =>
+      (i, s"all rights reserved u$i v$i w$i")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val split = graft.textops.TextOps.bigramLogProb(d, "doc_id", "text", hotDf = 10L)
+    val unsplit = graft.textops.TextOps.bigramLogProb(d, "doc_id", "text")
+    assert(canon(split) == canon(unsplit))
+    assert(canon(split).size == 500)
+  }
+
   test("capPerDomain on a 90%-hot domain: bounded aggregation, window parity") {
     // a content-farm domain holding 90% of the corpus — the exact case the
     // cap exists for, and the case the full-domain window serializes on one

@@ -286,6 +286,52 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!got.contains(3L)) // token-less docs drop out
   }
 
+  test("bigramLogProb matches a hand-computed add-one model") {
+    import graft.textops.TextOps
+    // bigrams: doc1 -> "a b","b a"; doc2 -> "b a"; doc3 has none (drops).
+    // c12("a b")=1, c12("b a")=2; c1(a)=1, c1(b)=2; V = |{a,b}| = 2.
+    val d = Seq((1L, "a b a"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
+    def q(c12: Long, c1: Long) = BigDecimal(-math.log((c12 + 1.0) / (c1 + 2.0)) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val qab = q(1, 1) // -ln(2/3) micro-nats
+    val qba = q(2, 2) // -ln(3/4) micro-nats
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val got = canon(TextOps.bigramLogProb(d, "doc_id", "text"))
+    assert(got(1L) == (qab + qba).toDouble / (2.0 * 1e6))
+    assert(got(2L) == qba.toDouble / 1e6)
+    assert(!got.contains(3L)) // bigram-less docs drop out
+    // hotDf=1 routes "b a" (c12=2) through the broadcast path, "a b" through
+    // the shuffled path — identical result (the split is strategy, not
+    // semantics)
+    assert(canon(TextOps.bigramLogProb(d, "doc_id", "text", hotDf = 1L)) == got)
+  }
+
+  test("HashedLinearScore: codegen'd fold equals the local twin, no shuffle") {
+    import graft.textops.{HashedLinearScore, TextOps}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = d.select(F.col("doc_id"),
+        HashedLinearScore.column(TextOps.tokens(F.col("text")),
+          HashedLinearScore.DefaultBuckets, HashedLinearScore.DefaultSeed).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // local twin: same feature set (unigrams + "w1 w2" bigrams), same hash
+    // chain (fingerprintLocal -> weightOf), plain Scala fold
+    val local = d.select("doc_id", "text").collect().map { r =>
+      val toks = TextOps.tokensLocal(r.getString(1))
+      val uni = toks.map(t => HashedLinearScore.weightOf(
+        TextOps.fingerprintLocal(t), HashedLinearScore.DefaultBuckets, HashedLinearScore.DefaultSeed))
+      val bi = toks.sliding(2).filter(_.length == 2).map(p => HashedLinearScore.weightOf(
+        TextOps.fingerprintLocal(p(0) + " " + p(1)),
+        HashedLinearScore.DefaultBuckets, HashedLinearScore.DefaultSeed))
+      r.getLong(0) -> (uni.sum + bi.sum)
+    }.toMap
+    assert(got == local)
+    // a pure projection: the scoring plan must contain NO exchange at all
+    val plan = d.select(HashedLinearScore.column(TextOps.tokens(F.col("text")),
+      1L << 18, 7L)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier scoring shuffled:\n$plan")
+  }
+
   test("withDocMetrics local twins equal the Column metric forms") {
     import graft.textops.TextOps
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
