@@ -83,6 +83,7 @@ object SparkEntry {
     "q_text_bigram_lm" -> (Queries.textBigramLm _),
     "q_text_quality" -> (Queries.textQuality _),
     "q_quality_classify" -> (Queries.qualityClassify _),
+    "q_url_normalize" -> (Queries.urlCanonicalize _),
     "q_text_tokens" -> (Queries.textTokens _),
     "q_text_fingerprint" -> (Queries.textFingerprint _),
     "q_text_repetition" -> (Queries.textRepetition _),

@@ -1,0 +1,112 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, functions => F}
+
+/** Web-crawl URL canonicalization — the dedup key-maker every crawl
+  * pipeline needs BEFORE content dedup (the same page is fetched as
+  * `HTTP://WWW.Site.com:80/a/?utm_source=feed&b=2&a=1#top` and
+  * `http://site.com/a?a=1&b=2`; URL-keyed dedup and per-domain caps only
+  * work after both collapse to one canonical form).
+  *
+  * Everything here is a pure `Column` expression (regexp + array functions,
+  * all inside whole-stage codegen): canonicalization is a per-row projection
+  * with ZERO shuffle at any corpus size, and every construct used (simple
+  * char classes, anchored groups, lexicographic array sort) behaves
+  * identically in Java regex and DuckDB's RE2, so the driver's oracle checks
+  * full values.
+  *
+  * Canonical form: lowercase scheme and host, `www.` stripped, default port
+  * dropped (`:80` for http, `:443` for https — others kept), fragment
+  * dropped, tracking params removed (`utm_*`, `fbclid`, `gclid`,
+  * `msclkid`), surviving query params sorted, trailing path slashes
+  * stripped.
+  */
+object UrlOps {
+
+  /** Multi-part public suffixes recognized by [[registrableDomain]] — a
+    * deliberately small built-in excerpt of the public-suffix list (the real
+    * list is a data file a deployment would broadcast through the same code
+    * path; the LOGIC — longest-suffix match + one label — is what this
+    * implements).
+    */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au",
+    "com.br", "com.cn", "co.in", "co.nz", "co.za",
+    "com.mx", "com.ar", "github.io")
+
+  /** Query params dropped during canonicalization (tracking noise). */
+  val TrackingPrefixes: Seq[String] = Seq("utm_", "fbclid=", "gclid=", "msclkid=")
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Lowercased scheme ("" when the input has none). */
+  def scheme(url: Column): Column = F.lower(F.regexp_extract(url, SchemeRe, 1))
+
+  /** host[:port] authority component. */
+  private def hostPort(url: Column): Column = {
+    val noFrag = F.regexp_replace(url, "#.*$", "")
+    F.regexp_extract(F.regexp_replace(noFrag, "\\?.*$", ""),
+      SchemeRe + "([^/]*)", 2)
+  }
+
+  /** Lowercase host, `www.` and any `:port` stripped. */
+  def host(url: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(F.lower(hostPort(url)), ":\\d+$", ""),
+      "^www\\.", "")
+
+  /** Registrable domain (public-suffix + 1): last two labels, or last three
+    * when the final two form a known multi-part suffix.
+    */
+  def registrableDomain(hostCol: Column): Column = {
+    val labels = F.split(hostCol, "\\.")
+    val n = F.size(labels)
+    // greatest(…, 1) keeps the always-evaluated slice legal on 1-label hosts
+    // (Spark slice rejects start 0; the CASE below never SELECTS that branch)
+    val lastTwo = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), F.lit(2)), ".")
+    val lastThree = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), F.lit(3)), ".")
+    F.when(n >= 3 && lastTwo.isin(MultiPartSuffixes: _*), lastThree)
+      .otherwise(F.when(n >= 2, lastTwo).otherwise(hostCol))
+  }
+
+  /** Path with trailing slashes stripped ("" for root). */
+  def path(url: Column): Column = {
+    val noFrag = F.regexp_replace(url, "#.*$", "")
+    val base = F.regexp_replace(noFrag, "\\?.*$", "")
+    F.regexp_replace(
+      F.regexp_extract(base, SchemeRe + "[^/]*(/.*)?$", 2), "/+$", "")
+  }
+
+  /** Number of non-empty path segments. */
+  def pathDepth(url: Column): Column =
+    F.size(F.filter(F.split(path(url), "/"), p => p =!= ""))
+
+  /** Canonical query string: tracking params dropped, survivors sorted
+    * lexicographically, "" when nothing survives.
+    */
+  def canonicalQuery(url: Column): Column = {
+    val noFrag = F.regexp_replace(url, "#.*$", "")
+    val q = F.regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = F.filter(F.split(q, "&"), p =>
+      p =!= "" && TrackingPrefixes.map(t => !p.startsWith(t)).reduce(_ && _))
+    F.array_join(F.array_sort(kept), "&")
+  }
+
+  /** Full canonical URL (see object docstring for the rules). */
+  def canonicalize(url: Column): Column = {
+    val sch = scheme(url)
+    val hp = hostPort(url)
+    val h = host(url)
+    val port = F.regexp_extract(hp, ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !((sch === "http" && port === "80") || (sch === "https" && port === "443"))
+    val q = canonicalQuery(url)
+    F.concat(
+      sch, F.lit("://"), h,
+      F.when(keepPort, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+      path(url),
+      F.when(q =!= "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))
+  }
+}

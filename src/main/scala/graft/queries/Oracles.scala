@@ -654,6 +654,12 @@ object Oracles {
          |FROM db JOIN q ON q.bg = db.bg
          |GROUP BY db.doc_id""".stripMargin,
 
+    // URL canonicalization: the raw-URL synthesis AND every normalization
+    // step (fragment/tracking-param drop, case folds, default-port strip,
+    // param sort, public-suffix+1) replicated in DuckDB string/list SQL;
+    // url_raw in the output pins the synthesis itself
+    "q_url_normalize" -> urlNormalizeSql,
+
     // hashed-feature linear classifier: per-feature polyhash31 (exact
     // integer ascii arithmetic) -> splitmix64 bucket -> splitmix64 integer
     // per-mille weight, per-doc exact integer sum. The engine computes the
@@ -845,6 +851,64 @@ object Oracles {
        |FROM (SELECT doc_id,
        |    $hits
        |  FROM documents)""".stripMargin
+  }
+
+  /** DuckDB replica of graft.extract.UrlOps over the same synthesized messy
+    * frontier as Queries.urlCanonicalize.
+    */
+  private def urlNormalizeSql: String = {
+    import graft.extract.UrlOps
+    val suffixes = UrlOps.MultiPartSuffixes.map(s => s"'$s'").mkString(", ")
+    val trackFilter = UrlOps.TrackingPrefixes
+      .map(t => s"NOT starts_with(p, '$t')").mkString(" AND ")
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    (['https','HTTP','http','HTTPS'])[CAST(doc_id % 4 AS INT) + 1] || '://' ||
+       |    CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+       |    CASE WHEN doc_id % 2 = 0 THEN 'site' ELSE 'SiTe' END || CAST(doc_id % 50 AS VARCHAR) ||
+       |    (['.co.uk','.com','.example.org','.github.io','.net'])[CAST(doc_id % 5 AS INT) + 1] ||
+       |    ([':443',':80',':8080','','',''])[CAST(doc_id % 6 AS INT) + 1] ||
+       |    '/Wiki/Page' || CAST(doc_id AS VARCHAR) ||
+       |    CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+       |         WHEN doc_id % 4 = 1 THEN '?b=2&utm_campaign=x&fbclid=F' || CAST(doc_id AS VARCHAR)
+       |         WHEN doc_id % 4 = 2 THEN '?a=1' ELSE '' END ||
+       |    CASE WHEN doc_id % 2 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS url_raw
+       |  FROM documents),
+       |p1 AS (SELECT doc_id, url_raw, regexp_replace(url_raw, '#.*$$', '') AS nofrag FROM raw),
+       |p2 AS (SELECT doc_id, url_raw,
+       |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+       |    regexp_extract(regexp_replace(nofrag, '\\?.*$$', ''),
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1) AS hp,
+       |    regexp_replace(regexp_extract(regexp_replace(nofrag, '\\?.*$$', ''),
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$$', 1), '/+$$', '') AS pth,
+       |    regexp_extract(nofrag, '\\?(.*)$$', 1) AS q
+       |  FROM p1),
+       |p3 AS (SELECT doc_id, url_raw, sch, pth,
+       |    regexp_replace(regexp_replace(lower(hp), ':[0-9]+$$', ''), '^www\\.', '') AS host,
+       |    regexp_extract(hp, ':([0-9]+)$$', 1) AS port,
+       |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+       |      p -> len(p) > 0 AND $trackFilter)), '&') AS q2
+       |  FROM p2),
+       |p4 AS (SELECT doc_id, url_raw, host, pth,
+       |    sch || '://' || host ||
+       |    CASE WHEN port <> '' AND NOT ((sch = 'http' AND port = '80')
+       |                               OR (sch = 'https' AND port = '443'))
+       |         THEN ':' || port ELSE '' END ||
+       |    pth ||
+       |    CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS url_canon,
+       |    string_split(host, '.') AS labels
+       |  FROM p3)
+       |SELECT doc_id, url_raw, url_canon, host,
+       |  CASE WHEN len(labels) >= 3 AND
+       |            array_to_string(labels[greatest(len(labels) - 1, 1):len(labels)], '.')
+       |              IN ($suffixes)
+       |       THEN array_to_string(labels[greatest(len(labels) - 2, 1):len(labels)], '.')
+       |       WHEN len(labels) >= 2
+       |       THEN array_to_string(labels[greatest(len(labels) - 1, 1):len(labels)], '.')
+       |       ELSE host END AS reg_domain,
+       |  CAST(len(list_filter(string_split(pth, '/'), x -> len(x) > 0)) AS BIGINT) AS path_depth
+       |FROM p4""".stripMargin
   }
 
   /** DuckDB replica of the HashedLinearScore fold: unigram + bigram

@@ -680,6 +680,41 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
+  /** URL canonicalization + registrable-domain extraction over a
+    * deterministically-synthesized messy crawl frontier (documents carry no
+    * URL column; both engines derive the same raw URL from doc_id — the
+    * q_text_pii / q_media_* fixture pattern). The raw URL rides in the
+    * output, so any generation drift between engines fails the hash loudly.
+    * The canonicalizer itself is a pure projection — zero shuffle.
+    */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.extract.UrlOps
+    val id = F.col("doc_id")
+    def s(c: Column) = c.cast("string")
+    def pick(xs: Seq[String], m: Int) =
+      F.element_at(F.array(xs.map(F.lit): _*), (id % m + 1).cast("int"))
+    val raw = F.concat(
+      pick(Seq("https", "HTTP", "http", "HTTPS"), 4), F.lit("://"),
+      F.when(id % 3 === 0, F.lit("www.")).otherwise(F.lit("")),
+      F.when(id % 2 === 0, F.lit("site")).otherwise(F.lit("SiTe")), s(id % 50),
+      pick(Seq(".co.uk", ".com", ".example.org", ".github.io", ".net"), 5),
+      pick(Seq(":443", ":80", ":8080", "", "", ""), 6),
+      F.lit("/Wiki/Page"), s(id),
+      F.when(id % 7 === 0, F.lit("/")).otherwise(F.lit("")),
+      F.when(id % 4 === 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(id % 4 === 1, F.concat(F.lit("?b=2&utm_campaign=x&fbclid=F"), s(id)))
+        .when(id % 4 === 2, F.lit("?a=1"))
+        .otherwise(F.lit("")),
+      F.when(id % 2 === 0, F.concat(F.lit("#sec"), s(id % 4))).otherwise(F.lit("")))
+    docs(spark, dir).select(id, raw.as("url_raw"))
+      .select(F.col("doc_id"), F.col("url_raw"),
+        UrlOps.canonicalize(F.col("url_raw")).as("url_canon"),
+        UrlOps.host(F.col("url_raw")).as("host"),
+        UrlOps.registrableDomain(UrlOps.host(F.col("url_raw"))).as("reg_domain"),
+        UrlOps.pathDepth(F.col("url_raw")).cast("long").as("path_depth"))
+      .orderBy("doc_id")
+  }
+
   /** Hashed-feature linear classifier scoring (fastText/FineWeb-Edu shape):
     * one codegen'd scalar per document, zero shuffle, exact integer
     * milli-weights. n_feats = unigrams + adjacent bigrams = 2n-1.

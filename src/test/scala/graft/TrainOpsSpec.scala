@@ -332,6 +332,41 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"classifier scoring shuffled:\n$plan")
   }
 
+  test("UrlOps: canonicalization, registrable domain, path depth") {
+    import graft.extract.UrlOps
+    val cases = Seq(
+      // case folds, www strip, default port drop, tracking params out,
+      // survivors sorted, trailing slash + fragment dropped
+      ("HTTP://WWW.Site.com:80/a/?utm_source=x&b=2&a=1#top",
+        "http://site.com/a?a=1&b=2", "site.com", "site.com", 1L),
+      // https default port; non-default port survives on the other scheme
+      ("https://Sub.Example.ORG:443/x/y", "https://sub.example.org/x/y",
+        "sub.example.org", "example.org", 2L),
+      ("http://site.com:8080/x", "http://site.com:8080/x",
+        "site.com", "site.com", 1L),
+      // multi-part public suffixes take three labels
+      ("https://a.b.co.uk/", "https://a.b.co.uk", "a.b.co.uk", "b.co.uk", 0L),
+      ("https://proj.github.io/docs/", "https://proj.github.io/docs",
+        "proj.github.io", "proj.github.io", 1L),
+      // query that empties entirely loses its '?'
+      ("https://x.net/p?utm_source=a&utm_medium=b", "https://x.net/p",
+        "x.net", "x.net", 1L))
+    val got = cases.map(_._1).toDF("url")
+      .select(F.col("url"), UrlOps.canonicalize(F.col("url")).as("c"),
+        UrlOps.host(F.col("url")).as("h"),
+        UrlOps.registrableDomain(UrlOps.host(F.col("url"))).as("rd"),
+        UrlOps.pathDepth(F.col("url")).cast("long").as("d"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
+    cases.foreach { case (raw, c, h, rd, d) =>
+      assert(got(raw) == ((c, h, rd, d)), s"for $raw")
+    }
+    // single-label host: the guarded slice stays legal, host falls through
+    val one = Seq("https://localhost/x").toDF("url")
+      .select(UrlOps.registrableDomain(UrlOps.host(F.col("url")))).head.getString(0)
+    assert(one == "localhost")
+  }
+
   test("withDocMetrics local twins equal the Column metric forms") {
     import graft.textops.TextOps
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
