@@ -106,9 +106,18 @@ class RegistrySpec extends AnyFunSuite {
     // ...and fix_pv removes exactly those classes
     assert(!pairs.exists { case (p, _) => p == "walmart" || p == "movie" })
     assert(!pairs.exists { case (_, ns) => "#.*#".r.findFirstIn(ns).isDefined })
-    assert(pairs.size >= 730)
+    assert(pairs.size >= 785)
     val reg = Registry.community()
-    assert(reg.size >= 715)
+    assert(reg.size >= 770)
+    // r5 tranche 3 resolves (identifiers.org MIRIAM, EU publications office,
+    // LOC vocabularies, CIDOC CRM extensions, SAREF extensions, scholarly ids)
+    assert(reg.resolveAlias("http://identifiers.org/cellosaurus/CVCL_0030").contains("cellosaurus"))
+    assert(reg.resolveAlias("http://identifiers.org/hgnc.symbol/BRCA1").contains("hgnc.symbol"))
+    assert(reg.resolveAlias("http://data.europa.eu/nuts/code/DE212").contains("nuts"))
+    assert(reg.resolveAlias("http://id.loc.gov/vocabulary/carriers/nc").contains("carriers"))
+    assert(reg.resolveAlias("https://saref.etsi.org/saref4bldg/Building").contains("s4bldg"))
+    assert(reg.resolveAlias("https://openalex.org/W2741809807").contains("openalex"))
+    assert(reg.resolveAlias("http://sws.geonames.org/2950159/").contains("geonames"))
     // r5 tranche 2 resolves (Darwin Core, RDA registry, LOC authorities)
     assert(reg.resolveAlias("http://rs.tdwg.org/dwc/terms/scientificName").contains("dwc"))
     assert(reg.resolveAlias("http://rdaregistry.info/Elements/u/P60049").contains("rdau"))
