@@ -81,6 +81,7 @@ object SparkEntry {
     "q_pack_sequences" -> (Queries.packSequences _),
     "q_text_unigram_lm" -> (Queries.textUnigramLm _),
     "q_text_bigram_lm" -> (Queries.textBigramLm _),
+    "q_ppl_buckets" -> (Queries.pplBuckets _),
     "q_text_quality" -> (Queries.textQuality _),
     "q_quality_classify" -> (Queries.qualityClassify _),
     "q_url_normalize" -> (Queries.urlCanonicalize _),

@@ -505,23 +505,17 @@ object Oracles {
     // fold = exact integer sum(cnt*q) over one correctly-rounded division —
     // the emitted raw double is bit-identical across engines, with no
     // boundary-seeking round() of a float sum (ADVICE r4 flake class)
-    "q_text_unigram_lm" ->
-      s"""WITH dt AS (
-         |  SELECT doc_id, tok, count(*) AS cnt FROM (
-         |    SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-         |      x -> len(x) > 0)) AS tok
-         |    FROM documents)
-         |  GROUP BY doc_id, tok),
-         |freq AS (SELECT tok, sum(cnt) AS freq FROM dt GROUP BY tok),
-         |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM freq),
-         |q AS (SELECT tok,
-         |  CAST(round(-ln(freq / (SELECT total FROM tot)) * 1000000.0) AS BIGINT) AS q
-         |  FROM freq)
-         |SELECT dt.doc_id,
-         |  CAST(sum(dt.cnt * q.q) AS DOUBLE)
-         |    / (CAST(sum(dt.cnt) AS DOUBLE) * 1000000.0) AS neg_logprob
-         |FROM dt JOIN q ON q.tok = dt.tok
-         |GROUP BY dt.doc_id""".stripMargin,
+    "q_text_unigram_lm" -> unigramLmSql,
+
+    // CCNet head/middle/tail: the oracle's global ntile window IS the
+    // semantics the engine's distributed prefix-sum rank must reproduce
+    // (rankBuckets' closed-form bucket = SQL ntile by construction)
+    "q_ppl_buckets" ->
+      s"""WITH nlp AS ($unigramLmSql)
+         |SELECT doc_id, neg_logprob,
+         |  CAST(row_number() OVER (ORDER BY neg_logprob, doc_id) AS BIGINT) AS rank,
+         |  CAST(ntile(3) OVER (ORDER BY neg_logprob, doc_id) AS BIGINT) AS bucket
+         |FROM nlp""".stripMargin,
 
     // pack_id = floor(exclusive id-ordered cumsum of tokens / budget); the
     // oracle's global window IS the semantics the engine's two-pass
@@ -852,6 +846,29 @@ object Oracles {
        |    $hits
        |  FROM documents)""".stripMargin
   }
+
+  /** Corpus unigram LM (shared by q_text_unigram_lm and q_ppl_buckets):
+    * mirrors the engine's single-scan shape — aggregate to (doc, tok, cnt)
+    * pairs, derive freq/total from that relation, and score with the
+    * fixed-point micro-nat table (see the q_text_unigram_lm comment).
+    */
+  private def unigramLmSql: String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, tok, count(*) AS cnt FROM (
+       |    SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      x -> len(x) > 0)) AS tok
+       |    FROM documents)
+       |  GROUP BY doc_id, tok),
+       |freq AS (SELECT tok, sum(cnt) AS freq FROM dt GROUP BY tok),
+       |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM freq),
+       |q AS (SELECT tok,
+       |  CAST(round(-ln(freq / (SELECT total FROM tot)) * 1000000.0) AS BIGINT) AS q
+       |  FROM freq)
+       |SELECT dt.doc_id,
+       |  CAST(sum(dt.cnt * q.q) AS DOUBLE)
+       |    / (CAST(sum(dt.cnt) AS DOUBLE) * 1000000.0) AS neg_logprob
+       |FROM dt JOIN q ON q.tok = dt.tok
+       |GROUP BY dt.doc_id""".stripMargin
 
   /** DuckDB replica of graft.extract.UrlOps over the same synthesized messy
     * frontier as Queries.urlCanonicalize.

@@ -670,6 +670,18 @@ object Queries {
     TextOps.shingleOverlap(docs(spark, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** CCNet-style perplexity bucketing: global rank + head/middle/tail
+    * terciles over the unigram-LM score via the distributed prefix-sum rank
+    * (never a single-partition ntile window).
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame =
+    TextOps.rankBuckets(
+        TextOps.unigramLogProb(docs(spark, dir), "doc_id", "text"),
+        "id", "neg_logprob", k = 3)
+      .select(F.col("id").as("doc_id"), F.col("score").as("neg_logprob"),
+        F.col("rank"), F.col("bucket"))
+      .orderBy("doc_id")
+
   /** Corpus-bigram LM scoring (add-one smoothing, integer micro-nat scores).
     * hotDf = 50 so BOTH halves of the hot/cold score join run under the
     * driver's oracle at every sf (the zipf head of this corpus crosses 50

@@ -412,6 +412,58 @@ object TextOps {
     }.toDF("id", "score", "n_tokens", "cum_tokens")
   }
 
+  /** Global rank + equal-depth bucket assignment over a total order
+    * (score asc, id asc) — the CCNet perplexity head/middle/tail split (k=3)
+    * and any quantile-bucketing stage, WITHOUT the global single-partition
+    * window `ntile` plans as: the same two-pass distributed prefix sum as
+    * [[selectToBudget]] (range-partition on the order, count per partition,
+    * broadcast the #partitions-sized offset map, rank = offset + local
+    * index), then SQL-`ntile` semantics computed closed-form from
+    * `(rank, n, k)` — the first `n % k` buckets take `⌈n/k⌉` rows, the rest
+    * `⌊n/k⌋`, matching DuckDB/Spark `ntile` exactly so the oracle can use
+    * the window form as the semantic definition. The driver materializes
+    * only per-partition counts (#partitions rows), never data.
+    */
+  def rankBuckets(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      scoreCol: String,
+      k: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k > 0, "k must be positive")
+    val rows = df
+      .select(F.col(idCol).cast("long").as("id"),
+        F.col(scoreCol).cast("double").as("score"))
+      .repartitionByRange(F.col("score").asc, F.col("id").asc)
+      .sortWithinPartitions(F.col("score").asc, F.col("id").asc)
+      .localCheckpoint()
+    val perPart = rows.select(F.spark_partition_id().as("pid"))
+      .groupBy("pid").agg(F.count(F.lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = new java.util.HashMap[Int, Long]()
+    var acc = 0L
+    perPart.foreach { case (pid, cnt) => offsets.put(pid, acc); acc += cnt }
+    val n = acc
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = rows.as[(Long, Double)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var r = bc.value.getOrDefault(pid, 0L)
+      it.map { case (id, score) => r += 1; (id, score, r) }
+    }.toDF("id", "score", "rank")
+    // ntile(k) closed-form: quotient q, remainder rem; ranks 1..(q+1)·rem
+    // land in the first rem (size q+1) buckets, the rest in size-q buckets
+    val q = n / k
+    val rem = n % k
+    val bucket =
+      if (q == 0) F.col("rank") // n < k: ntile gives rank itself
+      else F.when(F.col("rank") <= (q + 1) * rem,
+          F.floor((F.col("rank") - 1) / (q + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((F.col("rank") - 1 - (q + 1) * rem) / q) + 1)
+    ranked.withColumn("bucket", bucket.cast("long"))
+  }
+
   /** CCNet-style unigram language-model scoring: build the corpus unigram
     * distribution, then score each document by the mean negative log
     * probability of its tokens (lower = more typical of the corpus — the

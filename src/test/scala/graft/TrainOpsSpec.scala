@@ -332,6 +332,34 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"classifier scoring shuffled:\n$plan")
   }
 
+  test("rankBuckets equals the global ntile window, without one") {
+    import graft.textops.TextOps
+    import org.apache.spark.sql.expressions.Window
+    // ties in score force the id tiebreak; sizes not divisible by k exercise
+    // the remainder buckets (first n%k take the extra row)
+    for (k <- Seq(3, 4, 7); n <- Seq(10L, 11L, 23L)) {
+      val d = (0L until n).map(i => (i, (i % 5).toDouble)).toDF("doc_id", "s")
+      val got = TextOps.rankBuckets(d, "doc_id", "s", k)
+        .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+      val w = Window.orderBy(F.col("s").asc, F.col("doc_id").asc)
+      val ref = d.select(F.col("doc_id"),
+          F.row_number().over(w).cast("long").as("rank"),
+          F.ntile(k).over(w).cast("long").as("bucket"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got == ref, s"k=$k n=$n")
+    }
+    // n < k: ntile degenerates to rank
+    val tiny = Seq((1L, 0.5), (2L, 0.1)).toDF("doc_id", "s")
+    val tb = TextOps.rankBuckets(tiny, "doc_id", "s", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(tb == Map(1L -> 2L, 2L -> 1L))
+    // the engine form never plans a Window (the oracle's ntile is the
+    // semantic definition, not the execution strategy)
+    val plan = TextOps.rankBuckets(tiny, "doc_id", "s", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window reached the plan:\n$plan")
+  }
+
   test("UrlOps: canonicalization, registrable domain, path depth") {
     import graft.extract.UrlOps
     val cases = Seq(
