@@ -1,0 +1,123 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Graph analytics over the materialized triple table — the KG-construction
+  * counterpart of the text-pipeline family: once triples are extracted and
+  * canonicalized, a training-data / KG-curation pipeline needs node-level
+  * structure (degrees, centrality, co-mention structure) to filter, weight
+  * and sample entities at corpus scale. The reference stops at the namespace
+  * summary; these operators extend the same triple relation with the graph
+  * measurements a 10^12-page crawl graph needs, all as Catalyst-planned
+  * aggregations/joins (no driver-side graph materialization — node and edge
+  * sets never leave the cluster).
+  *
+  * Node domain convention shared by all operators here: graph nodes are IRI
+  * and blank-node terms (Kind 0 and 1); literals are attributes, not nodes.
+  */
+object GraphOps {
+
+  private val NodeKinds = Seq(0, 1)
+
+  /** Per-node degree statistics: out-degree (triples with the node as
+    * subject — any object kind, literals included: attribute edges count as
+    * outgoing statements, matching SPARQL `?s ?p ?o` degree semantics),
+    * in-degree (triples with the node as an IRI/blank object), and the
+    * number of distinct predicates the node emits.
+    *
+    * Scale shape: ONE union-projected scan into one hash aggregation —
+    * `sum` is algebraic so partial aggregation absorbs hot entities
+    * (a dbpedia-style hub with 10^9 incident triples collapses map-side);
+    * `count(DISTINCT p)` expands per-node only over the node's own distinct
+    * predicate set (bounded by the vocabulary, not the corpus).
+    */
+  def entityDegrees(triples: DataFrame): DataFrame = {
+    val subj = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*))
+      .select(F.col("s").as("node"), F.lit(1L).as("outc"), F.lit(0L).as("inc"),
+        F.col("p"))
+    val obj = triples
+      .filter(F.col("oKind").isin(NodeKinds: _*))
+      .select(F.col("o").as("node"), F.lit(0L).as("outc"), F.lit(1L).as("inc"),
+        F.lit(null).cast("string").as("p"))
+    subj.union(obj)
+      .groupBy("node")
+      .agg(
+        F.sum("outc").as("out_deg"),
+        F.sum("inc").as("in_deg"),
+        F.countDistinct("p").as("n_preds"))
+  }
+
+  /** Fixed-point integer PageRank over the entity graph, engine-exact by
+    * construction (the unigram-LM micro-nat trick applied to iteration):
+    * ranks live in integer micro-units, every step is integer arithmetic
+    * (`div` truncation on positive operands ≡ DuckDB `//` floor), and
+    * integer sums are order-independent — so the emitted ranks are
+    * bit-identical across engines, partitionings and summation orders,
+    * something float PageRank can never promise across two engines.
+    *
+    * Semantics: edges are DISTINCT (s, o) pairs over IRI/blank terms;
+    * nodes are every IRI/blank subject or object (isolated-from-edges nodes
+    * rank too). r_0 = 1_000_000 for all nodes; per iteration
+    * `r_{k+1}(n) = 150_000 + Σ_{m→n} (r_k(m) * 17) div (20 * outdeg(m))`
+    * (damping 0.85 = 17/20, teleport (1-d)·10^6 = 150_000; dangling mass
+    * leaks — the deterministic variant both engines implement identically).
+    *
+    * Scale shape: the edge+outdeg relation is built once and
+    * `localCheckpoint`ed (on a cluster: a reliable checkpoint / parquet
+    * materialization); each iteration is one shuffle join on the subject key
+    * plus one algebraic `sum` groupBy on the target key — a celebrity node's
+    * 10^9 incoming contributions combine map-side, and a hub's outgoing
+    * fan-out streams through the 1:N join (AQE skew split applies). Ranks
+    * are re-checkpointed per iteration to keep lineage flat.
+    */
+  def pageRank(triples: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val nodes = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*)).select(F.col("s").as("node"))
+      .union(triples
+        .filter(F.col("oKind").isin(NodeKinds: _*)).select(F.col("o").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val edges = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*))
+      .select("s", "o").distinct()
+    val outdeg = edges.groupBy("s").agg(F.count(F.lit(1)).as("outdeg"))
+    val edgesOd = edges.join(outdeg, "s").localCheckpoint()
+
+    var ranks = nodes.withColumn("rank", F.lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edgesOd
+        .join(ranks.withColumnRenamed("node", "s"), "s")
+        .select(F.col("o").as("node"),
+          F.expr("(`rank` * 17) div (20 * outdeg)").as("c"))
+        .groupBy("node").agg(F.sum("c").as("inc"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(F.col("node"),
+          (F.lit(150000L) + F.coalesce(F.col("inc"), F.lit(0L))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Entity co-occurrence: unordered pairs of distinct entities linked on the
+    * same page, with the number of co-mentioning pages. The mention-graph
+    * projection KG pipelines feed into relatedness scoring and
+    * entity-disambiguation priors.
+    *
+    * Scale shape: dedup to (page, entity) first (algebraic), then a
+    * self-equi-join on the page key — per-page fan-out is C(entities-on-page,
+    * 2), bounded by the page length, never by the corpus; the pair count is
+    * an algebraic sum. A viral entity appearing on 10^9 pages is spread
+    * across all of them (the join key is the page, not the entity).
+    */
+  def cooccurrence(mentions: DataFrame): DataFrame = {
+    val pe = mentions.select(F.col("srcUrl").as("url"),
+      F.col("entityIri").as("iri")).distinct()
+    pe.as("a").join(pe.as("b"),
+        F.col("a.url") === F.col("b.url") && F.col("a.iri") < F.col("b.iri"))
+      .groupBy(F.col("a.iri").as("e1"), F.col("b.iri").as("e2"))
+      .agg(F.count(F.lit(1)).as("n_pages"))
+  }
+}

@@ -227,4 +227,59 @@ object KgSql {
        |  FROM tr)
        |SELECT s_ns, p_ns, o_ns, is_datatype, count(*) AS occurs
        |FROM norm GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** Oracle for Queries.kgDegrees (graft.kg.GraphOps.entityDegrees): nodes
+    * are IRI/blank terms (k 0/1); out-degree counts ALL outgoing statements
+    * (attribute edges included), in-degree only IRI/blank objects; n_preds =
+    * distinct outgoing predicates (NULL p from object rows is ignored by
+    * count(DISTINCT ...) on both engines).
+    */
+  val degreesSql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""dn AS (
+       |  SELECT s AS node, 1 AS outc, 0 AS inc, p FROM tr WHERE k_s IN (0, 1)
+       |  UNION ALL
+       |  SELECT o, 0, 1, NULL FROM tr WHERE k_o IN (0, 1))
+       |SELECT node, CAST(sum(outc) AS BIGINT) AS out_deg,
+       |  CAST(sum(inc) AS BIGINT) AS in_deg,
+       |  CAST(count(DISTINCT p) AS BIGINT) AS n_preds
+       |FROM dn GROUP BY 1""".stripMargin
+
+  /** Oracle for Queries.kgPageRank: the 5 fixed-point integer iterations of
+    * graft.kg.GraphOps.pageRank unrolled as CTEs. `//` (DuckDB floor
+    * division) ≡ Spark `div` (truncation) because every operand is positive;
+    * integer sums make each iteration order-independent, so the two engines
+    * agree bit-for-bit — see the GraphOps scaladoc for the recurrence.
+    */
+  val pageRankSql: String = {
+    val head = s"WITH $triplesCtes,\n" +
+      s"""nd AS (SELECT DISTINCT node FROM (
+         |  SELECT s AS node FROM tr WHERE k_s IN (0, 1)
+         |  UNION ALL SELECT o FROM tr WHERE k_o IN (0, 1))),
+         |e0 AS (SELECT DISTINCT s, o FROM tr WHERE k_s IN (0, 1) AND k_o IN (0, 1)),
+         |od AS (SELECT s, CAST(count(*) AS BIGINT) AS outdeg FROM e0 GROUP BY 1),
+         |ed AS (SELECT e0.s, e0.o, od.outdeg FROM e0 JOIN od USING (s)),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nd)""".stripMargin
+    val steps = (1 to 5).map { i =>
+      s"""r$i AS (SELECT nd.node,
+         |  CAST(150000 + COALESCE(c.inc, 0) AS BIGINT) AS rank
+         |  FROM nd LEFT JOIN (
+         |    SELECT ed.o AS node,
+         |      CAST(sum((r.rank * 17) // (20 * ed.outdeg)) AS BIGINT) AS inc
+         |    FROM ed JOIN r${i - 1} r ON r.node = ed.s GROUP BY 1) c USING (node))""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + "\nSELECT node, rank FROM r5"
+  }
+
+  /** Oracle for Queries.kgCooccur: unordered same-page entity pairs over the
+    * distinct (page, entity) mention projection. mentionsSql is embedded as a
+    * pre-stripped subquery (NEVER re-stripMargin'd — see the mentionsSql
+    * NOTE); `<` on ASCII IRIs is the same binary order in both engines.
+    */
+  val cooccurSql: String =
+    "WITH pe AS (SELECT DISTINCT \"srcUrl\" AS url, \"entityIri\" AS iri FROM (\n" +
+      mentionsSql + "\n) m)\n" +
+    s"""SELECT a.iri AS e1, b.iri AS e2, CAST(count(*) AS BIGINT) AS n_pages
+       |FROM pe a JOIN pe b ON a.url = b.url AND a.iri < b.iri
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -419,6 +419,9 @@ object Oracles {
     "q_kg_mentions" -> KgSql.mentionsSql,
     "q_kg_triples" -> KgSql.triplesSql,
     "q_kg_summary" -> KgSql.summarySql,
+    "q_kg_degrees" -> KgSql.degreesSql,
+    "q_kg_pagerank" -> KgSql.pageRankSql,
+    "q_kg_cooccur" -> KgSql.cooccurSql,
     // streaming path over the same corpus MUST reproduce the batch summary
     "q_stream_summary" -> KgSql.summarySql,
 
@@ -506,6 +509,37 @@ object Oracles {
     // the emitted raw double is bit-identical across engines, with no
     // boundary-seeking round() of a float sum (ADVICE r4 flake class)
     "q_text_unigram_lm" -> unigramLmSql,
+
+    // BM25 with everything integral but the once-quantized per-term idf:
+    // the tf/length saturation is pure integer arithmetic (`//` ≡ Spark
+    // `div` on positive operands) and the per-doc fold an integer sum, so
+    // ranking ties break identically; docs matching no query term are absent
+    "q_bm25_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id,
+         |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |dt AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  greatest(CAST(1 AS BIGINT),
+         |    CAST(sum(dl) AS BIGINT) // CAST(count(*) AS BIGINT)) AS avgdl FROM dl),
+         |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS dft FROM dt
+         |  WHERE tok IN ('customer', 'vector', 'dup') GROUP BY 1),
+         |idf AS (SELECT tok,
+         |  CAST(round(ln((st.n - dft + 0.5) / (dft + 0.5) + 1) * 1000000) AS BIGINT) AS idf
+         |  FROM dft, st),
+         |hit AS (SELECT dt.id, idf.idf, dt.tf, dl.dl, st.avgdl
+         |  FROM dt JOIN idf USING (tok) JOIN dl USING (id), st),
+         |sc AS (SELECT id,
+         |  CAST(sum((idf * ((tf * 2200000 * avgdl)
+         |    // (tf * 1000000 * avgdl + 12000 * (25 * avgdl + 75 * dl)))) // 1000000)
+         |    AS BIGINT) AS score,
+         |  CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM hit GROUP BY 1)
+         |SELECT id AS doc_id, score, n_terms FROM sc
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // CCNet head/middle/tail: the oracle's global ntile window IS the
     // semantics the engine's distributed prefix-sum rank must reproduce

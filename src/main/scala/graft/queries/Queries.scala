@@ -486,6 +486,27 @@ object Queries {
       .extractTriples(graft.extract.Synth.pages(spark, kgPageCount(spark, dir)))
       .toDF()
 
+  /** Per-entity degree statistics over the materialized triple table
+    * (value oracle in [[KgSql.degreesSql]]).
+    */
+  def kgDegrees(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.entityDegrees(kgTriples(spark, dir))
+      .orderBy("node")
+
+  /** Fixed-point integer PageRank (5 iterations) over the entity graph —
+    * engine-exact integer recurrence, unrolled in [[KgSql.pageRankSql]].
+    */
+  def kgPageRank(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.pageRank(kgTriples(spark, dir), iters = 5)
+      .orderBy("node")
+
+  /** Same-page entity co-occurrence pairs (value oracle in
+    * [[KgSql.cooccurSql]]).
+    */
+  def kgCooccur(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.cooccurrence(kgMentions(spark, dir))
+      .orderBy("e1", "e2")
+
   /** The flagship end-to-end pipeline (extract -> infer -> normalize ->
     * summarize) over the sf-scaled corpus; value oracle in
     * [[KgSql.summarySql]] (inference outcome pinned + scale-stable for this
@@ -681,6 +702,15 @@ object Queries {
       .select(F.col("id").as("doc_id"), F.col("score").as("neg_logprob"),
         F.col("rank"), F.col("bucket"))
       .orderBy("doc_id")
+
+  /** BM25 top-k retrieval for a fixed 3-term query (one rare + two common
+    * terms of this corpus's vocabulary); integer fixed-point scoring makes
+    * the ranking engine-exact — see [[graft.textops.Bm25]].
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    graft.textops.Bm25.bm25TopK(docs(spark, dir), "doc_id", "text",
+        Seq("customer", "vector", "dup"), k = 20)
+      .select(F.col("id").as("doc_id"), F.col("score"), F.col("n_terms"))
 
   /** Corpus-bigram LM scoring (add-one smoothing, integer micro-nat scores).
     * hotDf = 50 so BOTH halves of the hot/cold score join run under the

@@ -1,0 +1,89 @@
+package graft
+
+import graft.kg.GraphOps
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  // a -> b (twice, distinct predicates), a -> c, b -> c, c -> a, plus a
+  // literal attribute on d (node with no graph edges) and a blank subject
+  private def triples = Seq(
+    ("a", 0, "p1", "b", 0),
+    ("a", 0, "p9", "b", 0),
+    ("a", 0, "p2", "c", 0),
+    ("b", 0, "p1", "c", 0),
+    ("c", 0, "p1", "a", 0),
+    ("d", 0, "p3", "year", 4),
+    ("_:x", 1, "p4", "a", 0)
+  ).toDF("s", "sKind", "p", "o", "oKind")
+    .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+      $"o", $"oKind".cast("byte").as("oKind"))
+
+  test("entityDegrees: out counts all statements, in counts node objects") {
+    val got = GraphOps.entityDegrees(triples).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "a" -> ((3L, 2L, 3L)), // out p1,p9,p2; in from c and _:x
+      "b" -> ((1L, 2L, 1L)),
+      "c" -> ((1L, 2L, 1L)),
+      "d" -> ((1L, 0L, 1L)), // literal attribute counts as outgoing
+      "_:x" -> ((1L, 0L, 1L))
+    ))
+  }
+
+  /** Straight-line reference of the same integer recurrence. */
+  private def refPageRank(
+      edges: Seq[(String, String)], nodes: Set[String], iters: Int
+  ): Map[String, Long] = {
+    val dedup = edges.distinct
+    val outdeg = dedup.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val inc = dedup.groupBy(_._2).map { case (o, es) =>
+        o -> es.map { case (s, _) => (r(s) * 17) / (20 * outdeg(s)) }.sum
+      }
+      r = nodes.map(n => n -> (150000L + inc.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  test("pageRank: matches the integer recurrence; edges dedup; dangling ok") {
+    val nodes = Set("a", "b", "c", "d", "_:x")
+    val edges = Seq("a" -> "b", "a" -> "b", "a" -> "c", "b" -> "c",
+      "c" -> "a", "_:x" -> "a")
+    for (iters <- Seq(0, 1, 5)) {
+      val got = GraphOps.pageRank(triples, iters).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == refPageRank(edges, nodes, iters), s"iters=$iters")
+    }
+    // d has a literal-only statement: it is a node (ranks) but never
+    // receives mass -> exactly the teleport term after any iteration >= 1
+    val r5 = GraphOps.pageRank(triples, 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r5("d") == 150000L)
+  }
+
+  test("pageRank plan: no global window, no cartesian product") {
+    val plan = GraphOps.pageRank(triples, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+  }
+
+  test("cooccurrence: unordered same-page pairs over distinct mentions") {
+    val mentions = Seq(
+      ("u1", "E1"), ("u1", "E2"), ("u1", "E3"), ("u1", "E1"), // dup mention
+      ("u2", "E2"), ("u2", "E1")
+    ).toDF("srcUrl", "entityIri")
+    val got = GraphOps.cooccurrence(mentions).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      ("E1", "E2") -> 2L,
+      ("E1", "E3") -> 1L,
+      ("E2", "E3") -> 1L
+    ))
+  }
+}

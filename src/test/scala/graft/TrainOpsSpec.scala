@@ -360,6 +360,52 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"global window reached the plan:\n$plan")
   }
 
+  test("bm25TopK matches the fixed-point formula; bounded top-k plan") {
+    import graft.textops.Bm25
+    val corpus = Seq(
+      (0L, "spark spark spark engine"),
+      (1L, "spark engine fast"),
+      (2L, "engine engine engine engine engine engine"),
+      (3L, "nothing relevant here at all whatsoever today"),
+      (4L, "spark")
+    ).toDF("doc_id", "text")
+    val query = Seq("spark", "engine")
+    val got = Bm25.bm25TopK(corpus, "doc_id", "text", query, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // straight-line reference of the documented integer semantics
+    val toks = Map(0L -> Seq("spark", "spark", "spark", "engine"),
+      1L -> Seq("spark", "engine", "fast"),
+      2L -> Seq.fill(6)("engine"),
+      3L -> "nothing relevant here at all whatsoever today".split(" ").toSeq,
+      4L -> Seq("spark"))
+    val n = toks.size.toLong
+    val avgdl = toks.values.map(_.size.toLong).sum / n
+    def idf(t: String) = {
+      val d = toks.values.count(_.contains(t)).toLong
+      Math.round(Math.log((n - d + 0.5) / (d + 0.5) + 1.0) * 1e6)
+    }
+    val exp = toks.toSeq.flatMap { case (id, ts) =>
+      val scores = query.flatMap { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0) None
+        else {
+          val dl = ts.size.toLong
+          val ratio = (tf * 2200000L * avgdl) /
+            (tf * 1000000L * avgdl + 12000L * (25L * avgdl + 75L * dl))
+          Some((idf(t) * ratio) / 1000000L)
+        }
+      }
+      if (scores.isEmpty) None else Some((id, scores.sum, scores.size.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(3)
+    assert(got.toSeq == exp)
+
+    // selection is per-partition top-k + driver merge, never a global sort
+    val plan = Bm25.bm25TopK(corpus, "doc_id", "text", query, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no bounded top-k:\n$plan")
+  }
+
   test("UrlOps: canonicalization, registrable domain, path depth") {
     import graft.extract.UrlOps
     val cases = Seq(
