@@ -53,6 +53,7 @@ object SparkEntry {
     "q_kg_triples" -> (Queries.kgTriples _),
     "q_kg_degrees" -> (Queries.kgDegrees _),
     "q_kg_pagerank" -> (Queries.kgPageRank _),
+    "q_kg_triangles" -> (Queries.kgTriangles _),
     "q_kg_cooccur" -> (Queries.kgCooccur _),
     "q_stream_summary" -> (Queries.streamSummary _),
     "q_stream_dedup" -> (Queries.streamDedup _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "q_text_unigram_lm" -> (Queries.textUnigramLm _),
     "q_text_bigram_lm" -> (Queries.textBigramLm _),
     "q_bm25_topk" -> (Queries.bm25TopK _),
+    "q_keywords_tfidf" -> (Queries.keywordsTfidf _),
     "q_ppl_buckets" -> (Queries.pplBuckets _),
     "q_text_quality" -> (Queries.textQuality _),
     "q_quality_classify" -> (Queries.qualityClassify _),

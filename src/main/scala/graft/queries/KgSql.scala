@@ -271,6 +271,21 @@ object KgSql {
     (head +: steps).mkString(",\n") + "\nSELECT node, rank FROM r5"
   }
 
+  /** Oracle for Queries.kgTriangles: the naive a<b<c three-way join — the
+    * SEMANTIC definition of the triangle set; the engine finds the same set
+    * with the degree-ordered orientation (GraphOps.triangleCounts scaladoc).
+    */
+  val trianglesSql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""eu AS (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+       |  FROM tr WHERE k_s IN (0, 1) AND k_o IN (0, 1) AND s <> o),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM eu e1 JOIN eu e2 ON e2.a = e1.b
+       |  JOIN eu e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (SELECT x AS node FROM tri
+       |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM pn GROUP BY 1""".stripMargin
+
   /** Oracle for Queries.kgCooccur: unordered same-page entity pairs over the
     * distinct (page, entity) mention projection. mentionsSql is embedded as a
     * pre-stripped subquery (NEVER re-stripMargin'd — see the mentionsSql

@@ -421,6 +421,7 @@ object Oracles {
     "q_kg_summary" -> KgSql.summarySql,
     "q_kg_degrees" -> KgSql.degreesSql,
     "q_kg_pagerank" -> KgSql.pageRankSql,
+    "q_kg_triangles" -> KgSql.trianglesSql,
     "q_kg_cooccur" -> KgSql.cooccurSql,
     // streaming path over the same corpus MUST reproduce the batch summary
     "q_stream_summary" -> KgSql.summarySql,
@@ -509,6 +510,30 @@ object Oracles {
     // the emitted raw double is bit-identical across engines, with no
     // boundary-seeking round() of a float sum (ADVICE r4 flake class)
     "q_text_unigram_lm" -> unigramLmSql,
+
+    // integer TF-IDF keywords: idf quantized once to micro-nats, score a
+    // pure integer product; per-doc window group size is bounded by the
+    // document's own distinct-term count (not a hot-key window)
+    "q_keywords_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id,
+         |    UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         |      x -> len(x) > 0)) AS tok
+         |  FROM documents),
+         |dt AS (SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |nd AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n FROM dt),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         |idf AS (SELECT tok,
+         |  CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT) AS idf
+         |  FROM dfq, nd),
+         |sc AS (SELECT id, dt.tok, dt.tf * idf.idf AS score
+         |  FROM dt JOIN idf USING (tok)),
+         |rk AS (SELECT id, tok, score,
+         |  row_number() OVER (PARTITION BY id ORDER BY score DESC, tok) AS rn
+         |  FROM sc)
+         |SELECT id AS doc_id, tok AS term, CAST(score AS BIGINT) AS score,
+         |  CAST(rn AS BIGINT) AS rnk
+         |FROM rk WHERE rn <= 3""".stripMargin,
 
     // BM25 with everything integral but the once-quantized per-term idf:
     // the tf/length saturation is pure integer arithmetic (`//` ≡ Spark

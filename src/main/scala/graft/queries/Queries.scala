@@ -500,6 +500,13 @@ object Queries {
     graft.kg.GraphOps.pageRank(kgTriples(spark, dir), iters = 5)
       .orderBy("node")
 
+  /** Per-node triangle counts via degree-ordered orientation (value oracle:
+    * the naive three-way join in [[KgSql.trianglesSql]] — same triangle set).
+    */
+  def kgTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.triangleCounts(kgTriples(spark, dir))
+      .orderBy("node")
+
   /** Same-page entity co-occurrence pairs (value oracle in
     * [[KgSql.cooccurSql]]).
     */
@@ -702,6 +709,13 @@ object Queries {
       .select(F.col("id").as("doc_id"), F.col("score").as("neg_logprob"),
         F.col("rank"), F.col("bucket"))
       .orderBy("doc_id")
+
+  /** Per-document keyword extraction: top-3 terms by integer TF-IDF
+    * (engine-exact fixed-point scoring — see [[TextOps.topTfIdf]]).
+    */
+  def keywordsTfidf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.topTfIdf(docs(spark, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rnk")
 
   /** BM25 top-k retrieval for a fixed 3-term query (one rare + two common
     * terms of this corpus's vocabulary); integer fixed-point scoring makes

@@ -464,6 +464,44 @@ object TextOps {
     ranked.withColumn("bucket", bucket.cast("long"))
   }
 
+  /** Per-document keyword extraction: top-k terms by integer TF-IDF.
+    * idf is the once-quantized transcendental (micro-nats,
+    * `round(ln(N/df)·10^6)`) and the score a pure integer product `tf · idf`,
+    * so ranking and tie-breaks (score desc, term asc) are engine-exact.
+    *
+    * Scale shape: one tokenized scan to (doc, term, tf); the df/idf relation
+    * is vocabulary-sized and joins back on the term key (zipf-hot stopwords
+    * fan out 1:1 — they carry idf≈0 and never rank); the per-document top-k
+    * window partitions on the DOCUMENT id, whose group size is bounded by
+    * the document's own distinct-term count — a bounded-group window, not
+    * the hot-key class capPerDomain/dedupLines had.
+    */
+  def topTfIdf(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val docTok = df
+      .select(F.col(idCol).cast("long").as("doc_id"),
+        F.explode(tokens(F.col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+    val nDocs = docTok.select("doc_id").distinct().count()
+    val idf = docTok.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+      .select(F.col("term"),
+        F.round(F.log(F.lit(nDocs.toDouble) / F.col("df")) * 1e6, 0)
+          .cast("long").as("idf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(F.col("score").desc, F.col("term").asc)
+    docTok.join(idf, "term")
+      .withColumn("score", F.col("tf") * F.col("idf"))
+      .withColumn("rnk", F.row_number().over(w).cast("long"))
+      .filter(F.col("rnk") <= k)
+      .select("doc_id", "term", "score", "rnk")
+  }
+
   /** CCNet-style unigram language-model scoring: build the corpus unigram
     * distribution, then score each document by the mean negative log
     * probability of its tokens (lower = more typical of the corpus — the

@@ -73,6 +73,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
   }
 
+  test("triangleCounts: degree-oriented count equals naive enumeration") {
+    // K4 on {a,b,c,d} (4 triangles, 3 per node) plus a pendant edge and a
+    // reverse duplicate (c->a exists as a->c too: must collapse)
+    val k4 = for {
+      Seq(x, y) <- Seq("a", "b", "c", "d").combinations(2).toSeq
+    } yield (x, 0, "p", y, 0)
+    val extra = Seq(("c", 0, "p", "a", 0), ("d", 0, "p", "e", 0),
+      ("a", 0, "lit", "1999", 4))
+    val t = (k4 ++ extra).toDF("s", "sKind", "p", "o", "oKind")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+        $"o", $"oKind".cast("byte").as("oKind"))
+    val got = GraphOps.triangleCounts(t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // pendant e and literal edges contribute nothing
+    assert(!got.contains("e"))
+  }
+
   test("cooccurrence: unordered same-page pairs over distinct mentions") {
     val mentions = Seq(
       ("u1", "E1"), ("u1", "E2"), ("u1", "E3"), ("u1", "E1"), // dup mention

@@ -360,6 +360,28 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"global window reached the plan:\n$plan")
   }
 
+  test("topTfIdf: integer tf-idf ranks, term tie-break, df=N terms score 0") {
+    import graft.textops.TextOps
+    val corpus = Seq(
+      (0L, "alpha alpha beta common"),
+      (1L, "beta gamma common"),
+      (2L, "gamma gamma gamma common")
+    ).toDF("doc_id", "text")
+    val got = TextOps.topTfIdf(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(3)), (r.getString(1), r.getLong(2)))).toMap
+    val n = 3.0
+    def idf(df: Long) = Math.round(Math.log(n / df) * 1e6)
+    // doc 0: alpha tf=2 df=1 -> 2*idf(1); beta tf=1 df=2 -> idf(2); common 0
+    assert(got((0L, 1L)) == ("alpha", 2 * idf(1)))
+    assert(got((0L, 2L)) == ("beta", idf(2)))
+    // doc 1: beta and gamma tie at idf(2) -> term asc breaks the tie
+    assert(got((1L, 1L)) == ("beta", idf(2)))
+    assert(got((1L, 2L)) == ("gamma", idf(2)))
+    // doc 2: gamma tf=3; then common with score 0 (df = N -> idf 0)
+    assert(got((2L, 1L)) == ("gamma", 3 * idf(2)))
+    assert(got((2L, 2L)) == ("common", 0L))
+  }
+
   test("bm25TopK matches the fixed-point formula; bounded top-k plan") {
     import graft.textops.Bm25
     val corpus = Seq(
