@@ -106,9 +106,15 @@ class RegistrySpec extends AnyFunSuite {
     // ...and fix_pv removes exactly those classes
     assert(!pairs.exists { case (p, _) => p == "walmart" || p == "movie" })
     assert(!pairs.exists { case (_, ns) => "#.*#".r.findFirstIn(ns).isDefined })
-    assert(pairs.size >= 785)
+    assert(pairs.size >= 1000)
     val reg = Registry.community()
-    assert(reg.size >= 770)
+    assert(reg.size >= 985)
+    // r5 tranche 4 resolves (bulk MIRIAM remainder + OBO Foundry remainder)
+    assert(reg.resolveAlias("http://purl.obolibrary.org/obo/MONDO_0005015").contains("MONDO"))
+    assert(reg.resolveAlias("http://purl.obolibrary.org/obo/MAXO_0000004").contains("MAXO"))
+    assert(reg.resolveAlias("http://identifiers.org/metabolights/MTBLS1").contains("metabolights"))
+    assert(reg.resolveAlias("http://identifiers.org/snomedct/284196006").contains("snomedct"))
+    assert(reg.resolveAlias("http://identifiers.org/panther.pathway/P00024").contains("panther.pathway"))
     // r5 tranche 3 resolves (identifiers.org MIRIAM, EU publications office,
     // LOC vocabularies, CIDOC CRM extensions, SAREF extensions, scholarly ids)
     assert(reg.resolveAlias("http://identifiers.org/cellosaurus/CVCL_0030").contains("cellosaurus"))
