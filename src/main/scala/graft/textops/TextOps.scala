@@ -464,6 +464,57 @@ object TextOps {
     ranked.withColumn("bucket", bucket.cast("long"))
   }
 
+  /** Positional inverted index: one postings row per (term, document) with
+    * the term frequency and the ascending position list (canonical CSV — a
+    * deterministic wire form the driver's value compare can hash). The
+    * search-side artifact retrieval/decontamination pipelines materialize
+    * once and reuse for phrase queries ([[phraseSearch]]) and BM25.
+    *
+    * Scale shape: one tokenized scan, one hash aggregation on the
+    * (term, doc) pair key — hot stopword terms stay spread because the doc
+    * id is IN the grouping key (the same pair-key trick as the unigram LM);
+    * the position list is bounded by the document's own length.
+    */
+  def invertedIndex(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame =
+    df.select(F.col(idCol).cast("long").as("doc_id"),
+        F.posexplode(tokens(F.col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(F.count(F.lit(1)).as("tf"),
+        F.array_join(F.sort_array(F.collect_list(F.col("pos"))), ",")
+          .as("positions"))
+
+  /** Exact phrase search: documents containing the given terms at strictly
+    * consecutive token positions; returns match count and first match
+    * position per document. Composes as a chain of fine-grained equi-joins
+    * on (doc, position) — keys carry the position, so even a stopword-only
+    * phrase distributes across the corpus rather than hot-spotting a term
+    * key.
+    */
+  def phraseSearch(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: Seq[String]
+  ): org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val pe = df.select(F.col(idCol).cast("long").as("doc_id"),
+        F.posexplode(tokens(F.col(textCol))).as(Seq("pos", "term")))
+    val first = pe.filter(F.col("term") === phrase.head)
+      .select(F.col("doc_id"), F.col("pos").as("p0"))
+    val matches = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, i)) =>
+        val nxt = pe.filter(F.col("term") === w)
+          .select(F.col("doc_id"), (F.col("pos") - i).as("p0"))
+        acc.join(nxt, Seq("doc_id", "p0"))
+    }
+    matches.groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_matches"), F.min("p0").as("first_pos"))
+  }
+
   /** Per-document keyword extraction: top-k terms by integer TF-IDF.
     * idf is the once-quantized transcendental (micro-nats,
     * `round(ln(N/df)·10^6)`) and the score a pure integer product `tf · idf`,

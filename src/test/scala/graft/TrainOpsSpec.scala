@@ -360,6 +360,31 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"global window reached the plan:\n$plan")
   }
 
+  test("invertedIndex + phraseSearch: positions, adjacency, overlap") {
+    import graft.textops.TextOps
+    val corpus = Seq(
+      (0L, "big data big data big"),
+      (1L, "data big nothing"),
+      (2L, "big big big") // overlapping self-adjacency
+    ).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(corpus, "doc_id", "text").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getString(3)))).toMap
+    assert(idx(("big", 0L)) == ((3L, "0,2,4")))
+    assert(idx(("data", 0L)) == ((2L, "1,3")))
+    assert(idx(("nothing", 1L)) == ((1L, "2")))
+    assert(idx(("big", 2L)) == ((3L, "0,1,2")))
+
+    val ph = TextOps.phraseSearch(corpus, "doc_id", "text", Seq("big", "data"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    assert(ph == Map(0L -> ((2L, 0)))) // "big data" at 0 and 2; doc 1 has "data big"
+    val self = TextOps.phraseSearch(corpus, "doc_id", "text", Seq("big", "big"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(self == Map(2L -> 2L)) // overlapping matches at 0 and 1
+    val tri = TextOps.phraseSearch(corpus, "doc_id", "text",
+      Seq("big", "data", "big")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tri == Map(0L -> 2L))
+  }
+
   test("topTfIdf: integer tf-idf ranks, term tie-break, df=N terms score 0") {
     import graft.textops.TextOps
     val corpus = Seq(
