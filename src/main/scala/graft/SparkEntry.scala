@@ -55,6 +55,9 @@ object SparkEntry {
     "q_kg_pagerank" -> (Queries.kgPageRank _),
     "q_kg_triangles" -> (Queries.kgTriangles _),
     "q_kg_cooccur" -> (Queries.kgCooccur _),
+    "q_kg_entity_resolve" -> (Queries.kgEntityResolve _),
+    "q_kg_canon_triples" -> (Queries.kgCanonTriples _),
+    "q_crawl_latest" -> (Queries.crawlLatest _),
     "q_stream_summary" -> (Queries.streamSummary _),
     "q_stream_dedup" -> (Queries.streamDedup _),
     // training-data operators
@@ -79,6 +82,7 @@ object SparkEntry {
     "q_text_filter" -> (Queries.textFilter _),
     "q_split_train_val" -> (Queries.splitTrainVal _),
     "q_stratified_sample" -> (Queries.stratifiedSample _),
+    "q_mix_corpora" -> (Queries.mixCorpora _),
     "q_vocab_topk" -> (Queries.vocabTop _),
     "q_tokenize_ids" -> (Queries.tokenizeIds _),
     "q_select_budget" -> (Queries.selectBudget _),
@@ -87,6 +91,8 @@ object SparkEntry {
     "q_text_bigram_lm" -> (Queries.textBigramLm _),
     "q_bm25_topk" -> (Queries.bm25TopK _),
     "q_keywords_tfidf" -> (Queries.keywordsTfidf _),
+    "q_index_postings" -> (Queries.indexPostings _),
+    "q_phrase_search" -> (Queries.phraseSearch _),
     "q_ppl_buckets" -> (Queries.pplBuckets _),
     "q_text_quality" -> (Queries.textQuality _),
     "q_quality_classify" -> (Queries.qualityClassify _),

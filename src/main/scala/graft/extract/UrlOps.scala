@@ -109,4 +109,29 @@ object UrlOps {
       path(url),
       F.when(q =!= "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))
   }
+
+  /** Latest-capture dedup over a crawl archive: a Common-Crawl-style corpus
+    * holds MANY captures of the same logical page at different `warc_ts`;
+    * training/KG pipelines keep exactly one — the newest. One row per key:
+    * the row maximizing `orderCols` lexicographically (put the capture
+    * timestamp first and a unique id next, so the winner is total-ordered
+    * and engine-independent).
+    *
+    * Scale shape: argmax as an algebraic `max` of a struct — the SAME
+    * bounded-reducer shape as the line-dedup argmin: each map task reduces
+    * its slice of a key to ONE candidate before the shuffle, so a page
+    * recaptured 10^6 times collapses map-side and the shuffle carries one
+    * row per logical page. Never a per-key window.
+    */
+  def latestCapture(
+      df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String]
+  ): org.apache.spark.sql.DataFrame = {
+    val payload = df.columns.filterNot(c => keyCols.contains(c) || orderCols.contains(c))
+    val packed = (orderCols ++ payload).map(F.col)
+    df.groupBy(keyCols.map(F.col): _*)
+      .agg(F.max(F.struct(packed: _*)).as("w"))
+      .select(keyCols.map(F.col) ++ (orderCols ++ payload).map(c => F.col(s"w.$c")): _*)
+  }
 }

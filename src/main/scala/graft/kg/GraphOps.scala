@@ -166,4 +166,70 @@ object GraphOps {
       .groupBy(F.col("a.iri").as("e1"), F.col("b.iri").as("e2"))
       .agg(F.count(F.lit(1)).as("n_pages"))
   }
+
+  /** Cross-KB identity resolution by shared surface labels — the
+    * `owl:sameAs`-closure step of KG construction: two entity IRIs observed
+    * under the same label anywhere in the corpus are merged, transitively
+    * through entities carrying several labels. Returns the complete
+    * `(entity, canon)` map over every entity in `pairs` (singletons map to
+    * themselves); `canon` is the lexicographic minimum IRI of the
+    * equivalence class — deterministic, engine-independent, and stable
+    * under re-runs.
+    *
+    * Scale shape: the label↔entity graph is first collapsed to DISTINCT
+    * pairs (bounded by the alias vocabulary, never the corpus — a label on
+    * 10^9 pages contributes one row), then each label's entity set becomes
+    * a star on the label's min entity (`min` is algebraic — a hot label
+    * collapses map-side), and the star edges feed the pointer-jumping
+    * connected components (O(log diameter) rounds over the bounded edge
+    * relation). The corpus itself is touched exactly once, by the distinct.
+    */
+  def resolveByLabel(
+      pairs: DataFrame,
+      labelCol: String = "surface",
+      entityCol: String = "entityIri"
+  ): DataFrame = {
+    val pe = pairs.select(F.col(labelCol).as("label"),
+      F.col(entityCol).as("entity")).distinct().localCheckpoint()
+    val reps = pe.groupBy("label").agg(F.min("entity").as("rep"))
+    val edges = pe.join(reps, "label")
+      .filter(F.col("entity") =!= F.col("rep"))
+      .select("entity", "rep").distinct()
+    val cc = graft.dedup.Dedup.connectedComponents(edges, "entity", "rep")
+    pe.select("entity").distinct()
+      .join(cc.withColumnRenamed("id", "entity"), Seq("entity"), "left")
+      .select(F.col("entity"),
+        F.coalesce(F.col("component"), F.col("entity")).as("canon"))
+  }
+
+  /** IRI canonicalization into the materialized triple table (the
+    * north-star's closing stage): rewrite subject and object IRIs through a
+    * `(entity, canon)` map — e.g. [[resolveByLabel]]'s output — and emit the
+    * canonical DISTINCT triple relation with occurrence counts. Literal
+    * objects and blank nodes pass through untouched (the map keys are
+    * entity IRIs only); provenance columns are dropped by the distinct —
+    * this is the graph-shaped artifact, the raw table keeps lineage.
+    *
+    * Scale shape: the mapping is alias-vocabulary-sized → both rewrites are
+    * broadcast left joins (no corpus shuffle); the closing groupBy is one
+    * hash aggregation on the rewritten key with algebraic `count` (a hot
+    * canonical triple collapses map-side).
+    */
+  def canonicalizeTriples(triples: DataFrame, mapping: DataFrame): DataFrame = {
+    val m = F.broadcast(mapping.select(F.col("entity"), F.col("canon")))
+    triples
+      .join(m.withColumnRenamed("entity", "s").withColumnRenamed("canon", "s_c"),
+        Seq("s"), "left")
+      .join(m.withColumnRenamed("entity", "o").withColumnRenamed("canon", "o_c"),
+        Seq("o"), "left")
+      .select(
+        F.when(F.col("sKind") === 0, F.coalesce(F.col("s_c"), F.col("s")))
+          .otherwise(F.col("s")).as("s"),
+        F.col("sKind"), F.col("p"),
+        F.when(F.col("oKind") === 0, F.coalesce(F.col("o_c"), F.col("o")))
+          .otherwise(F.col("o")).as("o"),
+        F.col("oKind"), F.col("oLang"), F.col("oDt"))
+      .groupBy("s", "sKind", "p", "o", "oKind", "oLang", "oDt")
+      .agg(F.count(F.lit(1)).as("occurs"))
+  }
 }

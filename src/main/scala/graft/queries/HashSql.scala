@@ -89,6 +89,20 @@ object HashSql {
        |WHERE (${mix64(xor64("CAST(doc_id AS HUGEINT)", s"CAST('${uc(seed)}' AS HUGEINT)"))}) % 1000
        |  < CASE WHEN lang = 'en' THEN $enPermille ELSE $defaultPermille END""".stripMargin
 
+  /** Oracle for TextOps.mixCorpora over (documents as 'web', part as
+    * 'parts'): the same per-source splitmix bucket with the seed rotated by
+    * source index — bit-exact.
+    */
+  def mixCorporaSql(seed: Long, webPermille: Int, partsPermille: Int): String = {
+    def bucket(id: String, s: Long) =
+      s"(${mix64(xor64(s"CAST($id AS HUGEINT)", s"CAST('${uc(s)}' AS HUGEINT)"))}) % 1000"
+    s"""SELECT 'web' AS source, doc_id, text FROM documents
+       |WHERE ${bucket("doc_id", seed)} < $webPermille
+       |UNION ALL
+       |SELECT 'parts' AS source, p_partkey AS doc_id, p_name AS text FROM part
+       |WHERE ${bucket("p_partkey", seed + 1)} < $partsPermille""".stripMargin
+  }
+
   /** Oracle for Dedup.simHashPairs over `documents`: per-token splitmix hash,
     * 64 bit votes, chunk-blocked (cap mirrored) candidate pairs, hamming
     * verify. The 4-chunk pigeonhole is complete for maxDist <= 3, so this

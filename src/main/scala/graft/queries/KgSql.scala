@@ -297,4 +297,72 @@ object KgSql {
     s"""SELECT a.iri AS e1, b.iri AS e2, CAST(count(*) AS BIGINT) AS n_pages
        |FROM pe a JOIN pe b ON a.url = b.url AND a.iri < b.iri
        |GROUP BY 1, 2""".stripMargin
+
+  /** Shared CTE list for the sameAs-closure queries: distinct label↔entity
+    * pairs from the mention relation (embedded as a pre-stripped subquery —
+    * see the mentionsSql NOTE), per-label min-entity star edges, and the
+    * recursive transitive closure with min-of-component canon — the SEMANTIC
+    * definition GraphOps.resolveByLabel's pointer-jumping CC must equal.
+    */
+  private val sameAsCtes: String =
+    "pe AS (SELECT DISTINCT surface AS label, \"entityIri\" AS entity FROM (\n" +
+      mentionsSql + "\n) mm),\n" +
+    s"""reps AS (SELECT label, min(entity) AS rep FROM pe GROUP BY 1),
+       |edges AS (
+       |  SELECT entity AS a, rep AS b FROM pe JOIN reps USING (label)
+       |    WHERE entity <> rep
+       |  UNION
+       |  SELECT rep AS a, entity AS b FROM pe JOIN reps USING (label)
+       |    WHERE entity <> rep),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+       |comp AS (SELECT a, min(b) AS mb FROM reach GROUP BY 1),
+       |canon AS (
+       |  SELECT q.entity, least(q.entity, COALESCE(c.mb, q.entity)) AS canon
+       |  FROM (SELECT DISTINCT entity FROM pe) q
+       |  LEFT JOIN comp c ON c.a = q.entity)""".stripMargin
+
+  /** Oracle for Queries.crawlLatest: newest capture per logical wiki slug.
+    * The capture timestamp replicates Synth.pageSpec's
+    * `FixedEpochMs + floorMod(h(42, id, 6), 365*24*3600) * 1000`; the engine
+    * computes the argmax with an algebraic struct-max, the oracle states the
+    * semantics as the (scale-unsafe) per-key window.
+    */
+  val crawlLatestSql: String = {
+    val h6 = HashSql.mix64(s"((hb + 6) % $Two64)")
+    s"WITH $pagesCtes,\n" +
+    s"""caps AS (SELECT p.id, replace(p.topic, ' ', '_') AS slug, p.url,
+       |  1700000000000 + CAST(${fm(h6, 31536000)} AS BIGINT) * 1000 AS ts_ms
+       |  FROM pg p JOIN base USING (id)),
+       |sel AS (SELECT slug, ts_ms, id, url,
+       |  row_number() OVER (PARTITION BY slug ORDER BY ts_ms DESC, id DESC) AS rn
+       |  FROM caps)
+       |SELECT slug, CAST(ts_ms AS BIGINT) AS ts_ms, CAST(id AS BIGINT) AS id, url
+       |FROM sel WHERE rn = 1""".stripMargin
+  }
+
+  /** Oracle for Queries.kgEntityResolve. */
+  val entityResolveSql: String =
+    s"WITH RECURSIVE $sameAsCtes\nSELECT entity, canon FROM canon"
+
+  /** Oracle for Queries.kgCanonTriples: triples rewritten through the sameAs
+    * closure (IRI terms only), distinct with occurrence counts.
+    */
+  val canonTriplesSql: String =
+    s"WITH RECURSIVE $triplesCtes,\n$sameAsCtes,\n" +
+    s"""rw AS (
+       |  SELECT
+       |    CASE WHEN t.k_s = 0 THEN COALESCE(cs.canon, t.s) ELSE t.s END AS s,
+       |    t.k_s, t.p,
+       |    CASE WHEN t.k_o = 0 THEN COALESCE(co.canon, t.o) ELSE t.o END AS o,
+       |    t.k_o, t.lang, t.dt
+       |  FROM tr t
+       |  LEFT JOIN canon cs ON cs.entity = t.s
+       |  LEFT JOIN canon co ON co.entity = t.o)
+       |SELECT s, CAST(k_s AS TINYINT) AS "sKind", p, o,
+       |  CAST(k_o AS TINYINT) AS "oKind", lang AS "oLang", dt AS "oDt",
+       |  CAST(count(*) AS BIGINT) AS occurs
+       |FROM rw GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
 }

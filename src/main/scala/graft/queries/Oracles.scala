@@ -423,6 +423,13 @@ object Oracles {
     "q_kg_pagerank" -> KgSql.pageRankSql,
     "q_kg_triangles" -> KgSql.trianglesSql,
     "q_kg_cooccur" -> KgSql.cooccurSql,
+    // sameAs closure + canonical triple table: recursive-CTE transitive
+    // closure vs the engine's pointer-jumping CC over the same star edges
+    "q_kg_entity_resolve" -> KgSql.entityResolveSql,
+    "q_kg_canon_triples" -> KgSql.canonTriplesSql,
+    // newest capture per logical page: engine argmax = algebraic struct-max,
+    // oracle = per-key window (semantics statement, not the scale plan)
+    "q_crawl_latest" -> KgSql.crawlLatestSql,
     // streaming path over the same corpus MUST reproduce the batch summary
     "q_stream_summary" -> KgSql.summarySql,
 
@@ -510,6 +517,34 @@ object Oracles {
     // the emitted raw double is bit-identical across engines, with no
     // boundary-seeking round() of a float sum (ADVICE r4 flake class)
     "q_text_unigram_lm" -> unigramLmSql,
+
+    // positional inverted index: the position list is emitted as the
+    // canonical ascending CSV (deterministic wire form the hasher can
+    // compare); 0-based positions on both engines
+    "q_index_postings" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |q AS (SELECT doc_id, u.pos AS pos, u.tok AS term FROM (
+         |  SELECT doc_id, UNNEST(list_transform(range(len(toks)),
+         |    i -> struct_pack(pos := i, tok := toks[CAST(i + 1 AS INT)]))) AS u
+         |  FROM t))
+         |SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         |  array_to_string(list(pos ORDER BY pos), ',') AS positions
+         |FROM q GROUP BY 1, 2""".stripMargin,
+
+    // exact phrase adjacency: same position relation, one equi-join per
+    // phrase term on (doc, aligned start position)
+    "q_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |q AS (SELECT doc_id, u.pos AS pos, u.tok AS term FROM (
+         |  SELECT doc_id, UNNEST(list_transform(range(len(toks)),
+         |    i -> struct_pack(pos := i, tok := toks[CAST(i + 1 AS INT)]))) AS u
+         |  FROM t)),
+         |m0 AS (SELECT doc_id, pos AS p0 FROM q WHERE term = 'customer'),
+         |m1 AS (SELECT doc_id, pos - 1 AS p0 FROM q WHERE term = 'vector'),
+         |mm AS (SELECT m0.doc_id, m0.p0 FROM m0 JOIN m1 USING (doc_id, p0))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(p0) AS BIGINT) AS first_pos
+         |FROM mm GROUP BY 1""".stripMargin,
 
     // integer TF-IDF keywords: idf quantized once to micro-nats, score a
     // pure integer product; per-doc window group size is bounded by the
@@ -611,6 +646,11 @@ object Oracles {
 
     "q_stratified_sample" ->
       HashSql.stratifiedSampleSql(enPermille = 300, defaultPermille = 700, seed = 11L),
+
+    // two-corpus weighted mix: per-source splitmix bucket, seed rotated by
+    // source index — provenance tag + union, zero shuffle on either side
+    "q_mix_corpora" ->
+      HashSql.mixCorporaSql(seed = 7L, webPermille = 700, partsPermille = 300),
 
     // top-500 vocabulary: total order (freq desc, token asc) on both sides,
     // contiguous ids from 0

@@ -514,6 +514,41 @@ object Queries {
     graft.kg.GraphOps.cooccurrence(kgMentions(spark, dir))
       .orderBy("e1", "e2")
 
+  /** Cross-KB identity resolution: `owl:sameAs`-style closure over shared
+    * mention labels (see [[graft.kg.GraphOps.resolveByLabel]]); the oracle
+    * recomputes the closure with a recursive CTE over the same mention
+    * relation ([[KgSql.entityResolveSql]]).
+    */
+  def kgEntityResolve(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.resolveByLabel(kgMentions(spark, dir))
+      .orderBy("entity")
+
+  /** IRI canonicalization into the materialized canonical triple table —
+    * triples rewritten through the sameAs closure, distinct with occurrence
+    * counts (see [[graft.kg.GraphOps.canonicalizeTriples]]).
+    */
+  def kgCanonTriples(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.canonicalizeTriples(
+        kgTriples(spark, dir),
+        graft.kg.GraphOps.resolveByLabel(kgMentions(spark, dir)))
+      .orderBy("s", "p", "o", "oKind", "oLang", "oDt")
+
+  /** Latest-capture crawl dedup: one row per logical wiki page (url slug),
+    * the capture with the newest `warc_ts` (id tiebreak) — algebraic
+    * struct-max argmax, see [[graft.extract.UrlOps.latestCapture]]; value
+    * oracle in [[KgSql.crawlLatestSql]].
+    */
+  def crawlLatest(spark: SparkSession, dir: String): DataFrame = {
+    val caps = graft.extract.Synth.pages(spark, kgPageCount(spark, dir)).toDF()
+      .select(
+        F.regexp_extract(F.col("url"), "/wiki/([^/]+)/", 1).as("slug"),
+        F.unix_millis(F.col("warc_ts")).as("ts_ms"),
+        F.regexp_extract(F.col("url"), "/([0-9]+)$", 1).cast("long").as("id"),
+        F.col("url"))
+    graft.extract.UrlOps.latestCapture(caps, Seq("slug"), Seq("ts_ms", "id"))
+      .orderBy("slug")
+  }
+
   /** The flagship end-to-end pipeline (extract -> infer -> normalize ->
     * summarize) over the sf-scaled corpus; value oracle in
     * [[KgSql.summarySql]] (inference outcome pinned + scale-stable for this
@@ -635,6 +670,20 @@ object Queries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Deterministic two-corpus mix: 700‰ of documents ('web') interleaved
+    * with 300‰ of part names ('parts'), seed 7 rotated per source —
+    * bit-exact splitmix64 buckets on both sides
+    * (see [[TextOps.mixCorpora]], oracle [[HashSql.mixCorporaSql]]).
+    */
+  def mixCorpora(spark: SparkSession, dir: String): DataFrame = {
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+      .select(F.col("p_partkey").as("doc_id"), F.col("p_name").as("text"))
+    TextOps.mixCorpora(
+        Seq(("web", docs(spark, dir), 700), ("parts", parts, 300)),
+        "doc_id", "text", seed = 7L)
+      .orderBy("source", "doc_id")
+  }
+
   /** Top-500 corpus vocabulary (freq desc, token asc), contiguous ids. */
   def vocabTop(spark: SparkSession, dir: String): DataFrame =
     TextOps.buildVocab(docs(spark, dir), "text", vocabSize = 500)
@@ -708,6 +757,23 @@ object Queries {
         "id", "neg_logprob", k = 3)
       .select(F.col("id").as("doc_id"), F.col("score").as("neg_logprob"),
         F.col("rank"), F.col("bucket"))
+      .orderBy("doc_id")
+
+  /** Positional inverted index: one postings row per (term, doc) with tf and
+    * the canonical ascending position CSV (see [[TextOps.invertedIndex]]).
+    */
+  def indexPostings(spark: SparkSession, dir: String): DataFrame =
+    TextOps.invertedIndex(docs(spark, dir), "doc_id", "text")
+      .orderBy("term", "doc_id")
+
+  /** Exact two-term phrase search over consecutive token positions
+    * (see [[TextOps.phraseSearch]]).
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    TextOps.phraseSearch(docs(spark, dir), "doc_id", "text",
+        Seq("customer", "vector"))
+      .select(F.col("doc_id"), F.col("n_matches"),
+        F.col("first_pos").cast("long").as("first_pos"))
       .orderBy("doc_id")
 
   /** Per-document keyword extraction: top-3 terms by integer TF-IDF

@@ -200,6 +200,34 @@ object TextOps {
     df.filter(splitBucket(seed)(F.col(idCol)) < rate)
   }
 
+  /** Deterministic multi-corpus mixing — the dataset-weighting step of a
+    * training pipeline (e.g. "30% web, 50% wiki, 20% code"): each source is
+    * down-sampled to its per-mille rate with the same splitmix64 bucket as
+    * [[stratifiedSample]] (seed rotated by source index so co-numbered ids
+    * in different sources draw independent buckets) and tagged with its
+    * source name for provenance.
+    *
+    * Scale shape: a pure map-side filter per source plus a union — no
+    * shuffle at any corpus size; each source's rejected rows never leave
+    * their input partition, and the union is a plan-level concatenation.
+    */
+  def mixCorpora(
+      sources: Seq[(String, org.apache.spark.sql.DataFrame, Int)],
+      idCol: String,
+      textCol: String,
+      seed: Long
+  ): org.apache.spark.sql.DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    require(sources.forall { case (_, _, pm) => pm >= 0 && pm <= 1000 },
+      "permille rates must be in [0, 1000]")
+    sources.zipWithIndex.map { case ((name, df, pm), i) =>
+      df.select(F.lit(name).as("source"),
+          F.col(idCol).cast("long").as("doc_id"),
+          F.col(textCol).as("text"))
+        .filter(splitBucket(seed + i)(F.col("doc_id")) < pm)
+    }.reduce(_ unionAll _)
+  }
+
   /** Top-`vocabSize` corpus vocabulary by token frequency, ids contiguous
     * from 0 in (freq desc, token asc) order — the tokenizer-prep step of a
     * training pipeline. The frequency aggregation is the only corpus-sized

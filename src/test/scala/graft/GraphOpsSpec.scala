@@ -104,4 +104,46 @@ class GraphOpsSpec extends AnyFunSuite {
       ("E2", "E3") -> 1L
     ))
   }
+
+  test("resolveByLabel: transitive closure through shared labels") {
+    // L1:{A,B}, L2:{B,C} chain -> {A,B,C} one class through multi-label B;
+    // L3:{D} singleton maps to itself; L4:{E,F} separate class
+    val mentions = Seq(
+      ("L1", "B"), ("L1", "A"), ("L1", "A"), // dup pair collapses
+      ("L2", "C"), ("L2", "B"),
+      ("L3", "D"),
+      ("L4", "F"), ("L4", "E")
+    ).toDF("surface", "entityIri")
+    val got = GraphOps.resolveByLabel(mentions).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "A" -> "A", "B" -> "A", "C" -> "A",
+      "D" -> "D",
+      "E" -> "E", "F" -> "E"
+    ))
+  }
+
+  test("canonicalizeTriples: IRI terms rewrite, literals/blanks pass through") {
+    val mapping = Seq(("b", "a"), ("c", "a")).toDF("entity", "canon")
+    val ts = Seq(
+      ("b", 0, "p1", "c", 0, null, null),
+      ("a", 0, "p1", "a", 0, null, null), // same triple post-rewrite
+      ("b", 0, "p2", "lit", 2, null, null), // literal object untouched
+      ("_:b", 1, "p1", "b", 0, null, null), // blank subject untouched
+      ("d", 0, "p3", "b", 3, "en", null) // oKind=3: "b" is a STRING, not the entity
+    ).toDF("s", "sKind", "p", "o", "oKind", "oLang", "oDt")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p", $"o",
+        $"oKind".cast("byte").as("oKind"), $"oLang".cast("string").as("oLang"),
+        $"oDt".cast("string").as("oDt"))
+    val got = GraphOps.canonicalizeTriples(ts, mapping).collect()
+      .map(r => ((r.getString(0), r.getByte(1), r.getString(2), r.getString(3),
+        r.getByte(4), Option(r.getString(5)), Option(r.getString(6))), r.getLong(7)))
+      .toMap
+    assert(got == Map(
+      ("a", 0.toByte, "p1", "a", 0.toByte, None, None) -> 2L,
+      ("a", 0.toByte, "p2", "lit", 2.toByte, None, None) -> 1L,
+      ("_:b", 1.toByte, "p1", "a", 0.toByte, None, None) -> 1L,
+      ("d", 0.toByte, "p3", "b", 3.toByte, Some("en"), None) -> 1L
+    ))
+  }
 }

@@ -488,6 +488,43 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(one == "localhost")
   }
 
+  test("mixCorpora: per-source rates, seed rotation, provenance tag") {
+    import graft.textops.TextOps
+    val a = (0L until 200L).map(i => (i, s"a$i")).toDF("doc_id", "text")
+    val b = (0L until 200L).map(i => (i, s"b$i")).toDF("doc_id", "text")
+    val mixed = TextOps.mixCorpora(
+      Seq(("a", a, 1000), ("b", b, 0)), "doc_id", "text", seed = 3L).collect()
+    assert(mixed.length == 200 && mixed.forall(_.getString(0) == "a"))
+    // seed rotates per source: same ids draw INDEPENDENT buckets
+    val half = TextOps.mixCorpora(
+      Seq(("a", a, 500), ("b", b, 500)), "doc_id", "text", seed = 3L)
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).toSet }
+    assert(half("a") != half("b"), "sources must not sample identical id sets")
+    // each source's subset equals its own stratifiedSample at the rotated seed
+    val aOnly = TextOps.stratifiedSample(a.withColumn("k", F.lit("x")),
+      "doc_id", "k", Map.empty, 500, seed = 3L).collect().map(_.getLong(0)).toSet
+    assert(half("a") == aOnly)
+  }
+
+  test("latestCapture: newest (ts, id) wins per key, payload follows winner") {
+    import graft.extract.UrlOps
+    val caps = Seq(
+      ("a", 10L, 1L, "a-old"),
+      ("a", 20L, 2L, "a-new"),
+      ("a", 20L, 1L, "a-tie-loser"), // same ts, lower id loses
+      ("b", 5L, 9L, "b-only")
+    ).toDF("slug", "ts_ms", "id", "payload")
+    val got = UrlOps.latestCapture(caps, Seq("slug"), Seq("ts_ms", "id"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == Map("a" -> ((20L, 2L, "a-new")), "b" -> ((5L, 9L, "b-only"))))
+    // plan shape: algebraic aggregation, never a per-key window
+    val plan = UrlOps.latestCapture(caps, Seq("slug"), Seq("ts_ms", "id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window reached the plan:\n$plan")
+  }
+
   test("withDocMetrics local twins equal the Column metric forms") {
     import graft.textops.TextOps
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
