@@ -57,6 +57,9 @@ object SparkEntry {
     "q_kg_cooccur" -> (Queries.kgCooccur _),
     "q_kg_entity_resolve" -> (Queries.kgEntityResolve _),
     "q_kg_canon_triples" -> (Queries.kgCanonTriples _),
+    "q_kg_labels" -> (Queries.kgLabels _),
+    "q_kg_diff" -> (Queries.kgSnapshotDiff _),
+    "q_kg_neighbors" -> (Queries.kgNeighborhood _),
     "q_crawl_latest" -> (Queries.crawlLatest _),
     "q_stream_summary" -> (Queries.streamSummary _),
     "q_stream_dedup" -> (Queries.streamDedup _),
@@ -83,6 +86,7 @@ object SparkEntry {
     "q_split_train_val" -> (Queries.splitTrainVal _),
     "q_stratified_sample" -> (Queries.stratifiedSample _),
     "q_mix_corpora" -> (Queries.mixCorpora _),
+    "q_dedup_substr" -> (Queries.dedupSubstr _),
     "q_vocab_topk" -> (Queries.vocabTop _),
     "q_tokenize_ids" -> (Queries.tokenizeIds _),
     "q_select_budget" -> (Queries.selectBudget _),

@@ -541,4 +541,68 @@ object Dedup {
     corpus.join(bl,
       F.xxhash64(F.col(textCol)) === F.col("block_h"), "left_anti")
   }
+
+  /** Exact SUBSTRING-level dedup measurement (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    * semantics, re-expressed relationally): any k-token gram occurring more
+    * than once in the corpus keeps only its globally FIRST occurrence
+    * (smallest (doc, position)); every other occurrence marks its k token
+    * positions as duplicated. Per document this reports the duplicated-token
+    * footprint: total tokens, tokens covered by duplicated grams (overlaps
+    * merged), and the number of maximal duplicated spans.
+    *
+    * Scale shape: the keeper per gram is an algebraic `min` of an encoded
+    * (doc, pos) key — map-side collapse for boilerplate grams appearing on
+    * 10^9 pages; the occurrence↔keeper join fans out 1:1 per occurrence
+    * (keeper side is one row per gram; a hot gram key is AQE-skew-split, and
+    * the hotDf two-phase split used by shingleOverlap applies verbatim if
+    * needed); covered positions dedup with an algebraic distinct and span
+    * starts are found with a positional self anti-join on (doc, pos-1) —
+    * no per-doc window, no driver-side state. Gram keys travel as strings
+    * here (engine-exact, collision-free); the xxhash64 8-byte wire format of
+    * the Jaccard family applies verbatim when key bytes dominate.
+    */
+  def dedupSubstrings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 2, "gram length must be at least 2")
+    // encode (doc, pos) as one orderable long: pos < 10^9 per doc
+    val PosBase = 1000000000L
+    val toks = df.select(F.col(idCol).cast("long").as("doc_id"),
+      graft.textops.TextOps.tokens(F.col(textCol)).as("toks"))
+    val nTok = toks.select(F.col("doc_id"), F.size(F.col("toks")).as("n_tokens"))
+    val grams = toks
+      .filter(F.size(F.col("toks")) >= k)
+      .select(F.col("doc_id"), F.explode(F.expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> struct(i AS p0, array_join(slice(toks, i + 1, $k), ' ') AS g))"))
+        .as("e"))
+      .select(F.col("doc_id"), F.col("e.p0").as("p0"), F.col("e.g").as("g"))
+    val keep = grams
+      .groupBy("g")
+      .agg(F.min(F.col("doc_id") * PosBase + F.col("p0")).as("m"))
+    val dups = grams.join(keep, "g")
+      .filter(F.col("doc_id") * PosBase + F.col("p0") =!= F.col("m"))
+      .select("doc_id", "p0")
+    val cov = dups
+      .select(F.col("doc_id"),
+        F.explode(F.sequence(F.col("p0"), F.col("p0") + (k - 1))).as("c"))
+      .distinct()
+    val dupTokens = cov.groupBy("doc_id").agg(F.count(F.lit(1)).as("dup_tokens"))
+    val spans = cov.as("a")
+      .join(cov.as("b"),
+        F.col("a.doc_id") === F.col("b.doc_id") &&
+          F.col("b.c") === F.col("a.c") - 1,
+        "left_anti")
+      .groupBy("doc_id").agg(F.count(F.lit(1)).as("n_dup_spans"))
+    nTok
+      .join(dupTokens, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .select(F.col("doc_id"), F.col("n_tokens"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0L)).as("dup_tokens"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0L)).as("n_dup_spans"))
+  }
 }

@@ -202,6 +202,113 @@ object GraphOps {
         F.coalesce(F.col("component"), F.col("entity")).as("canon"))
   }
 
+  /** Canonical display-label selection per resolved entity — the
+    * `rdfs:label`-election step after [[resolveByLabel]]: every mention
+    * instance votes for its surface form, votes roll up to the entity's
+    * canonical id, and the winner is the most frequent label (label asc on
+    * ties — total order, engine-independent). Output: one row per canonical
+    * entity with the elected label and its vote count.
+    *
+    * Scale shape: the instance-level vote count is an algebraic `count` on
+    * (canon, label) — a label mentioned on 10^9 pages collapses map-side;
+    * the mapping join is broadcast (alias-vocabulary-sized); the election is
+    * an algebraic `min` of a (-votes, label) struct, so each map task
+    * reduces its slice of an entity to ONE candidate before the shuffle.
+    * Never a per-entity window.
+    */
+  def canonicalLabels(
+      mentions: DataFrame,
+      mapping: DataFrame,
+      labelCol: String = "surface",
+      entityCol: String = "entityIri"
+  ): DataFrame = {
+    val m = F.broadcast(mapping.select(F.col("entity"), F.col("canon")))
+    val votes = mentions
+      .select(F.col(entityCol).as("entity"), F.col(labelCol).as("label"))
+      .join(m, Seq("entity"), "left")
+      .select(F.coalesce(F.col("canon"), F.col("entity")).as("canon"), F.col("label"))
+      .groupBy("canon", "label").agg(F.count(F.lit(1)).as("votes"))
+    votes
+      .groupBy("canon")
+      .agg(F.min(F.struct((-F.col("votes")).as("nv"), F.col("label"))).as("w"))
+      .select(F.col("canon"), F.col("w.label").as("label"),
+        (-F.col("w.nv")).as("n_mentions"))
+  }
+
+  /** Crawl-snapshot delta over two materialized triple tables — the
+    * incremental-maintenance measurement a recurring crawl needs: which
+    * distinct triples appeared, vanished, or changed occurrence count
+    * between snapshot `old` and snapshot `new`. Statuses: `added` (new
+    * only), `removed` (old only), `changed` (both, counts differ), `kept`
+    * (both, counts equal).
+    *
+    * Scale shape: each side collapses to (triple-key, count) with an
+    * algebraic aggregation BEFORE the diff join — the join carries one row
+    * per distinct triple, never per occurrence, and both sides hash on the
+    * same key so the full-outer join co-partitions with no extra exchange.
+    */
+  def snapshotDiff(oldT: DataFrame, newT: DataFrame): DataFrame = {
+    val key = Seq("s", "sKind", "p", "o", "oKind", "oLang", "oDt")
+    def counted(df: DataFrame, as: String) =
+      df.groupBy(key.map(F.col): _*).agg(F.count(F.lit(1)).as(as))
+    val a = counted(oldT, "old_n").as("a")
+    val b = counted(newT, "new_n").as("b")
+    // null-safe key equality: oLang/oDt are legitimately NULL on most rows
+    val cond = key.map(k => F.col(s"a.$k") <=> F.col(s"b.$k")).reduce(_ && _)
+    a.join(b, cond, "full_outer")
+      .select(key.map(k => F.coalesce(F.col(s"a.$k"), F.col(s"b.$k")).as(k)) ++ Seq(
+        F.coalesce(F.col("a.old_n"), F.lit(0L)).as("old_n"),
+        F.coalesce(F.col("b.new_n"), F.lit(0L)).as("new_n"),
+        F.when(F.col("a.old_n").isNull, F.lit("added"))
+          .when(F.col("b.new_n").isNull, F.lit("removed"))
+          .when(F.col("a.old_n") === F.col("b.new_n"), F.lit("kept"))
+          .otherwise(F.lit("changed")).as("status")): _*)
+  }
+
+  /** Bounded n-hop neighborhood expansion from a seed entity set over the
+    * undirected entity graph — the subgraph-extraction step KG curation uses
+    * to carve a training slice around seed entities. Output: every node
+    * within `maxHops` of a seed, with its minimum hop distance.
+    *
+    * Scale shape: edges collapse to DISTINCT undirected pairs once
+    * (bounded by the entity graph, not the corpus) and are checkpointed;
+    * each of the `maxHops` rounds is one equi-join of the CURRENT frontier
+    * (nodes first reached last round — monotonically shrinking) against the
+    * edge relation plus an algebraic `min` — a celebrity hub's fan-out
+    * streams through the 1:N join (AQE skew split applies), and reached
+    * nodes never re-enter the frontier, so work is proportional to the
+    * reachable set, not hops × graph.
+    */
+  def neighborhood(triples: DataFrame, seeds: Seq[String], maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val dir = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*) && F.col("s") =!= F.col("o"))
+      .select("s", "o")
+    val edges = dir.union(dir.select(F.col("o"), F.col("s")))
+      .toDF("src", "dst").distinct().localCheckpoint()
+
+    var reached = seeds.toDF("node").distinct()
+      .withColumn("dist", F.lit(0)).localCheckpoint()
+    var frontier = reached
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(F.col("dst").as("node")).distinct()
+        .join(reached.select(F.col("node"), F.lit(1).as("seen")), Seq("node"), "left")
+        .filter(F.col("seen").isNull)
+        .select(F.col("node"), F.lit(hop).as("dist"))
+        .localCheckpoint()
+      reached = reached.union(next).localCheckpoint()
+      frontier = next
+    }
+    reached
+  }
+
   /** IRI canonicalization into the materialized triple table (the
     * north-star's closing stage): rewrite subject and object IRIs through a
     * `(entity, canon)` map — e.g. [[resolveByLabel]]'s output — and emit the

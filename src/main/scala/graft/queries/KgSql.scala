@@ -347,6 +347,74 @@ object KgSql {
   val entityResolveSql: String =
     s"WITH RECURSIVE $sameAsCtes\nSELECT entity, canon FROM canon"
 
+  /** Oracle for Queries.kgLabels: instance-level label votes rolled up to the
+    * sameAs-canonical entity, winner by (votes desc, label asc). The engine
+    * computes the election as an algebraic struct-min; the oracle states the
+    * semantics as the per-entity window.
+    */
+  val labelsSql: String =
+    s"WITH RECURSIVE $sameAsCtes,\n" +
+    // NOTE: mentionsSql is PRE-stripped — concatenate, never re-stripMargin
+    // (its interior `||` concat operators would lose a bar).
+    "votes AS (\n  SELECT COALESCE(c.canon, m.\"entityIri\") AS canon," +
+    " m.surface AS label, count(*) AS votes\n  FROM (\n" + mentionsSql +
+    "\n  ) m LEFT JOIN canon c ON c.entity = m.\"entityIri\"\n  GROUP BY 1, 2),\n" +
+    s"""sel AS (SELECT canon, label, votes,
+       |  row_number() OVER (PARTITION BY canon ORDER BY votes DESC, label) AS rn
+       |  FROM votes)
+       |SELECT canon, label, CAST(votes AS BIGINT) AS n_mentions
+       |FROM sel WHERE rn = 1""".stripMargin
+
+  /** Oracle for Queries.kgSnapshotDiff: two crawl snapshots cut from the same
+    * triple table by page-id quarter (old drops quarter 3, new drops quarter
+    * 1 — so all four statuses occur), counted per distinct triple and
+    * full-outer-joined with null-safe key equality (oLang/oDt are NULL-bearing
+    * key columns).
+    */
+  val snapshotDiffSql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""wid AS (SELECT tr.*,
+       |    CAST(regexp_extract(url, '/([0-9]+)$$', 1) AS BIGINT) AS pid FROM tr),
+       |oc AS (SELECT s, k_s, p, o, k_o, lang, dt, CAST(count(*) AS BIGINT) AS old_n
+       |       FROM wid WHERE pid % 4 < 3 GROUP BY 1, 2, 3, 4, 5, 6, 7),
+       |nc AS (SELECT s, k_s, p, o, k_o, lang, dt, CAST(count(*) AS BIGINT) AS new_n
+       |       FROM wid WHERE pid % 4 <> 1 GROUP BY 1, 2, 3, 4, 5, 6, 7)
+       |SELECT COALESCE(oc.s, nc.s) AS s,
+       |  CAST(COALESCE(oc.k_s, nc.k_s) AS TINYINT) AS "sKind",
+       |  COALESCE(oc.p, nc.p) AS p, COALESCE(oc.o, nc.o) AS o,
+       |  CAST(COALESCE(oc.k_o, nc.k_o) AS TINYINT) AS "oKind",
+       |  COALESCE(oc.lang, nc.lang) AS "oLang", COALESCE(oc.dt, nc.dt) AS "oDt",
+       |  COALESCE(oc.old_n, 0) AS old_n, COALESCE(nc.new_n, 0) AS new_n,
+       |  CASE WHEN oc.old_n IS NULL THEN 'added'
+       |       WHEN nc.new_n IS NULL THEN 'removed'
+       |       WHEN oc.old_n = nc.new_n THEN 'kept' ELSE 'changed' END AS status
+       |FROM oc FULL OUTER JOIN nc
+       |  ON oc.s IS NOT DISTINCT FROM nc.s
+       | AND oc.k_s IS NOT DISTINCT FROM nc.k_s
+       | AND oc.p IS NOT DISTINCT FROM nc.p
+       | AND oc.o IS NOT DISTINCT FROM nc.o
+       | AND oc.k_o IS NOT DISTINCT FROM nc.k_o
+       | AND oc.lang IS NOT DISTINCT FROM nc.lang
+       | AND oc.dt IS NOT DISTINCT FROM nc.dt""".stripMargin
+
+  /** Oracle for Queries.kgNeighborhood: 2-hop undirected BFS from the Mercury
+    * planet IRI, min-distance per node, unrolled hop-by-hop (the engine's
+    * frontier loop states the same recurrence).
+    */
+  val neighborhoodSql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""ed0 AS (SELECT DISTINCT s AS src, o AS dst FROM tr
+       |        WHERE k_s IN (0, 1) AND k_o IN (0, 1) AND s <> o),
+       |ed AS (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
+       |d0 AS (SELECT '$planetIri' AS node),
+       |d1 AS (SELECT DISTINCT e.dst AS node FROM ed e JOIN d0 ON e.src = d0.node
+       |       WHERE e.dst NOT IN (SELECT node FROM d0)),
+       |d2 AS (SELECT DISTINCT e.dst AS node FROM ed e JOIN d1 ON e.src = d1.node
+       |       WHERE e.dst NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1))
+       |SELECT node, 0 AS dist FROM d0
+       |UNION ALL SELECT node, 1 AS dist FROM d1
+       |UNION ALL SELECT node, 2 AS dist FROM d2""".stripMargin
+
   /** Oracle for Queries.kgCanonTriples: triples rewritten through the sameAs
     * closure (IRI terms only), distinct with occurrence counts.
     */

@@ -427,6 +427,12 @@ object Oracles {
     // closure vs the engine's pointer-jumping CC over the same star edges
     "q_kg_entity_resolve" -> KgSql.entityResolveSql,
     "q_kg_canon_triples" -> KgSql.canonTriplesSql,
+    // label election / snapshot delta / bounded BFS: window-argmax,
+    // null-safe full-outer diff, and hop-unrolled closures in the oracle vs
+    // algebraic struct-min, <=> join, and frontier loop in the engine
+    "q_kg_labels" -> KgSql.labelsSql,
+    "q_kg_diff" -> KgSql.snapshotDiffSql,
+    "q_kg_neighbors" -> KgSql.neighborhoodSql,
     // newest capture per logical page: engine argmax = algebraic struct-max,
     // oracle = per-key window (semantics statement, not the scale plan)
     "q_crawl_latest" -> KgSql.crawlLatestSql,
@@ -651,6 +657,32 @@ object Oracles {
     // source index — provenance tag + union, zero shuffle on either side
     "q_mix_corpora" ->
       HashSql.mixCorporaSql(seed = 7L, webPermille = 700, partsPermille = 300),
+
+    // exact substring dedup (ExactSubstr, k=6): keeper per gram is the
+    // min encoded (doc, pos); covered positions distinct-merged; span
+    // starts = covered positions whose predecessor is uncovered
+    "q_dedup_substr" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |nt AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM t),
+         |grams AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS p0,
+         |    array_to_string(toks[CAST(u.i + 1 AS INT):CAST(u.i + 6 AS INT)], ' ') AS g
+         |  FROM t, UNNEST(range(len(toks) - 5)) AS u(i)
+         |  WHERE len(toks) >= 6),
+         |keep AS (SELECT g, min(doc_id * 1000000000 + p0) AS m FROM grams GROUP BY 1),
+         |dups AS (SELECT gr.doc_id, gr.p0 FROM grams gr JOIN keep USING (g)
+         |         WHERE gr.doc_id * 1000000000 + gr.p0 <> keep.m),
+         |cov AS (SELECT DISTINCT doc_id, p0 + u.j AS c
+         |        FROM dups, UNNEST(range(6)) AS u(j)),
+         |dt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+         |       FROM cov GROUP BY 1),
+         |sp AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+         |       FROM cov a LEFT JOIN cov b ON b.doc_id = a.doc_id AND b.c = a.c - 1
+         |       WHERE b.c IS NULL GROUP BY a.doc_id)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  COALESCE(dt.dup_tokens, 0) AS dup_tokens,
+         |  COALESCE(sp.n_dup_spans, 0) AS n_dup_spans
+         |FROM nt LEFT JOIN dt USING (doc_id) LEFT JOIN sp USING (doc_id)""".stripMargin,
 
     // top-500 vocabulary: total order (freq desc, token asc) on both sides,
     // contiguous ids from 0

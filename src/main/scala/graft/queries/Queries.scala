@@ -533,6 +533,41 @@ object Queries {
         graft.kg.GraphOps.resolveByLabel(kgMentions(spark, dir)))
       .orderBy("s", "p", "o", "oKind", "oLang", "oDt")
 
+  /** Canonical display-label election per resolved entity: most frequent
+    * surface label (label asc tiebreak) rolled up to the sameAs-canonical id
+    * (see [[graft.kg.GraphOps.canonicalLabels]]; oracle [[KgSql.labelsSql]]).
+    */
+  def kgLabels(spark: SparkSession, dir: String): DataFrame = {
+    val m = kgMentions(spark, dir)
+    graft.kg.GraphOps.canonicalLabels(m, graft.kg.GraphOps.resolveByLabel(m))
+      .orderBy("canon")
+  }
+
+  /** Crawl-snapshot triple delta: old snapshot drops page-id quarter 3, new
+    * drops quarter 1 — added/removed/changed/kept all occur (see
+    * [[graft.kg.GraphOps.snapshotDiff]]; oracle [[KgSql.snapshotDiffSql]]).
+    */
+  def kgSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val t = kgTriples(spark, dir)
+      .withColumn("pid",
+        F.regexp_extract(F.col("srcUrl"), "/([0-9]+)$", 1).cast("long"))
+    val tOld = t.filter(F.col("pid") % 4 < 3).drop("pid", "srcUrl")
+    val tNew = t.filter(F.col("pid") % 4 =!= 1).drop("pid", "srcUrl")
+    graft.kg.GraphOps.snapshotDiff(tOld, tNew)
+      .orderBy("s", "sKind", "p", "o", "oKind", "oLang", "oDt")
+  }
+
+  /** 2-hop undirected neighborhood of the Mercury planet entity with min hop
+    * distances (see [[graft.kg.GraphOps.neighborhood]]; oracle
+    * [[KgSql.neighborhoodSql]]).
+    */
+  def kgNeighborhood(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.neighborhood(
+        kgTriples(spark, dir),
+        Seq(graft.extract.Dict.entities("Mercury").maxBy(_.prior).iri),
+        maxHops = 2)
+      .orderBy("node")
+
   /** Latest-capture crawl dedup: one row per logical wiki page (url slug),
     * the capture with the newest `warc_ts` (id tiebreak) — algebraic
     * struct-max argmax, see [[graft.extract.UrlOps.latestCapture]]; value
@@ -683,6 +718,15 @@ object Queries {
         "doc_id", "text", seed = 7L)
       .orderBy("source", "doc_id")
   }
+
+  /** Exact substring-dedup footprint (Lee et al. ExactSubstr semantics at
+    * k=6 tokens): per document, tokens covered by corpus-duplicated grams
+    * (first occurrence exempt) and the merged span count
+    * (see [[graft.dedup.Dedup.dedupSubstrings]]).
+    */
+  def dedupSubstr(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dedupSubstrings(docs(spark, dir), "doc_id", "text", k = 6)
+      .orderBy("doc_id")
 
   /** Top-500 corpus vocabulary (freq desc, token asc), contiguous ids. */
   def vocabTop(spark: SparkSession, dir: String): DataFrame =

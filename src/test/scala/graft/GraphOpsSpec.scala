@@ -123,6 +123,64 @@ class GraphOpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("canonicalLabels: vote count, tie on label asc, unmapped entity self-canon") {
+    val mentions = Seq(
+      ("Apple", "E1"), ("Apple", "E1"), ("Apfel", "E1"), // E1: Apple 2-1
+      ("Zeta", "E2"), ("Beta", "E2"), // E2 tie 1-1 -> Beta (label asc)
+      ("Solo", "E9") // E9 not in mapping -> self-canonical
+    ).toDF("surface", "entityIri")
+    val mapping = Seq(("E1", "E0"), ("E2", "E0")).toDF("entity", "canon")
+    val got = GraphOps.canonicalLabels(mentions, mapping).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // E0 absorbs both: Apple 2, Apfel 1, Zeta 1, Beta 1 -> Apple wins
+    assert(got == Map("E0" -> (("Apple", 2L)), "E9" -> (("Solo", 1L))))
+    val plan = GraphOps.canonicalLabels(mentions, mapping)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window reached the plan:\n$plan")
+  }
+
+  test("snapshotDiff: all four statuses, null-bearing keys match null-safely") {
+    def t(rows: Seq[(String, String, Option[String])]) =
+      rows.toDF("s", "p", "oLang")
+        .select($"s", F.lit(0).cast("byte").as("sKind"), $"p",
+          F.lit("o").as("o"), F.lit(0).cast("byte").as("oKind"),
+          $"oLang", F.lit(null).cast("string").as("oDt"))
+    val old = t(Seq(("a", "p", None), ("a", "p", None), // kept if new has 2
+      ("b", "p", None), // changed: 1 -> 2
+      ("c", "p", Some("en")) // removed
+    ))
+    val nw = t(Seq(("a", "p", None), ("a", "p", None),
+      ("b", "p", None), ("b", "p", None),
+      ("d", "p", None) // added
+    ))
+    val got = GraphOps.snapshotDiff(old, nw).collect()
+      .map(r => r.getString(0) -> ((r.getLong(7), r.getLong(8), r.getString(9))))
+      .toMap
+    assert(got == Map(
+      "a" -> ((2L, 2L, "kept")),
+      "b" -> ((1L, 2L, "changed")),
+      "c" -> ((1L, 0L, "removed")),
+      "d" -> ((0L, 1L, "added"))
+    ))
+  }
+
+  test("neighborhood: min hop distance, undirected, bounded by maxHops") {
+    // s -> a -> b -> c chain plus shortcut s -> b; undirected so c also
+    // reaches back; d is disconnected
+    val ts = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("s", "b"), ("d", "e"))
+      .toDF("s", "o")
+      .select($"s", F.lit(0).cast("byte").as("sKind"), F.lit("p").as("p"),
+        $"o", F.lit(0).cast("byte").as("oKind"),
+        F.lit(null).cast("string").as("oLang"), F.lit(null).cast("string").as("oDt"))
+    val got = GraphOps.neighborhood(ts, Seq("s"), maxHops = 2).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("s" -> 0, "a" -> 1, "b" -> 1, "c" -> 2))
+    // maxHops binds: 1 hop stops at {s, a, b}
+    val h1 = GraphOps.neighborhood(ts, Seq("s"), maxHops = 1).collect()
+      .map(_.getString(0)).toSet
+    assert(h1 == Set("s", "a", "b"))
+  }
+
   test("canonicalizeTriples: IRI terms rewrite, literals/blanks pass through") {
     val mapping = Seq(("b", "a"), ("c", "a")).toDF("entity", "canon")
     val ts = Seq(

@@ -507,6 +507,33 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(half("a") == aOnly)
   }
 
+  test("dedupSubstrings: first occurrence exempt, overlaps merge, no window") {
+    import graft.dedup.Dedup
+    // doc 0: "a b c d e f g h" — source of the duplicated 6-gram "a b c d e f"
+    // doc 1: repeats that 6-gram then fresh tokens; two overlapping dup grams
+    //        ("a b c d e f" at 0 AND "b c d e f g" at 1) merge to ONE span
+    // doc 2: unrelated, no dups; doc 3: too short for any 6-gram
+    val d = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g x y z w v"),
+      (2L, "p q r s t u v w"),
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(d, "doc_id", "text", k = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 duplicates grams at p0=0 ("a b c d e f") and p0=1 ("b c d e f g"):
+    // covered positions 0..6 -> 7 tokens, one merged span. doc 0 keeps (first).
+    assert(got == Map(
+      0L -> ((8, 0L, 0L)),
+      1L -> ((12, 7L, 1L)),
+      2L -> ((8, 0L, 0L)),
+      3L -> ((3, 0L, 0L))
+    ))
+    val plan = Dedup.dedupSubstrings(d, "doc_id", "text", 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window reached the plan:\n$plan")
+  }
+
   test("latestCapture: newest (ts, id) wins per key, payload follows winner") {
     import graft.extract.UrlOps
     val caps = Seq(
