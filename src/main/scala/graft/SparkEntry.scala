@@ -100,6 +100,7 @@ object SparkEntry {
     "q_ppl_buckets" -> (Queries.pplBuckets _),
     "q_text_quality" -> (Queries.textQuality _),
     "q_quality_classify" -> (Queries.qualityClassify _),
+    "q_dsir_weights" -> (Queries.dsirWeights _),
     "q_url_normalize" -> (Queries.urlCanonicalize _),
     "q_text_tokens" -> (Queries.textTokens _),
     "q_text_fingerprint" -> (Queries.textFingerprint _),

@@ -792,6 +792,11 @@ object Oracles {
     // feature relation instead — same semantics, value-exact.
     "q_quality_classify" -> qualityClassifySql,
 
+    // DSIR importance weights: feature relation + learned micro-nat bucket
+    // table materialized relationally (the engine folds the same table as a
+    // codegen'd scalar); integer q_milli pins table + extraction exactly
+    "q_dsir_weights" -> dsirSql,
+
     // PII counts + masked-text digest over the identically-derived augmented
     // corpus; replacement order (email, phone, ip) mirrors TextOps.redactPii
     "q_text_pii" ->
@@ -1091,6 +1096,52 @@ object Oracles {
        |  CAST(sum(w) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000.0) AS score,
        |  sum(w) > 0 AS keep
        |FROM wf GROUP BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replica of the DSIR importance-weight pipeline
+    * (graft.textops.Dsir): the same unigram+bigram feature relation as
+    * [[qualityClassifySql]] but bucketed at Dsir.DefaultBuckets with
+    * Dsir.DefaultSeed, target = doc_id % 7 = 0, per-bucket micro-nat
+    * log-ratio with per-COMPONENT qln rounding (every ln argument is an
+    * exact integer ≥ 1 so DuckDB round = Spark HALF_UP), exact-integer
+    * per-doc fold.
+    */
+  private def dsirSql: String = {
+    import graft.textops.Dsir
+    val p = TextOps.FpPrime
+    val powList = (0 until TextOps.FpLen)
+      .scanLeft(1L)((a, _) => a * 31 % p).init
+      .mkString("[", ", ", "]")
+    val polyhash =
+      s"""CAST(list_aggregate(list_transform(range(0, least(len(f), ${TextOps.FpLen})),
+         |      i -> (CAST(ascii(substr(f, CAST(i AS INT) + 1, 1)) AS BIGINT) * ($powList)[CAST(i AS INT) + 1]) % $p),
+         |      'sum') % $p AS HUGEINT)""".stripMargin
+    val seedU = java.lang.Long.toUnsignedString(Dsir.DefaultSeed)
+    val b = Dsir.DefaultBuckets
+    val bucket = s"(${HashSql.mix64(HashSql.xor64("h", seedU))} % $b)"
+    def qln(x: String): String =
+      s"CAST(round(ln(CAST(($x) AS DOUBLE)) * 1000000.0) AS BIGINT)"
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |f AS (SELECT doc_id, UNNEST(list_concat(toks,
+       |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]))) AS f
+       |      FROM t WHERE len(toks) > 0),
+       |hf AS (SELECT doc_id, $polyhash AS h FROM f),
+       |bf AS (SELECT doc_id, CAST($bucket AS BIGINT) AS b FROM hf),
+       |rc AS (SELECT b, count(*) AS r FROM bf GROUP BY b),
+       |tc AS (SELECT b, count(*) AS tt FROM bf WHERE doc_id % 7 = 0 GROUP BY b),
+       |tot AS (SELECT (SELECT sum(r) FROM rc) AS totr,
+       |               (SELECT coalesce(sum(tt), 0) FROM tc) AS tott),
+       |cc AS (SELECT ${qln(s"tott + $b")} - ${qln(s"totr + $b")} AS c FROM tot),
+       |q AS (SELECT rc.b,
+       |        ${qln("coalesce(tc.tt, 0) + 1")} - ${qln("rc.r + 1")}
+       |          - (SELECT c FROM cc) AS q
+       |      FROM rc LEFT JOIN tc ON tc.b = rc.b)
+       |SELECT bf.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_feats,
+       |  CAST(sum(q.q) AS BIGINT) AS q_milli,
+       |  CAST(sum(q.q) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) AS dsir_w
+       |FROM bf JOIN q ON q.b = bf.b
+       |GROUP BY bf.doc_id""".stripMargin
   }
 
   private def fingerprintSql: String = {

@@ -1089,6 +1089,19 @@ object Queries {
       .agg(F.count(F.lit(1)).as("n_events"), F.round(F.sum("value"), 4).as("session_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** DSIR importance weights: raw = the full documents table, target = the
+    * deterministic doc_id % 7 == 0 subset (stands in for a curated/
+    * eval-adjacent corpus — both engines derive it identically). n_feats and
+    * the exact-integer q_milli ride in the output so the hash pins the
+    * feature extraction and the learned table, not just the final ratio.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val raw = docs(spark, dir)
+    val target = raw.filter(F.col("doc_id") % 7 === 0)
+    graft.textops.Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .orderBy("doc_id")
+  }
 }
 
 /** Vis aggregates shared by queries and golden tests. */

@@ -953,4 +953,50 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((0, 0, 0, "no pii here at all")))
     assert(got(3L)._1 == 2 && got(3L)._2 == 1)
   }
+
+  test("DSIR: codegen'd scalar fold equals the explode-join relational form") {
+    import graft.textops.Dsir
+    val raw = Seq(
+      (0L, "spark engines compile query plans"),
+      (1L, "spark engines shuffle data across executors"),
+      (2L, "the cat sat on the mat"),
+      (3L, "a dog barked at the mailman"),
+      (4L, "query plans optimize spark shuffles"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id".isin(0L, 1L))
+    val q = Dsir.learnQ(raw, target, "text")
+    val got = Dsir.weights(raw, q, "doc_id", "text")
+
+    // relational reference: explode feature buckets, join the same q table
+    val qDf = q.zipWithIndex.map { case (v, b) => (b.toLong, v) }.toSeq.toDF("b", "q")
+    val ref = raw
+      .select($"doc_id", Dsir.featureBucketsCol(
+        TextOps.tokens($"text"), Dsir.DefaultBuckets, Dsir.DefaultSeed).as("bs"))
+      .select($"doc_id", F.explode($"bs").as("b"))
+      .join(qDf, "b")
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_feats"), F.sum("q").as("q_milli"))
+    val g = got.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val e = ref.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(g == e)
+    assert(!g.contains(5L)) // empty doc has no features and drops out
+  }
+
+  test("DSIR: target-like documents score above off-target documents") {
+    import graft.textops.Dsir
+    val raw = Seq(
+      (0L, "spark engines compile query plans into stages"),
+      (1L, "spark engines shuffle partitions across executors"),
+      (2L, "the cat sat on the warm mat all day"),
+      (3L, "a dog barked at the mailman this morning"),
+      (4L, "spark engines compile query plans for executors")
+    ).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id".isin(0L, 1L))
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // doc 4 shares the target's feature mass; docs 2/3 share almost none
+    assert(w(4L) > w(2L) && w(4L) > w(3L))
+    assert(w(0L) > w(2L) && w(1L) > w(3L))
+  }
 }
