@@ -55,6 +55,7 @@ object SparkEntry {
     "q_kg_pagerank" -> (Queries.kgPageRank _),
     "q_kg_triangles" -> (Queries.kgTriangles _),
     "q_kg_cooccur" -> (Queries.kgCooccur _),
+    "q_kg_jaccard" -> (Queries.kgNeighborJaccard _),
     "q_kg_entity_resolve" -> (Queries.kgEntityResolve _),
     "q_kg_canon_triples" -> (Queries.kgCanonTriples _),
     "q_kg_labels" -> (Queries.kgLabels _),

@@ -339,4 +339,56 @@ object GraphOps {
       .groupBy("s", "sKind", "p", "o", "oKind", "oLang", "oDt")
       .agg(F.count(F.lit(1)).as("occurs"))
   }
+
+  /** Entity-pair neighborhood Jaccard over the undirected entity graph — the
+    * structural-similarity primitive KG curation uses for link prediction
+    * and duplicate-entity candidates beyond shared labels: two entities are
+    * similar when their neighbor SETS overlap, with
+    * `jacc = |N(a)∩N(b)| / (|N(a)| + |N(b)| - |N(a)∩N(b)|)`.
+    *
+    * Hub cap: a neighbor adjacent to more than `maxDeg` entities is excluded
+    * from the graph entirely (degrees AND pair generation — one consistent
+    * filtered-graph semantics, mirrored exactly by the oracle). A hub's pair
+    * fan-out is quadratic in its degree, and "shares dbpedia:United_States
+    * as a neighbor" carries no similarity signal — the same explicit
+    * observable-cap contract as the df-capped n-gram index (Dedup).
+    *
+    * Scale shape: (1) the hub list is ≤ 2m/maxDeg ids — the exclusion is a
+    * small anti join (AQE broadcasts it from observed size, the
+    * exactDecontaminate precedent); (2) pair generation self-joins the
+    * hub-filtered adjacency on the NEIGHBOR key — per-key fan-out is
+    * ≤ C(maxDeg, 2) by construction, so no reducer sees an unbounded key;
+    * (3) shared-count and degree roll-ups are algebraic sums; (4) the
+    * `minShared` filter prunes the long tail of coincidental single-shared
+    * pairs before the two degree joins.
+    */
+  def neighborJaccard(
+      triples: DataFrame,
+      maxDeg: Long = 64L,
+      minShared: Long = 2L
+  ): DataFrame = {
+    val eu = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*) && F.col("s") =!= F.col("o"))
+      .select(F.least(F.col("s"), F.col("o")).as("a"),
+        F.greatest(F.col("s"), F.col("o")).as("b"))
+      .distinct()
+    val adj = eu.select(F.col("a").as("e"), F.col("b").as("n"))
+      .union(eu.select(F.col("b").as("e"), F.col("a").as("n")))
+    val hubs = adj.groupBy("n").agg(F.count(F.lit(1)).as("dn"))
+      .filter(F.col("dn") > maxDeg).select("n")
+    val cold = adj.join(hubs, Seq("n"), "left_anti")
+    val deg = cold.groupBy("e").agg(F.count(F.lit(1)).as("d"))
+    val pairs = cold.as("x").join(cold.as("y"),
+        F.col("x.n") === F.col("y.n") && F.col("x.e") < F.col("y.e"))
+      .groupBy(F.col("x.e").as("e1"), F.col("y.e").as("e2"))
+      .agg(F.count(F.lit(1)).as("shared"))
+      .filter(F.col("shared") >= minShared)
+    pairs
+      .join(deg.select(F.col("e").as("e1"), F.col("d").as("d1")), "e1")
+      .join(deg.select(F.col("e").as("e2"), F.col("d").as("d2")), "e2")
+      .select(F.col("e1"), F.col("e2"), F.col("shared"),
+        (F.col("shared").cast("double") /
+          (F.col("d1") + F.col("d2") - F.col("shared")).cast("double")).as("jacc"))
+  }
 }

@@ -286,6 +286,29 @@ object KgSql {
        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM pn GROUP BY 1""".stripMargin
 
+  /** Oracle for Queries.kgNeighborJaccard: neighborhood Jaccard on the
+    * hub-filtered undirected entity graph (neighbors with degree > maxDeg
+    * excluded from degrees AND pair generation — one consistent semantics;
+    * GraphOps.neighborJaccard scaladoc). jacc is one double division of
+    * exact integers — engine-identical.
+    */
+  def neighborJaccardSql(maxDeg: Long, minShared: Long): String =
+    s"WITH $triplesCtes,\n" +
+    s"""eu AS (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+       |  FROM tr WHERE k_s IN (0, 1) AND k_o IN (0, 1) AND s <> o),
+       |adj AS (SELECT a AS e, b AS n FROM eu UNION ALL SELECT b, a FROM eu),
+       |nd AS (SELECT n, count(*) AS dn FROM adj GROUP BY 1),
+       |cold AS (SELECT adj.e, adj.n FROM adj JOIN nd USING (n)
+       |  WHERE nd.dn <= $maxDeg),
+       |dg AS (SELECT e, count(*) AS d FROM cold GROUP BY 1),
+       |pr AS (SELECT x.e AS e1, y.e AS e2, count(*) AS shared
+       |  FROM cold x JOIN cold y ON y.n = x.n AND x.e < y.e
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT pr.e1, pr.e2, CAST(pr.shared AS BIGINT) AS shared,
+       |  CAST(pr.shared AS DOUBLE) /
+       |    CAST(d1.d + d2.d - pr.shared AS DOUBLE) AS jacc
+       |FROM pr JOIN dg d1 ON d1.e = pr.e1 JOIN dg d2 ON d2.e = pr.e2""".stripMargin
+
   /** Oracle for Queries.kgCooccur: unordered same-page entity pairs over the
     * distinct (page, entity) mention projection. mentionsSql is embedded as a
     * pre-stripped subquery (NEVER re-stripMargin'd — see the mentionsSql

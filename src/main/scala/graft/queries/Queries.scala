@@ -510,6 +510,13 @@ object Queries {
   /** Same-page entity co-occurrence pairs (value oracle in
     * [[KgSql.cooccurSql]]).
     */
+  /** Neighborhood Jaccard on the hub-filtered entity graph (maxDeg = 64,
+    * minShared = 2 — both halves of the hub filter bind on this corpus).
+    */
+  def kgNeighborJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.neighborJaccard(kgTriples(spark, dir))
+      .orderBy("e1", "e2")
+
   def kgCooccur(spark: SparkSession, dir: String): DataFrame =
     graft.kg.GraphOps.cooccurrence(kgMentions(spark, dir))
       .orderBy("e1", "e2")

@@ -204,4 +204,30 @@ class GraphOpsSpec extends AnyFunSuite {
       ("d", 0.toByte, "p3", "b", 3.toByte, Some("en"), None) -> 1L
     ))
   }
+
+  test("neighborJaccard: hand-computed values, hub excluded consistently") {
+    // star hub h touches x1..x4 (degree 4 > maxDeg 3 → excluded entirely);
+    // x1,x2 also share real neighbors m,n; x3 shares only m with x1/x2
+    val es = Seq(
+      ("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4"),
+      ("x1", "m"), ("x2", "m"), ("x3", "m"),
+      ("x1", "n"), ("x2", "n"),
+      ("x1", "z")
+    )
+    val ts = es.map { case (s, o) => (s, 0, "p", o, 0) }
+      .toDF("s", "sKind", "p", "o", "oKind")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+        $"o", $"oKind".cast("byte").as("oKind"))
+    val got = GraphOps.neighborJaccard(ts, maxDeg = 3L, minShared = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // hubs (degree > 3): h AND x1 — both vanish from every neighbor SET but
+    // keep their own (reduced) sets: N(h) = {x2,x3,x4}, N(x1) = {m,n,z},
+    // N(x2) = {m,n}, N(m) = {x2,x3}. Survivors at minShared = 2:
+    //   (x1,x2): share {m,n} → 2/(3+2-2) = 2/3
+    //   (h,m):   share {x2,x3} → 2/(3+2-2) = 2/3
+    assert(got == Map(
+      ("x1", "x2") -> ((2L, 2.0 / 3.0)),
+      ("h", "m") -> ((2L, 2.0 / 3.0))))
+  }
 }
