@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.resolveNsDescriptor)
     ext.injectFunction(GraftExtensions.segPrefixesDescriptor)
+    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.hashedScoreDescriptor)
+    ext.injectFunction(GraftExtensions.dsirBucketsDescriptor)
   }
 }
 
@@ -40,6 +43,46 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "graft_resolve_ns(iri) takes exactly one argument")
       ResolveNs(children.head, communityTrie)
+    }
+  )
+
+  /** `graft_cosine_sim(array<float>, array<float>) -> double` — the ANN
+    * family's codegen'd hot scalar ([[graft.sim.CosineSim]]).
+    */
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_cosine_sim"),
+    new ExpressionInfo(classOf[graft.sim.CosineSim].getName, "graft_cosine_sim"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_cosine_sim(a, b) takes exactly two arguments")
+      graft.sim.CosineSim(children.head, children(1))
+    }
+  )
+
+  /** `graft_hashed_score(array<string>) -> bigint` — hashed-feature linear
+    * classifier milli-score at the catalog defaults
+    * ([[graft.textops.HashedLinearScore]]).
+    */
+  val hashedScoreDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hashed_score"),
+    new ExpressionInfo(classOf[graft.textops.HashedLinearScore].getName, "graft_hashed_score"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_hashed_score(toks) takes exactly one argument")
+      graft.textops.HashedLinearScore(children.head,
+        graft.textops.HashedLinearScore.DefaultBuckets,
+        graft.textops.HashedLinearScore.DefaultSeed)
+    }
+  )
+
+  /** `graft_dsir_buckets(array<string>) -> array<bigint>` — DSIR hashed
+    * feature-bucket ids at the catalog defaults ([[graft.textops.Dsir]]).
+    */
+  val dsirBucketsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dsir_buckets"),
+    new ExpressionInfo(classOf[graft.textops.Dsir.FeatureBuckets].getName, "graft_dsir_buckets"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_dsir_buckets(toks) takes exactly one argument")
+      graft.textops.Dsir.FeatureBuckets(children.head,
+        graft.textops.Dsir.DefaultBuckets, graft.textops.Dsir.DefaultSeed)
     }
   )
 

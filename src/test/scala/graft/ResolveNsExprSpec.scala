@@ -34,6 +34,31 @@ class ResolveNsExprSpec extends AnyFunSuite {
       2 -> "http://a.example.org/x/y"))
   }
 
+  test("scalar extension functions register: cosine_sim, hashed_score, dsir_buckets") {
+    import org.apache.spark.sql.graftshim.ColumnShim.registerFunction
+    Seq(graft.ns.GraftExtensions.cosineSimDescriptor,
+        graft.ns.GraftExtensions.hashedScoreDescriptor,
+        graft.ns.GraftExtensions.dsirBucketsDescriptor)
+      .foreach { case (i, n, b) => registerFunction(spark, i, n, b) }
+    val r = spark.sql(
+      """SELECT graft_cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                        array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       graft_hashed_score(array('spark', 'engines')) AS s,
+        |       size(graft_dsir_buckets(array('spark', 'engines'))) AS nb""".stripMargin)
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    // value parity with the Column/static forms
+    import graft.textops.{Dsir, HashedLinearScore, TextOps}
+    val expected = HashedLinearScore.weightOf(TextOps.fingerprintLocal("spark"),
+        HashedLinearScore.DefaultBuckets, HashedLinearScore.DefaultSeed) +
+      HashedLinearScore.weightOf(TextOps.fingerprintLocal("engines"),
+        HashedLinearScore.DefaultBuckets, HashedLinearScore.DefaultSeed) +
+      HashedLinearScore.weightOf(TextOps.fingerprintLocal("spark engines"),
+        HashedLinearScore.DefaultBuckets, HashedLinearScore.DefaultSeed)
+    assert(r.getLong(1) == expected)
+    assert(r.getInt(2) == 3) // 2 unigrams + 1 bigram
+  }
+
   test("expression matches the UDF reference implementation on a fuzz batch") {
     val iris = (0 until 2000).map { i =>
       Synthish.iri(i)
