@@ -88,6 +88,7 @@ object SparkEntry {
     "q_stratified_sample" -> (Queries.stratifiedSample _),
     "q_mix_corpora" -> (Queries.mixCorpora _),
     "q_dedup_substr" -> (Queries.dedupSubstr _),
+    "q_dedup_rep" -> (Queries.dedupKeepBest _),
     "q_vocab_topk" -> (Queries.vocabTop _),
     "q_tokenize_ids" -> (Queries.tokenizeIds _),
     "q_select_budget" -> (Queries.selectBudget _),

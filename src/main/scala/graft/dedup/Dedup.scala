@@ -605,4 +605,43 @@ object Dedup {
         F.coalesce(F.col("dup_tokens"), F.lit(0L)).as("dup_tokens"),
         F.coalesce(F.col("n_dup_spans"), F.lit(0L)).as("n_dup_spans"))
   }
+
+  /** Near-dup cluster representative selection — the keep-one step between
+    * clustering and the training set: every near-dup cluster keeps exactly
+    * its LONGEST member (ties → smallest id; the Gopher/FineWeb-style "keep
+    * the most complete capture" rule), and every unclustered document keeps
+    * itself. Emits the survivor list with its cluster size, so downstream
+    * mixing can weight by collapsed mass.
+    *
+    * Scale shape: the per-cluster argmax is an algebraic struct-max —
+    * `max(struct(len, -id))` — with map-side combine, NEVER a per-cluster
+    * window (a boilerplate cluster with 10^8 members reduces inside each
+    * task); the singleton pass is a left-anti join against the clustered-id
+    * relation (pair-bounded, far smaller than the corpus); text lengths
+    * travel as fixed-width longs, bodies never shuffle.
+    */
+  def clusterRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String
+  ): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(F.col("id").cast("long").as("id"),
+        F.col("component").cast("long").as("component"))
+    val base = df.select(F.col(idCol).cast("long").as("id"),
+      F.length(F.col(textCol)).cast("long").as("len"))
+    val members = base.join(comp, "id")
+    val reps = members
+      .groupBy("component")
+      .agg(F.max(F.struct(F.col("len"), (-F.col("id")).as("nid"))).as("m"),
+        F.count(F.lit(1)).as("n_members"))
+      .select((-F.col("m.nid")).as("doc_id"), F.col("n_members"),
+        F.col("m.len").as("len"))
+    val singles = base.join(comp.select("id"), Seq("id"), "left_anti")
+      .select(F.col("id").as("doc_id"), F.lit(1L).as("n_members"), F.col("len"))
+    reps.unionByName(singles)
+  }
 }

@@ -461,6 +461,41 @@ object Oracles {
          |SELECT CAST(a AS BIGINT) AS id,
          |  CAST(least(a, min(b)) AS BIGINT) AS component
          |FROM reach GROUP BY a""".stripMargin,
+    // cluster representative selection: same pair relation + closure as
+    // q_dedup_clusters, then longest-member-min-id per component plus all
+    // singletons (engine: algebraic struct-max, never a window)
+    "q_dedup_rep" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${HashSql.minhashLshSql(k = 3, threshold = 0.6, maxBucket = 1000)}
+         |),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION
+         |  SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+         |comp AS (SELECT CAST(a AS BIGINT) AS id,
+         |    CAST(least(a, min(b)) AS BIGINT) AS component
+         |  FROM reach GROUP BY a),
+         |base AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS len
+         |  FROM documents),
+         |members AS (SELECT base.id, base.len, comp.component
+         |  FROM base JOIN comp USING (id)),
+         |agg AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+         |    max(len) AS maxlen
+         |  FROM members GROUP BY 1),
+         |reps AS (SELECT min(m.id) AS doc_id, a.n_members, a.maxlen AS len
+         |  FROM members m JOIN agg a
+         |    ON a.component = m.component AND m.len = a.maxlen
+         |  GROUP BY m.component, a.n_members, a.maxlen)
+         |SELECT doc_id, n_members, len FROM reps
+         |UNION ALL
+         |SELECT base.id AS doc_id, CAST(1 AS BIGINT) AS n_members, base.len
+         |FROM base LEFT JOIN comp ON comp.id = base.id
+         |WHERE comp.id IS NULL""".stripMargin,
+
     "q_sim_lsh" -> HashSql.srpLshSql(dim = 64, nPlanes = 10, nTables = 4,
       minSim = 0.3, maxBucket = 1000),
     "q_sim_ivf" -> HashSql.ivfFixedSql(dim = 64, nCells = 16, nProbe = 4, k = 5, nQueries = 10),

@@ -402,6 +402,16 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Keep-one selection over the same LSH clusters as q_dedup_clusters:
+    * longest member per cluster (ties → min id) plus all singletons.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val pairs = Dedup.minHashLsh(d, "doc_id", "text", k = 3, threshold = 0.6)
+    Dedup.clusterRepresentatives(d, "doc_id", "text", pairs, "id_a", "id_b")
+      .orderBy("doc_id")
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(docs(spark, dir), "doc_id", "text", maxDist = 3)
       .orderBy("id_a", "id_b")

@@ -954,6 +954,18 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got(3L)._1 == 2 && got(3L)._2 == 1)
   }
 
+  test("clusterRepresentatives: longest-member-min-id per cluster, singletons kept") {
+    val d = Seq(
+      (0L, "aaaa"), (1L, "bbbbbb"), (2L, "cc"), // cluster {0,1,2} via pairs
+      (3L, "dddd"), (4L, "eeee"), // cluster {3,4}, equal lengths → min id
+      (5L, "solo")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterRepresentatives(d, "doc_id", "text", pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 6L), (3L, 2L, 4L), (5L, 1L, 4L)))
+  }
+
   test("DSIR: codegen'd scalar fold equals the explode-join relational form") {
     import graft.textops.Dsir
     val raw = Seq(
