@@ -25,6 +25,9 @@ object Queries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Test-visible documents loader (PlanSpec builds ad-hoc plans on it). */
+  def docsPublic(spark: SparkSession, dir: String): DataFrame = docs(spark, dir)
+
   // ---------------------------------------------------------------------------
   // Derived-triple fixture (shared by the chilon-core queries).
   // Rules are mirrored 1:1 in Oracles.derivedTriplesSql.

@@ -213,4 +213,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"occurrence-level shuffle join on the bare token key:\n$plan")
   }
+
+  test("DSIR scoring is a pure projection: no exchange, no join, one scan") {
+    // the learned table rides into codegen as a reference long[]; scoring a
+    // 10^12-doc corpus must be scan → project — any Exchange/Join here means
+    // the explode-join mistake the Dsir scaladoc rules out
+    val q = graft.textops.Dsir.learnQ(
+      Queries.docsPublic(spark, dir),
+      Queries.docsPublic(spark, dir).filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0),
+      "text")
+    val df = graft.textops.Dsir.weights(
+      Queries.docsPublic(spark, dir), q, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring stage shuffles the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"scoring stage joins:\n$plan")
+  }
+
+  test("neighborhood Jaccard: no per-entity window, partial-aggregated counts") {
+    val df = Queries.kgNeighborJaccard(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"window over neighbor sets:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"shared/degree counts lost their map-side partial phase:\n$plan")
+  }
 }
