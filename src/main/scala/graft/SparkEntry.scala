@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_rep" -> (Queries.dedupKeepBest _),
     "q_vocab_topk" -> (Queries.vocabTop _),
     "q_tokenize_ids" -> (Queries.tokenizeIds _),
+    "q_vocab_coverage" -> (Queries.vocabCoverage _),
     "q_select_budget" -> (Queries.selectBudget _),
     "q_pack_sequences" -> (Queries.packSequences _),
     "q_text_unigram_lm" -> (Queries.textUnigramLm _),

@@ -732,6 +732,24 @@ object Oracles {
          |  CAST(freq AS BIGINT) AS freq
          |FROM freq ORDER BY freq DESC, tok LIMIT 500""".stripMargin,
 
+    // per-doc OOV rate under the SAME top-500 vocab; exact long counts plus
+    // one engine-identical double division (zero-token docs → rate 0.0)
+    "q_vocab_coverage" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |tf AS (SELECT UNNEST(toks) AS tok FROM t),
+         |freq AS (SELECT tok, count(*) AS freq FROM tf GROUP BY tok),
+         |voc AS (SELECT tok AS token FROM freq ORDER BY freq DESC, tok LIMIT 500),
+         |ex AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+         |ov AS (SELECT ex.doc_id, count(*) AS n,
+         |    sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS oov
+         |  FROM ex LEFT JOIN voc v ON v.token = ex.tok GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(coalesce(ov.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(ov.oov, 0) AS BIGINT) AS n_oov,
+         |  CASE WHEN coalesce(ov.n, 0) = 0 THEN 0.0
+         |       ELSE CAST(ov.oov AS DOUBLE) / CAST(ov.n AS DOUBLE) END AS oov_rate
+         |FROM t LEFT JOIN ov USING (doc_id)""".stripMargin,
+
     // per-doc token-id sequence under the SAME top-500 vocab (OOV = -1),
     // hashed in token order
     "q_tokenize_ids" ->

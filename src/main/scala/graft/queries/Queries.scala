@@ -757,6 +757,17 @@ object Queries {
     * the compare — the id sequence must match DuckDB's re-derivation of the
     * same vocab and the same per-position lookup.
     */
+  /** OOV-rate diagnostic under the SAME top-500 vocab as q_vocab_topk /
+    * q_tokenize_ids; n_tokens and n_oov are exact longs, oov_rate one
+    * engine-identical double division.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val vocab = TextOps.buildVocab(d, "text", vocabSize = 500)
+    TextOps.vocabCoverage(d, "doc_id", "text", vocab)
+      .orderBy("doc_id")
+  }
+
   def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val vocab = TextOps.buildVocab(d, "text", vocabSize = 500)

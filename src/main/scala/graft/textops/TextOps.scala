@@ -272,6 +272,28 @@ object TextOps {
     df.select(F.col(idCol), enc(tokens(F.col(textCol))).as("token_ids"))
   }
 
+  /** Per-doc vocabulary coverage under a fixed top-V vocab — the tokenizer-
+    * fit diagnostic (OOV rate drives vocab-size choices and flags off-
+    * distribution slices before training). Same zero-shuffle shape as
+    * [[encodeTokenIds]]: the vocab rides a broadcast map and every metric
+    * is a per-row pure expression over the encoded ids — the corpus never
+    * moves. Documents with zero tokens report oov_rate 0 (nothing to
+    * cover), mirrored by the oracle's COALESCE.
+    */
+  def vocabCoverage(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: org.apache.spark.sql.DataFrame
+  ): org.apache.spark.sql.DataFrame =
+    encodeTokenIds(df, idCol, textCol, vocab)
+      .select(F.col(idCol),
+        F.size(F.col("token_ids")).cast("long").as("n_tokens"),
+        F.size(F.filter(F.col("token_ids"), _ === -1)).cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        F.when(F.col("n_tokens") === 0L, F.lit(0.0))
+          .otherwise(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")))
+
   /** Per-domain document cap — the crawl-curation step that stops a handful
     * of giant hosts (content farms, mirrors) from dominating the corpus:
     * within each domain keep at most `cap` documents, selected by a

@@ -954,6 +954,17 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got(3L)._1 == 2 && got(3L)._2 == 1)
   }
 
+  test("vocabCoverage: OOV counts against the vocab; zero-token docs rate 0") {
+    val d = Seq((0L, "a a b"), (1L, ""), (2L, "c")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 0, 2L)).toDF("token", "token_id", "freq")
+    val got = TextOps.vocabCoverage(d, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      0L -> ((3L, 1L, 1.0 / 3.0)),
+      1L -> ((0L, 0L, 0.0)),
+      2L -> ((1L, 1L, 1.0))))
+  }
+
   test("clusterRepresentatives: longest-member-min-id per cluster, singletons kept") {
     val d = Seq(
       (0L, "aaaa"), (1L, "bbbbbb"), (2L, "cc"), // cluster {0,1,2} via pairs
