@@ -340,6 +340,35 @@ object GraphOps {
       .agg(F.count(F.lit(1)).as("occurs"))
   }
 
+  /** Predicate-signature schema discovery — the type-induction primitive KG
+    * construction runs after materializing triples: entities sharing the
+    * SAME distinct-predicate set almost always share a latent type, so
+    * grouping subjects by their sorted predicate signature surfaces the
+    * emergent schema (and its long tail of malformed extractions) without
+    * any ontology. Emits one row per signature with its entity count and
+    * predicate arity, plus the canonical (min) example subject.
+    *
+    * Scale shape: (1) dedup to the distinct (subject, predicate) relation
+    * first — algebraic, map-side combined; (2) the per-subject
+    * `sort_array(collect_set(p))` is bounded by the PREDICATE VOCABULARY
+    * (thousands), never by the subject's triple count — a celebrity entity
+    * with 10^9 triples still folds to one vocab-bounded row per map task
+    * after the distinct; (3) the signature roll-up is an algebraic
+    * count + min on a md5-keyed aggregation.
+    */
+  def predicateSignatures(triples: DataFrame): DataFrame = {
+    val sp = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*))
+      .select(F.col("s"), F.col("p")).distinct()
+    sp.groupBy("s")
+      .agg(F.sort_array(F.collect_set(F.col("p"))).as("preds"))
+      .select(F.col("s"),
+        F.md5(F.array_join(F.col("preds"), ",")).as("sig_md5"),
+        F.size(F.col("preds")).cast("long").as("n_preds"))
+      .groupBy("sig_md5", "n_preds")
+      .agg(F.count(F.lit(1)).as("n_entities"), F.min(F.col("s")).as("example"))
+  }
+
   /** Entity-pair neighborhood Jaccard over the undirected entity graph — the
     * structural-similarity primitive KG curation uses for link prediction
     * and duplicate-entity candidates beyond shared labels: two entities are

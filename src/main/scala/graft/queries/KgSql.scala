@@ -286,6 +286,22 @@ object KgSql {
        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM pn GROUP BY 1""".stripMargin
 
+  /** Oracle for Queries.kgSignatures: per-subject sorted distinct-predicate
+    * signature, grouped. ASCII predicates sort identically in both engines;
+    * md5 of the comma-joined list is byte-deterministic.
+    */
+  val signaturesSql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""sp AS (SELECT DISTINCT s, p FROM tr WHERE k_s IN (0, 1)),
+       |sig AS (SELECT s,
+       |    md5(string_agg(p, ',' ORDER BY p)) AS sig_md5,
+       |    CAST(count(*) AS BIGINT) AS n_preds
+       |  FROM sp GROUP BY s)
+       |SELECT sig_md5, n_preds,
+       |  CAST(count(*) AS BIGINT) AS n_entities,
+       |  min(s) AS example
+       |FROM sig GROUP BY 1, 2""".stripMargin
+
   /** Oracle for Queries.kgNeighborJaccard: neighborhood Jaccard on the
     * hub-filtered undirected entity graph (neighbors with degree > maxDeg
     * excluded from degrees AND pair generation — one consistent semantics;

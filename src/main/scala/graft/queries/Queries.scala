@@ -523,6 +523,11 @@ object Queries {
   /** Same-page entity co-occurrence pairs (value oracle in
     * [[KgSql.cooccurSql]]).
     */
+  /** Predicate-signature schema discovery over the materialized triples. */
+  def kgSignatures(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.predicateSignatures(kgTriples(spark, dir))
+      .orderBy("sig_md5")
+
   /** Neighborhood Jaccard on the hub-filtered entity graph (maxDeg = 64,
     * minShared = 2 — both halves of the hub filter bind on this corpus).
     */

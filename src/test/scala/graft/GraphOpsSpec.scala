@@ -205,6 +205,22 @@ class GraphOpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("predicateSignatures: identical predicate sets group, duplicates collapse") {
+    val ts = Seq(
+      ("a", 0, "p1", "x", 0), ("a", 0, "p2", "y", 0), ("a", 0, "p1", "z", 0),
+      ("b", 0, "p2", "x", 0), ("b", 0, "p1", "w", 0), // same {p1,p2} as a
+      ("c", 0, "p1", "x", 0),
+      ("_:n", 1, "p1", "x", 0) // blank subject counts as a node too
+    ).map { case (s, sk, p, o, ok) => (s, sk, p, o, ok) }
+      .toDF("s", "sKind", "p", "o", "oKind")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+        $"o", $"oKind".cast("byte").as("oKind"))
+    val got = GraphOps.predicateSignatures(ts).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // {p1,p2} → a,b (example = min = "a"); {p1} → c and _:n (example "_:n")
+    assert(got == Set((2L, 2L, "a"), (1L, 2L, "_:n")))
+  }
+
   test("neighborJaccard: hand-computed values, hub excluded consistently") {
     // star hub h touches x1..x4 (degree 4 > maxDeg 3 → excluded entirely);
     // x1,x2 also share real neighbors m,n; x3 shares only m with x1/x2
