@@ -57,6 +57,7 @@ object SparkEntry {
     "q_kg_cooccur" -> (Queries.kgCooccur _),
     "q_kg_jaccard" -> (Queries.kgNeighborJaccard _),
     "q_kg_signatures" -> (Queries.kgSignatures _),
+    "q_kg_pred_stats" -> (Queries.kgPredStats _),
     "q_kg_entity_resolve" -> (Queries.kgEntityResolve _),
     "q_kg_canon_triples" -> (Queries.kgCanonTriples _),
     "q_kg_labels" -> (Queries.kgLabels _),

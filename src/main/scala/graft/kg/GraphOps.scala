@@ -369,6 +369,34 @@ object GraphOps {
       .agg(F.count(F.lit(1)).as("n_entities"), F.min(F.col("s")).as("example"))
   }
 
+  /** Per-predicate cardinality profile — the KG-QA pass that decides which
+    * predicates are functional (≤1 object per subject: birthDate-like),
+    * which are multi-valued (starredIn-like), and which are extraction
+    * noise (huge object fan-in). Emits per predicate: triple count,
+    * distinct subjects, distinct objects, and the subjects-per-triple
+    * functionality ratio.
+    *
+    * Scale shape: each distinct count is computed as its own algebraic
+    * pre-dedup — `distinct(p, s)` / `distinct(p, o)` collapse map-side,
+    * then count by p — instead of `count_distinct` inside one group-by
+    * (which Spark plans as an `expand` tripling the shuffle). The three
+    * per-predicate relations are PREDICATE-VOCAB-sized; their join is
+    * trivially broadcastable. The ratio is one double division of exact
+    * longs — engine-identical.
+    */
+  def predicateStats(triples: DataFrame): DataFrame = {
+    val base = triples.filter(F.col("sKind").isin(NodeKinds: _*))
+    val tot = base.groupBy("p").agg(F.count(F.lit(1)).as("n_triples"))
+    val ns = base.select("p", "s").distinct()
+      .groupBy("p").agg(F.count(F.lit(1)).as("n_subj"))
+    val no = base.select("p", "o").distinct()
+      .groupBy("p").agg(F.count(F.lit(1)).as("n_obj"))
+    tot.join(ns, "p").join(no, "p")
+      .select(F.col("p"), F.col("n_triples"), F.col("n_subj"), F.col("n_obj"),
+        (F.col("n_subj").cast("double") / F.col("n_triples").cast("double"))
+          .as("functionality"))
+  }
+
   /** Entity-pair neighborhood Jaccard over the undirected entity graph — the
     * structural-similarity primitive KG curation uses for link prediction
     * and duplicate-entity candidates beyond shared labels: two entities are

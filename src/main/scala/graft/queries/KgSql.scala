@@ -302,6 +302,22 @@ object KgSql {
        |  min(s) AS example
        |FROM sig GROUP BY 1, 2""".stripMargin
 
+  /** Oracle for Queries.kgPredStats: per-predicate cardinality profile
+    * (GraphOps.predicateStats); the ratio is one double division of exact
+    * longs.
+    */
+  val predStatsSql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""pst AS (SELECT s, p, o FROM tr WHERE k_s IN (0, 1)),
+       |tot AS (SELECT p, CAST(count(*) AS BIGINT) AS n_triples FROM pst GROUP BY 1),
+       |ns AS (SELECT p, CAST(count(*) AS BIGINT) AS n_subj
+       |  FROM (SELECT DISTINCT p, s FROM pst) GROUP BY 1),
+       |no AS (SELECT p, CAST(count(*) AS BIGINT) AS n_obj
+       |  FROM (SELECT DISTINCT p, o FROM pst) GROUP BY 1)
+       |SELECT tot.p, tot.n_triples, ns.n_subj, no.n_obj,
+       |  CAST(ns.n_subj AS DOUBLE) / CAST(tot.n_triples AS DOUBLE) AS functionality
+       |FROM tot JOIN ns USING (p) JOIN no USING (p)""".stripMargin
+
   /** Oracle for Queries.kgNeighborJaccard: neighborhood Jaccard on the
     * hub-filtered undirected entity graph (neighbors with degree > maxDeg
     * excluded from degrees AND pair generation — one consistent semantics;

@@ -424,6 +424,7 @@ object Oracles {
     "q_kg_triangles" -> KgSql.trianglesSql,
     "q_kg_jaccard" -> KgSql.neighborJaccardSql(maxDeg = 64L, minShared = 2L),
     "q_kg_signatures" -> KgSql.signaturesSql,
+    "q_kg_pred_stats" -> KgSql.predStatsSql,
     "q_kg_cooccur" -> KgSql.cooccurSql,
     // sameAs closure + canonical triple table: recursive-CTE transitive
     // closure vs the engine's pointer-jumping CC over the same star edges

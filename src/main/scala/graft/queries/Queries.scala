@@ -523,6 +523,11 @@ object Queries {
   /** Same-page entity co-occurrence pairs (value oracle in
     * [[KgSql.cooccurSql]]).
     */
+  /** Per-predicate cardinality / functionality profile. */
+  def kgPredStats(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.predicateStats(kgTriples(spark, dir))
+      .orderBy("p")
+
   /** Predicate-signature schema discovery over the materialized triples. */
   def kgSignatures(spark: SparkSession, dir: String): DataFrame =
     graft.kg.GraphOps.predicateSignatures(kgTriples(spark, dir))

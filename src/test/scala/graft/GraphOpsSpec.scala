@@ -205,6 +205,22 @@ class GraphOpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("predicateStats: functional vs multi-valued predicates profiled") {
+    val ts = Seq(
+      ("a", 0, "born", "1901", 4), ("b", 0, "born", "1902", 4), // functional
+      ("a", 0, "knows", "b", 0), ("a", 0, "knows", "c", 0), // multi-valued
+      ("b", 0, "knows", "c", 0),
+      ("a", 0, "knows", "b", 0) // duplicate triple still counts in n_triples
+    ).toDF("s", "sKind", "p", "o", "oKind")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+        $"o", $"oKind".cast("byte").as("oKind"))
+    val got = GraphOps.predicateStats(ts).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got("born") == ((2L, 2L, 2L, 1.0)))
+    assert(got("knows") == ((4L, 2L, 2L, 0.5)))
+  }
+
   test("predicateSignatures: identical predicate sets group, duplicates collapse") {
     val ts = Seq(
       ("a", 0, "p1", "x", 0), ("a", 0, "p2", "y", 0), ("a", 0, "p1", "z", 0),
