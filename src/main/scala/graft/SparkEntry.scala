@@ -91,6 +91,7 @@ object SparkEntry {
     "q_mix_corpora" -> (Queries.mixCorpora _),
     "q_dedup_substr" -> (Queries.dedupSubstr _),
     "q_dedup_rep" -> (Queries.dedupKeepBest _),
+    "q_contam_report" -> (Queries.contamReport _),
     "q_vocab_topk" -> (Queries.vocabTop _),
     "q_tokenize_ids" -> (Queries.tokenizeIds _),
     "q_vocab_coverage" -> (Queries.vocabCoverage _),

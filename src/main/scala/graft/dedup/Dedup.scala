@@ -531,6 +531,46 @@ object Dedup {
     corpus.filter(clean(shingleHashes(F.col(textCol))))
   }
 
+  /** Per-eval-doc contamination REPORT — the diagnostic run before choosing
+    * decontamination thresholds: for every eval/blocklist document, the
+    * fraction of its distinct k-gram shingles that appear anywhere in the
+    * (eval-excluded) corpus. The gates ([[ngramDecontaminate]] etc.) answer
+    * "drop or keep"; this answers "how contaminated is each eval item",
+    * which drives k and threshold choices.
+    *
+    * Scale shape: the corpus reduces to its DISTINCT shingle-hash relation
+    * (8-byte keys, map-side combined — the zipf head collapses inside each
+    * task); the eval side is eval-set-bounded, so AQE broadcasts it into the
+    * hit join (no forced hint — the ADVICE-r4 contract) and the corpus
+    * never shuffles payloads. Hit/total roll-ups are algebraic counts on the
+    * eval-doc key.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      textCol: String,
+      evalSet: DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      k: Int,
+      seed: Long = 0L
+  ): DataFrame = {
+    val shingleHashes =
+      F.udf((t: String) => shingles(t, k).map(s => hashShingle(s, seed)))
+    val ev = evalSet
+      .select(F.col(evalIdCol).as("doc_id"),
+        F.explode(shingleHashes(F.col(evalTextCol))).as("h"))
+      .distinct()
+    val cs = corpus.select(F.explode(shingleHashes(F.col(textCol))).as("h"))
+      .distinct()
+    val n = ev.groupBy("doc_id").agg(F.count(F.lit(1)).as("n_shingles"))
+    val hits = ev.join(cs, "h").groupBy("doc_id").agg(F.count(F.lit(1)).as("n_hit"))
+    n.join(hits, Seq("doc_id"), "left")
+      .select(F.col("doc_id"), F.col("n_shingles"),
+        F.coalesce(F.col("n_hit"), F.lit(0L)).as("n_hit"))
+      .withColumn("contam_frac",
+        F.col("n_hit").cast("double") / F.col("n_shingles").cast("double"))
+  }
+
   def exactDecontaminate(
       corpus: DataFrame,
       textCol: String,

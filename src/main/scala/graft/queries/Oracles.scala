@@ -300,6 +300,29 @@ object Oracles {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sh JOIN bl USING (s))""".stripMargin,
 
+    // per-eval-doc contamination fraction: distinct shared 5-grams against
+    // the eval-excluded corpus (string shingles here; the engine's 64-bit
+    // shingle hashes are collision-exposed by this text-level comparison)
+    "q_contam_report" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |sh AS (SELECT doc_id, UNNEST(CASE
+        |    WHEN len(ts) >= 5 THEN list_transform(range(1, len(ts) - 3), i ->
+        |      ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])
+        |    WHEN len(ts) >= 1 THEN [array_to_string(ts, ' ')]
+        |    ELSE CAST([] AS VARCHAR[]) END) AS s
+        |  FROM t),
+        |ev AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 7 = 0),
+        |cs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM ev GROUP BY 1),
+        |h AS (SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM ev JOIN cs USING (s) GROUP BY 1)
+        |SELECT n.doc_id, n.n_shingles,
+        |  coalesce(h.n_hit, 0) AS n_hit,
+        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(n.n_shingles AS DOUBLE) AS contam_frac
+        |FROM n LEFT JOIN h USING (doc_id)""".stripMargin,
+
     // exact decontamination: content-level anti join (hash equality == text
     // equality absent 64-bit collisions, which the oracle would expose)
     "q_decontam_exact" ->

@@ -415,6 +415,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Contamination report: eval = doc_id % 7 == 0 (the decontam fixture
+    * subset), corpus = the rest; shared-5-gram fraction per eval doc.
+    */
+  def contamReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.contaminationReport(
+      d.filter(F.col("doc_id") % 7 =!= 0), "text",
+      d.filter(F.col("doc_id") % 7 === 0), "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(docs(spark, dir), "doc_id", "text", maxDist = 3)
       .orderBy("id_a", "id_b")

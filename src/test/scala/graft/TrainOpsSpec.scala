@@ -954,6 +954,17 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(got(3L)._1 == 2 && got(3L)._2 == 1)
   }
 
+  test("contaminationReport: shared-shingle fraction per eval doc") {
+    val corpus = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val ev = Seq(
+      (1L, "a b c d e x"), // shingles {a b c d e, b c d e x} → 1 of 2 hit
+      (2L, "z z z") // short fallback shingle, no hit
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(corpus, "text", ev, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(1L -> ((2L, 1L, 0.5)), 2L -> ((1L, 0L, 0.0))))
+  }
+
   test("vocabCoverage: OOV counts against the vocab; zero-token docs rate 0") {
     val d = Seq((0L, "a a b"), (1L, ""), (2L, "c")).toDF("doc_id", "text")
     val vocab = Seq(("a", 0, 2L)).toDF("token", "token_id", "freq")
