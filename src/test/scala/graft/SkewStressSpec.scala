@@ -165,4 +165,22 @@ class SkewStressSpec extends AnyFunSuite {
     assert(!agg.queryExecution.executedPlan.toString.contains("Window"),
       "hot domain reached a full-partition window")
   }
+
+  test("neighborJaccard: celebrity hub generates ZERO pairs; real cluster unaffected") {
+    // star: one hub adjacent to 3000 spokes (quadratic pair fan-out if not
+    // capped: ~4.5M pairs); plus a genuine 4-clique whose pairs must survive
+    val star = (0 until 3000).map(i => ("hub", s"spoke$i"))
+    val clique = Seq(("c1", "c2"), ("c1", "c3"), ("c1", "c4"),
+      ("c2", "c3"), ("c2", "c4"), ("c3", "c4"))
+    val ts = (star ++ clique).map { case (s, o) => (s, 0, "p", o, 0) }
+      .toDF("s", "sKind", "p", "o", "oKind")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+        $"o", $"oKind".cast("byte").as("oKind"))
+    val got = graft.kg.GraphOps.neighborJaccard(ts, maxDeg = 64L, minShared = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // spokes' only neighbor is the excluded hub → no spoke pairs at all;
+    // each clique pair shares the other TWO clique members
+    assert(got == Set(("c1", "c2"), ("c1", "c3"), ("c1", "c4"),
+      ("c2", "c3"), ("c2", "c4"), ("c3", "c4")))
+  }
 }
