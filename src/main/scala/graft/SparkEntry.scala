@@ -63,6 +63,9 @@ object SparkEntry {
     "q_kg_labels" -> (Queries.kgLabels _),
     "q_kg_diff" -> (Queries.kgSnapshotDiff _),
     "q_kg_neighbors" -> (Queries.kgNeighborhood _),
+    "q_kg_encode" -> (Queries.kgEncode _),
+    "q_kg_negatives" -> (Queries.kgNegatives _),
+    "q_kg_kcore" -> (Queries.kgKCore _),
     "q_crawl_latest" -> (Queries.crawlLatest _),
     "q_stream_summary" -> (Queries.streamSummary _),
     "q_stream_dedup" -> (Queries.streamDedup _),
@@ -97,6 +100,10 @@ object SparkEntry {
     "q_vocab_coverage" -> (Queries.vocabCoverage _),
     "q_select_budget" -> (Queries.selectBudget _),
     "q_pack_sequences" -> (Queries.packSequences _),
+    "q_chunk_blocks" -> (Queries.chunkBlocks _),
+    "q_text_normalize" -> (Queries.textNormalize _),
+    "q_web_links" -> (Queries.webLinks _),
+    "q_host_graph" -> (Queries.hostGraph _),
     "q_text_unigram_lm" -> (Queries.textUnigramLm _),
     "q_text_bigram_lm" -> (Queries.textBigramLm _),
     "q_bm25_topk" -> (Queries.bm25TopK _),

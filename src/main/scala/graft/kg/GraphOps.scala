@@ -397,6 +397,155 @@ object GraphOps {
           .as("functionality"))
   }
 
+  /** Contiguous-id encoding of the node-node triple relation — the input
+    * artifact KG-embedding training (TransE/DistMult/RotatE-style) consumes:
+    * every entity and relation gets a dense long id, ids assigned by
+    * (frequency desc, term asc) so id order doubles as a popularity order
+    * (frequency-bucketed negative sampling, curriculum schedules). Emits one
+    * row per DISTINCT node-node triple with both the ids and the original
+    * terms: `(h_id, r_id, t_id, h, r, t)`.
+    *
+    * Entity frequency = number of distinct triples the term participates in,
+    * counting each endpoint (a self-referential edge contributes 2);
+    * relation frequency = distinct triple count. Both are exact longs, and
+    * (freq desc, term asc) is a total order — the encoding is deterministic
+    * and engine-independent.
+    *
+    * Scale shape: the dictionaries are assigned by the SAME two-pass
+    * distributed prefix-sum rank as [[graft.textops.TextOps.rankBuckets]]
+    * (range-partition on the order, per-partition counts to the driver —
+    * #partitions rows, never data — broadcast offsets, local index): a
+    * billion-entity vocabulary never collapses into one `row_number`
+    * partition. The final encodes are two shuffle equi-joins on the term
+    * keys (entity dictionary reused for both endpoints); at 10^12-triple
+    * scale the dictionary side is the smaller relation and AQE picks the
+    * join strategy from observed sizes.
+    */
+  def encodeForEmbedding(triples: DataFrame): DataFrame = {
+    val et = distinctNodeTriples(triples).localCheckpoint()
+    val entFreq = et.select(F.col("s").as("term"))
+      .union(et.select(F.col("o").as("term")))
+      .groupBy("term").agg(F.count(F.lit(1)).as("freq"))
+    val relFreq = et.groupBy(F.col("p").as("term"))
+      .agg(F.count(F.lit(1)).as("freq"))
+    val entIds = rankDense(entFreq)
+    val relIds = rankDense(relFreq)
+    et.join(entIds.select(F.col("term").as("s"), F.col("id").as("h_id")), "s")
+      .join(relIds.select(F.col("term").as("p"), F.col("id").as("r_id")), "p")
+      .join(entIds.select(F.col("term").as("o"), F.col("id").as("t_id")), "o")
+      .select(F.col("h_id"), F.col("r_id"), F.col("t_id"),
+        F.col("s").as("h"), F.col("p").as("r"), F.col("o").as("t"))
+  }
+
+  /** The DISTINCT node-node (IRI/blank endpoints) triple relation. */
+  private def distinctNodeTriples(triples: DataFrame): DataFrame =
+    triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*))
+      .select("s", "p", "o").distinct()
+
+  /** Dense ids 0..n-1 over (freq desc, term asc) via the two-pass
+    * distributed prefix-sum rank — never a global single-partition window.
+    */
+  private def rankDense(freq: DataFrame): DataFrame = {
+    val spark = freq.sparkSession
+    import spark.implicits._
+    val rows = freq
+      .select(F.col("term"), F.col("freq").cast("long").as("freq"))
+      .repartitionByRange(F.col("freq").desc, F.col("term").asc)
+      .sortWithinPartitions(F.col("freq").desc, F.col("term").asc)
+      .localCheckpoint()
+    val perPart = rows.select(F.spark_partition_id().as("pid"))
+      .groupBy("pid").agg(F.count(F.lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = new java.util.HashMap[Int, Long]()
+    var acc = 0L
+    perPart.foreach { case (pid, cnt) => offsets.put(pid, acc); acc += cnt }
+    val bc = spark.sparkContext.broadcast(offsets)
+    rows.as[(String, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var i = bc.value.getOrDefault(pid, 0L)
+      it.map { case (term, f) => val id = i; i += 1; (term, f, id) }
+    }.toDF("term", "freq", "id")
+  }
+
+  /** Deterministic filtered negative sampling over the encoded triple table
+    * ([[encodeForEmbedding]]'s output) — the contrastive counterpart every
+    * KG-embedding trainer needs: for each positive `(h, r, t)`, corrupt the
+    * tail to `t' = mix64(seed ^ (h·P1 + r·P2 + t)) mod |E|` (splitmix64 —
+    * the repo-wide deterministic sampling primitive, bit-exact in the
+    * DuckDB oracle), and mark whether the corruption collides with a true
+    * triple (`is_clean` — "filtered" negative sampling keeps only clean
+    * rows; the flag makes the collision rate auditable instead of silently
+    * dropping rows).
+    *
+    * Scale shape: |E| is one scalar aggregate; the corruption is a pure
+    * integer projection (no shuffle); the collision check is ONE left join
+    * of (h_id, r_id, t_neg) against the positive set on the identical
+    * 3-int key — both sides hash-partition on the same key, and the
+    * positive side is the same relation, so the exchange is reused. Nothing
+    * ever concentrates: the corrupted tail is splitmix-uniform over the
+    * entity space by construction.
+    */
+  def negativeSamples(encoded: DataFrame, seed: Long): DataFrame = {
+    val nEnt = encoded
+      .select(F.greatest(F.max("h_id"), F.max("t_id")).as("m"))
+      .collect()(0).getLong(0) + 1L
+    val corrupt = F.udf((h: Long, r: Long, t: Long) =>
+      java.lang.Long.remainderUnsigned(
+        graft.extract.Synth.mix64(seed ^ (h * 1000003L + r * 7919L + t)), nEnt))
+    val cand = encoded.select(F.col("h_id"), F.col("r_id"), F.col("t_id"),
+      corrupt(F.col("h_id"), F.col("r_id"), F.col("t_id")).as("t_neg"))
+    val pos = encoded.select(F.col("h_id"), F.col("r_id"),
+      F.col("t_id").as("t_neg"), F.lit(1).as("hit"))
+    cand.join(pos, Seq("h_id", "r_id", "t_neg"), "left")
+      .select(F.col("h_id"), F.col("r_id"), F.col("t_id"), F.col("t_neg"),
+        F.col("hit").isNull.as("is_clean"))
+  }
+
+  /** k-core decomposition by fixed-round peeling over the undirected entity
+    * graph (self-loops dropped, parallel edges collapsed): each round
+    * removes every node whose degree in the SURVIVING subgraph is below `k`,
+    * and `rounds` is fixed so the oracle can unroll the identical
+    * iterations (the PageRank engine-exactness contract; on this corpus the
+    * peel converges well inside the budget and the spec pins the fixed
+    * point). Output: nodes still standing after `rounds` peels, with their
+    * final within-core degree.
+    *
+    * Scale shape: one distinct-edge materialization (`localCheckpoint`ed,
+    * reused every round); each round is an algebraic degree count plus two
+    * semi joins of the edge relation against the shrinking survivor set —
+    * the survivor side only ever shrinks, a hub's fan-out streams through
+    * the 1:N join, and no per-node window exists anywhere.
+    */
+  def kCore(triples: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val eu = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*) && F.col("s") =!= F.col("o"))
+      .select(F.least(F.col("s"), F.col("o")).as("a"),
+        F.greatest(F.col("s"), F.col("o")).as("b"))
+      .distinct().localCheckpoint()
+    var edges = eu
+    var deg: DataFrame = null
+    for (_ <- 1 to rounds) {
+      deg = edges.select(F.col("a").as("node"))
+        .union(edges.select(F.col("b").as("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
+      val keep = deg.filter(F.col("deg") >= k).select("node")
+      edges = edges
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    // final degree within the surviving subgraph, re-thresholded (the last
+    // peel may have dropped neighbors of still-listed nodes)
+    edges.select(F.col("a").as("node"))
+      .union(edges.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
+      .filter(F.col("deg") >= k)
+  }
+
   /** Entity-pair neighborhood Jaccard over the undirected entity graph — the
     * structural-similarity primitive KG curation uses for link prediction
     * and duplicate-entity candidates beyond shared labels: two entities are

@@ -488,4 +488,78 @@ object KgSql {
        |  CAST(k_o AS TINYINT) AS "oKind", lang AS "oLang", dt AS "oDt",
        |  CAST(count(*) AS BIGINT) AS occurs
        |FROM rw GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+
+  /** Shared CTE list for the embedding-encode queries: distinct node-node
+    * triples, entity/relation dictionaries by (freq desc, term asc) — the
+    * oracle assigns ids with window row_number (the SEMANTIC definition);
+    * the engine assigns the identical ids with the distributed prefix-sum
+    * rank (GraphOps.rankDense scaladoc).
+    */
+  private val encodeCtes: String =
+    s"""et AS (SELECT DISTINCT s, p, o FROM tr
+       |       WHERE k_s IN (0, 1) AND k_o IN (0, 1)),
+       |ef AS (SELECT term, count(*) AS freq FROM (
+       |         SELECT s AS term FROM et UNION ALL SELECT o FROM et) GROUP BY 1),
+       |ei AS (SELECT term,
+       |         CAST(row_number() OVER (ORDER BY freq DESC, term ASC) - 1 AS BIGINT) AS id
+       |       FROM ef),
+       |rf AS (SELECT p AS term, count(*) AS freq FROM et GROUP BY 1),
+       |ri AS (SELECT term,
+       |         CAST(row_number() OVER (ORDER BY freq DESC, term ASC) - 1 AS BIGINT) AS id
+       |       FROM rf),
+       |enc AS (SELECT he.id AS h_id, ri.id AS r_id, te.id AS t_id,
+       |         et.s AS h, et.p AS r, et.o AS t
+       |       FROM et JOIN ei he ON he.term = et.s
+       |       JOIN ri ON ri.term = et.p
+       |       JOIN ei te ON te.term = et.o)""".stripMargin
+
+  /** Oracle for Queries.kgEncode (GraphOps.encodeForEmbedding). */
+  val encodeSql: String =
+    s"WITH $triplesCtes,\n$encodeCtes\n" +
+    "SELECT h_id, r_id, t_id, h, r, t FROM enc"
+
+  /** Oracle for Queries.kgNegatives (GraphOps.negativeSamples, seed 13):
+    * tail corruption `mix64(seed ^ (h·1000003 + r·7919 + t)) mod |E|` in
+    * bit-exact HUGEINT splitmix64, collision-flagged against the positive
+    * set. The mix key is a plain positive BIGINT on both engines (dense ids
+    * are far below overflow), so the u64 reinterpretation is the identity.
+    */
+  def negativesSql(seed: Long): String = {
+    val key = s"CAST(h_id * 1000003 + r_id * 7919 + t_id AS HUGEINT)"
+    val mixed = HashSql.mix64(HashSql.xor64(key, s"CAST(${java.lang.Long.toUnsignedString(seed)} AS HUGEINT)"))
+    s"WITH $triplesCtes,\n$encodeCtes,\n" +
+    s"""ne AS (SELECT count(*) AS n FROM ei),
+       |cand AS (SELECT h_id, r_id, t_id,
+       |    CAST(($mixed) % (SELECT n FROM ne) AS BIGINT) AS t_neg
+       |  FROM enc)
+       |SELECT c.h_id, c.r_id, c.t_id, c.t_neg,
+       |  (p.h_id IS NULL) AS is_clean
+       |FROM cand c LEFT JOIN enc p
+       |  ON p.h_id = c.h_id AND p.r_id = c.r_id AND p.t_id = c.t_neg""".stripMargin
+  }
+
+  /** Oracle for Queries.kgKCore (GraphOps.kCore): the fixed peeling rounds
+    * unrolled as CTEs (the PageRank engine-exactness contract), then the
+    * final within-core degree re-thresholded exactly as the engine does.
+    */
+  def kCoreSql(k: Long, rounds: Int): String = {
+    // MATERIALIZED: every euN is referenced twice by round N+1 (degree scan
+    // + semi-join) — default CTE inlining would re-derive the whole page-
+    // synthesis chain 2^rounds times
+    val head = s"WITH $triplesCtes,\n" +
+      s"""eu0 AS MATERIALIZED (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+         |  FROM tr WHERE k_s IN (0, 1) AND k_o IN (0, 1) AND s <> o)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""dg$i AS (SELECT node, count(*) AS deg FROM (
+         |    SELECT a AS node FROM eu${i - 1} UNION ALL SELECT b FROM eu${i - 1}) GROUP BY 1),
+         |kp$i AS MATERIALIZED (SELECT node FROM dg$i WHERE deg >= $k),
+         |eu$i AS MATERIALIZED (SELECT e.a, e.b FROM eu${i - 1} e
+         |  JOIN kp$i x ON x.node = e.a JOIN kp$i y ON y.node = e.b)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS node FROM eu$rounds UNION ALL SELECT b FROM eu$rounds)
+         |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
+  }
 }

@@ -459,6 +459,14 @@ object Oracles {
     "q_kg_labels" -> KgSql.labelsSql,
     "q_kg_diff" -> KgSql.snapshotDiffSql,
     "q_kg_neighbors" -> KgSql.neighborhoodSql,
+    // embedding-training prep: dictionary ids by window row_number in the
+    // oracle (semantics) vs the distributed prefix-sum rank in the engine;
+    // negative tails by bit-exact HUGEINT splitmix64
+    "q_kg_encode" -> KgSql.encodeSql,
+    "q_kg_negatives" -> KgSql.negativesSql(seed = 13L),
+    // k-core: fixed peeling rounds unrolled as CTEs (engine-exactness via
+    // the fixed-round contract, same as PageRank)
+    "q_kg_kcore" -> KgSql.kCoreSql(k = 2L, rounds = 4),
     // newest capture per logical page: engine argmax = algebraic struct-max,
     // oracle = per-key window (semantics statement, not the scale plan)
     "q_crawl_latest" -> KgSql.crawlLatestSql,
@@ -689,6 +697,66 @@ object Oracles {
          |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
          |    AS BIGINT) AS pack_id
          |FROM t""".stripMargin,
+
+    // concat-and-chunk block spans: window prefix sum in the oracle
+    // (semantics) vs the two-pass distributed prefix sum in the engine
+    "q_chunk_blocks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, CAST(${tokCountSql("text")} AS BIGINT) AS n FROM documents),
+         |c AS (
+         |  SELECT id, n, CAST(COALESCE(sum(n) OVER
+         |    (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS g
+         |  FROM t),
+         |e AS (
+         |  SELECT id, n, g,
+         |    unnest(generate_series(g // 256, (g + n - 1) // 256)) AS block_id
+         |  FROM c WHERE n > 0)
+         |SELECT id, CAST(block_id AS BIGINT) AS block_id,
+         |  CAST(greatest(block_id * 256, g) - g AS BIGINT) AS doc_start,
+         |  CAST(least((block_id + 1) * 256, g + n) - greatest(block_id * 256, g)
+         |    AS BIGINT) AS n_toks
+         |FROM e""".stripMargin,
+
+    // unicode + whitespace normalization over the same doc_id-derived dirt:
+    // NFC via nfc_normalize (both engines implement the same Unicode
+    // standard), then the identical global-regex step chain
+    "q_text_normalize" ->
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    text || ' cafe' || chr(769) || '  x' || chr(8203) || chr(9) || 'y'
+         |      || chr(13) || chr(10) || 'z '
+         |      || CASE WHEN doc_id % 2 = 0 THEN chr(233) ELSE 'e' || chr(769) END AS aug
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(
+         |      nfc_normalize(aug),
+         |      '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+         |      '\\r\\n?', E'\\n', 'g'),
+         |      '[ \\t]+', ' ', 'g')) AS norm
+         |  FROM a)
+         |SELECT doc_id, md5(norm) AS norm_md5,
+         |  CAST(length(norm) AS BIGINT) AS norm_len
+         |FROM n""".stripMargin,
+
+    // anchor extraction + RFC 3986 resolution: the oracle re-derives the
+    // resolved URL set closed-form per href kind (the engine does real
+    // regex extraction + java.net.URI reference resolution)
+    "q_web_links" -> webLinksSql,
+
+    // host-level link graph over the same fixture: per-doc 1 external +
+    // 3 self-host links, aggregated
+    "q_host_graph" ->
+      """SELECT src_host, tgt_host, CAST(count(*) AS BIGINT) AS n_links FROM (
+        |  SELECT 'site' || (doc_id % 50) || '.example.org' AS src_host,
+        |         'ext' || (doc_id % 20) || '.example.net' AS tgt_host
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || (doc_id % 50) || '.example.org',
+        |         'site' || (doc_id % 50) || '.example.org'
+        |  FROM documents, (VALUES (1), (2), (3)) v(k))
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id,
@@ -1084,6 +1152,34 @@ object Oracles {
        |    / (CAST(sum(dt.cnt) AS DOUBLE) * 1000000.0) AS neg_logprob
        |FROM dt JOIN q ON q.tok = dt.tok
        |GROUP BY dt.doc_id""".stripMargin
+
+  /** Closed-form resolution of the four fetchable anchor kinds in
+    * Queries.webLinks's fixture (absolute / rooted / relative / parent;
+    * fragment-only and mailto anchors are dropped by the engine and simply
+    * absent here). Base page: `https://site{id%50}.example.org/dir/page{id}`.
+    */
+  private def webLinksSql: String =
+    """SELECT doc_id, href, resolved, tgt_host FROM (
+      |  SELECT doc_id,
+      |    'https://ext' || (doc_id % 20) || '.example.net/x/' || doc_id AS href,
+      |    'https://ext' || (doc_id % 20) || '.example.net/x/' || doc_id AS resolved,
+      |    'ext' || (doc_id % 20) || '.example.net' AS tgt_host
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, '/r/' || (doc_id % 10),
+      |    'https://site' || (doc_id % 50) || '.example.org/r/' || (doc_id % 10),
+      |    'site' || (doc_id % 50) || '.example.org'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'a/b' || (doc_id % 5),
+      |    'https://site' || (doc_id % 50) || '.example.org/dir/a/b' || (doc_id % 5),
+      |    'site' || (doc_id % 50) || '.example.org'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, '../up' || (doc_id % 3),
+      |    'https://site' || (doc_id % 50) || '.example.org/up' || (doc_id % 3),
+      |    'site' || (doc_id % 50) || '.example.org'
+      |  FROM documents)""".stripMargin
 
   /** DuckDB replica of graft.extract.UrlOps over the same synthesized messy
     * frontier as Queries.urlCanonicalize.

@@ -609,6 +609,35 @@ object Queries {
         maxHops = 2)
       .orderBy("node")
 
+  /** Contiguous-id triple encoding for KG-embedding training (TransE-style
+    * input prep): entity/relation dictionaries by (freq desc, term asc) via
+    * the distributed prefix-sum rank, encoded distinct node-node triples
+    * (see [[graft.kg.GraphOps.encodeForEmbedding]]; oracle
+    * [[KgSql.encodeSql]] re-derives the dictionaries with window row_number).
+    */
+  def kgEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.encodeForEmbedding(kgTriples(spark, dir))
+      .orderBy("h_id", "r_id", "t_id")
+
+  /** Deterministic filtered negative sampling over the encoded triples
+    * (seed 13): splitmix64 tail corruption, collision-flagged against the
+    * positive set (see [[graft.kg.GraphOps.negativeSamples]]; bit-exact
+    * splitmix oracle in [[KgSql.negativesSql]]).
+    */
+  def kgNegatives(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.negativeSamples(
+        graft.kg.GraphOps.encodeForEmbedding(kgTriples(spark, dir)), seed = 13L)
+      .orderBy("h_id", "r_id", "t_id")
+
+  /** 2-core of the entity graph by 4 fixed peeling rounds (fixed-round
+    * contract so [[KgSql.kCoreSql]] unrolls the identical iterations; the
+    * peel reaches its fixed point well inside the budget on this corpus —
+    * GraphOpsSpec pins that).
+    */
+  def kgKCore(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.kCore(kgTriples(spark, dir), k = 2L, rounds = 4)
+      .orderBy("node")
+
   /** Latest-capture crawl dedup: one row per logical wiki page (url slug),
     * the capture with the newest `warc_ts` (id tiebreak) — algebraic
     * struct-max argmax, see [[graft.extract.UrlOps.latestCapture]]; value
@@ -812,6 +841,70 @@ object Queries {
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     TextOps.packSequences(docs(spark, dir), "doc_id", "text", budget = 512L)
       .orderBy("id")
+
+  /** Concat-and-chunk block spans at a 256-token block size: one row per
+    * (document, block) intersection with the in-document token span (see
+    * [[TextOps.chunkBlocks]] — the GPT-style pretraining sequence cutter).
+    */
+  def chunkBlocks(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkBlocks(docs(spark, dir), "doc_id", "text", blockSize = 256L)
+      .orderBy("block_id", "id")
+
+  /** Unicode + whitespace normalization over a deterministically-dirtied
+    * corpus (the synthetic documents are clean ASCII, so both engines append
+    * the same NFD sequences / zero-width chars / CRLF / tab runs derived
+    * from doc_id, then normalize — the q_text_pii fixture pattern). Output
+    * pins the normalized BYTES via md5 plus the codepoint length.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val aug = F.concat(
+      F.col("text"),
+      F.lit(" cafe\u0301  x\u200B\ty\r\nz "),
+      F.when(id % 2 === 0, F.lit("\u00E9")).otherwise(F.lit("e\u0301")))
+    docs(spark, dir)
+      .select(id, TextOps.normalizeText(aug).as("norm"))
+      .select(id, F.md5(F.col("norm")).as("norm_md5"),
+        F.length(F.col("norm")).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Anchor-link extraction + RFC 3986 resolution over deterministically
+    * synthesized page HTML (absolute / rooted / relative / parent-relative
+    * anchors plus fragment-only and mailto noise that must be dropped —
+    * all closed-form in doc_id so the oracle recomputes the resolved URL
+    * set; the ENGINE does real regex extraction + java.net.URI resolution).
+    */
+  def webLinks(spark: SparkSession, dir: String): DataFrame =
+    linkFixture(spark, dir)
+      .select("id", "href", "resolved", "tgt_host")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "href")
+
+  /** Host-level link graph over the same fixture: (src_host, tgt_host,
+    * n_links) — the web-graph roll-up ([[graft.extract.Links.hostGraph]]).
+    */
+  def hostGraph(spark: SparkSession, dir: String): DataFrame =
+    graft.extract.Links.hostGraph(linkFixture(spark, dir))
+      .orderBy("src_host", "tgt_host")
+
+  private def linkFixture(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    def s(c: Column) = c.cast("string")
+    val base = F.concat(F.lit("https://site"), s(id % 50),
+      F.lit(".example.org/dir/page"), s(id))
+    val html = F.concat(
+      F.lit("<html><body>\n<a href=\"https://ext"), s(id % 20),
+      F.lit(".example.net/x/"), s(id), F.lit("\">e</a>\n"),
+      F.lit("<a class=\"m\" href=\"/r/"), s(id % 10), F.lit("\">r</a>\n"),
+      F.lit("<a href=\"a/b"), s(id % 5), F.lit("\">rel</a>\n"),
+      F.lit("<a href=\"../up"), s(id % 3), F.lit("\">up</a>\n"),
+      F.lit("<a href=\"#sec\">f</a>\n<a href=\"mailto:x@y.example\">m</a>\n"),
+      F.lit("</body></html>"))
+    graft.extract.Links.pageLinks(
+      docs(spark, dir).select(id, base.as("url"), html.as("html")),
+      "doc_id", "url", "html")
+  }
 
   /** Corpus-unigram LM scoring (CCNet-style perplexity-filter signal). */
   def textUnigramLm(spark: SparkSession, dir: String): DataFrame =

@@ -411,6 +411,100 @@ object TextOps {
     packed
   }
 
+  /** Unicode + whitespace text normalization — the first pass every
+    * web-text pipeline runs before hashing, deduping or tokenizing (the
+    * same rendered text arrives as NFC and NFD byte sequences, with
+    * zero-width joiners, CRLF line endings and tab/space runs — content
+    * dedup only works after all collapse to one canonical form). Rules, in
+    * order: (1) Unicode NFC; (2) zero-width characters removed
+    * (ZWSP/ZWNJ/ZWJ/BOM); (3) CR and CRLF line endings → LF; (4) space/tab
+    * runs → one space; (5) outer spaces trimmed.
+    *
+    * NFC is a deterministic UDF over `java.text.Normalizer` (the JDK's
+    * pinned Unicode tables; Spark has no normalization builtin); steps 2-5
+    * are codegen'd regexp projections. Per-row, ZERO shuffle at any scale.
+    * The DuckDB oracle replicates each step (`nfc_normalize` + global
+    * `regexp_replace`) — both engines implement the same Unicode standard,
+    * so the output bytes match exactly.
+    */
+  def normalizeText(text: Column): Column = {
+    val nfc = F.udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    F.trim(
+      F.regexp_replace(
+        F.regexp_replace(
+          F.regexp_replace(nfc(text), "[\u200B\u200C\u200D\uFEFF]", ""),
+          "\r\n?", "\n"),
+        "[ \t]+", " "))
+  }
+
+  /** Concat-and-chunk training-block materialization — the step after
+    * [[packSequences]]'s block assignment: concatenate the corpus's token
+    * stream in id order, cut it into fixed `blockSize` training blocks, and
+    * emit one row per (document, block) intersection with the document-local
+    * token span that lands in the block:
+    * `(id, block_id, doc_start, n_toks)` where `doc_start` is the 0-based
+    * offset of the span INSIDE the document. A document longer than a block
+    * spans several rows (GPT-style pretraining lets sequences cross document
+    * boundaries); the final partial block is emitted too (trainers drop or
+    * pad it — that's a policy decision, not the operator's).
+    *
+    * Scale shape: the global token offset of each document comes from the
+    * same two-pass distributed prefix sum as [[packSequences]] (never a
+    * single-partition window); the per-document explode fans out to
+    * `ceil(n_tokens / blockSize) + 1` rows at most — bounded by the
+    * document's own length, never the corpus.
+    */
+  def chunkBlocks(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSize: Long
+  ): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(blockSize > 0, "blockSize must be positive")
+    val toks = df
+      .select(F.col(idCol).cast("long").as("id"),
+        tokenCount(F.col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(F.col("id"))
+      .sortWithinPartitions("id")
+      .localCheckpoint()
+    val perPart = toks.select(F.spark_partition_id().as("pid"), $"n_tokens")
+      .groupBy("pid").agg(F.sum("n_tokens").as("total"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = new java.util.HashMap[Int, Long]()
+    var acc = 0L
+    perPart.foreach { case (pid, total) => offsets.put(pid, acc); acc += total }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withStart = toks.as[(Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var running = bc.value.getOrDefault(pid, 0L)
+      it.map { case (id, n) =>
+        val start = running
+        running += n
+        (id, n, start)
+      }
+    }.toDF("id", "n_tokens", "g_start")
+    withStart
+      .filter(F.col("n_tokens") > 0)
+      .select(F.col("id"), F.col("n_tokens"), F.col("g_start"),
+        // integer `div`, not double division: g_start can exceed 2^53 at
+        // corpus scale, where a double round-trip loses token offsets
+        F.explode(F.sequence(
+          F.expr(s"g_start div ${blockSize}L"),
+          F.expr(s"(g_start + n_tokens - 1) div ${blockSize}L")))
+          .as("block_id"))
+      .select(F.col("id"), F.col("block_id"),
+        (F.greatest(F.col("block_id") * blockSize, F.col("g_start")) - F.col("g_start"))
+          .as("doc_start"),
+        (F.least((F.col("block_id") + 1) * blockSize,
+            F.col("g_start") + F.col("n_tokens")) -
+          F.greatest(F.col("block_id") * blockSize, F.col("g_start")))
+          .as("n_toks"))
+  }
+
   /** Quality-ordered token-budget selection — "fill the training budget with
     * the best documents": order the corpus by (score desc, id asc) and keep
     * every document whose INCLUSIVE running token sum stays within `budget`.

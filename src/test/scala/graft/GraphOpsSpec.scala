@@ -262,4 +262,80 @@ class GraphOpsSpec extends AnyFunSuite {
       ("x1", "x2") -> ((2L, 2.0 / 3.0)),
       ("h", "m") -> ((2L, 2.0 / 3.0))))
   }
+
+  test("encodeForEmbedding: ids dense by (freq desc, term asc), window parity") {
+    val enc = GraphOps.encodeForEmbedding(triples)
+    val rows = enc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getString(5)))
+    // node-node distinct triples: (a,p1,b),(a,p9,b),(a,p2,c),(b,p1,c),
+    // (c,p1,a),(_:x,p4,a). Entity freqs (endpoint occurrences): a=5, b=3,
+    // c=3, _:x=1 → ids a=0, b=1, c=2, _:x=3. Relation freqs: p1=3,
+    // p2=1, p4=1, p9=1 → ids p1=0, p2=1, p4=2, p9=3.
+    val entId = Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "_:x" -> 3L)
+    val relId = Map("p1" -> 0L, "p2" -> 1L, "p4" -> 2L, "p9" -> 3L)
+    assert(rows.length == 6)
+    rows.foreach { case (h, r, t, hs, rs, ts) =>
+      assert(h == entId(hs) && r == relId(rs) && t == entId(ts))
+    }
+    // dictionary ids are a dense 0..n-1 range on both sides
+    assert(rows.flatMap(x => Seq(x._1, x._3)).toSet == Set(0L, 1L, 2L, 3L))
+    assert(rows.map(_._2).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("negativeSamples: splitmix tails in range, collision flag exact") {
+    val enc = GraphOps.encodeForEmbedding(triples).cache()
+    val pos = enc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nEnt = pos.flatMap(p => Seq(p._1, p._3)).max + 1
+    val got = GraphOps.negativeSamples(enc, seed = 13L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.length == pos.size)
+    got.foreach { case (h, r, t, tn, clean) =>
+      assert(tn >= 0 && tn < nEnt)
+      val expected = java.lang.Long.remainderUnsigned(
+        graft.extract.Synth.mix64(13L ^ (h * 1000003L + r * 7919L + t)), nEnt)
+      assert(tn == expected)
+      assert(clean == !pos.contains((h, r, tn)))
+    }
+    // determinism across invocations
+    val again = GraphOps.negativeSamples(enc, seed = 13L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.sortBy(x => (x._1, x._2, x._3)).toSeq ==
+      again.sortBy(x => (x._1, x._2, x._3)).toSeq)
+  }
+
+  /** Straight-line reference peel (to the fixed point). */
+  private def refKCore(edges: Seq[(String, String)], k: Long): Map[String, Long] = {
+    var es = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != es.size
+      es = next
+    }
+    es.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      .filter(_._2 >= k)
+  }
+
+  test("kCore: 4 rounds reach the fixed point; matches the reference peel") {
+    // triangle a-b-c (the 2-core) plus a pendant path c-d-e that peels away
+    // over TWO rounds (e first, then d) — exercises multi-round convergence
+    val es = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"))
+    val ts = es.map { case (s, o) => (s, 0, "p", o, 0) }
+      .toDF("s", "sKind", "p", "o", "oKind")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+        $"o", $"oKind".cast("byte").as("oKind"))
+    val got = GraphOps.kCore(ts, k = 2L, rounds = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refKCore(es, 2L))
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // one more round changes nothing (fixed point genuinely reached)
+    val more = GraphOps.kCore(ts, k = 2L, rounds = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(more == got)
+  }
 }

@@ -240,4 +240,48 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("partial_"),
       s"shared/degree counts lost their map-side partial phase:\n$plan")
   }
+
+  test("chunk blocks: one corpus scan, distributed prefix sum, no window") {
+    // the global token offsets come from the two-pass prefix sum — a
+    // Window.orderBy here would collapse the corpus into one partition
+    val df = Queries.chunkBlocks(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"global window in chunk assignment:\n$plan")
+    // the visible plan reads the localCheckpoint (offsets pass is separate)
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan") ||
+      plan.contains("Scan parquet"), s"unexpected source:\n$plan")
+  }
+
+  test("embedding encode: id assignment never plans a global window") {
+    val df = Queries.kgEncode(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"),
+      s"dictionary ids planned as a global row_number window:\n$plan")
+  }
+
+  test("link extraction is a pure projection: no exchange before host roll-up") {
+    val links = Queries.webLinks(spark, dir)
+    links.collect()
+    val plan = links.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$plan")
+    // the only exchange allowed is the final presentation orderBy's range
+    // partitioning; extraction/resolution itself must not shuffle
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(shuffles == 0, s"link extraction shuffles the corpus:\n$plan")
+  }
+
+  test("text normalization is scan -> project (no exchange, no join)") {
+    val df = Queries.textNormalize(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"normalization shuffles the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"normalization joins:\n$plan")
+  }
 }

@@ -1017,6 +1017,81 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!g.contains(5L)) // empty doc has no features and drops out
   }
 
+  test("chunkBlocks: spans tile every document and fill every block") {
+    val d = Seq(
+      (0L, Seq.fill(5)("w").mkString(" ")),   // 5 tokens
+      (1L, Seq.fill(9)("w").mkString(" ")),   // 9 → crosses a block boundary
+      (2L, ""),                                // empty → no rows
+      (3L, Seq.fill(3)("w").mkString(" ")),
+      (4L, Seq.fill(20)("w").mkString(" "))    // longer than 2 blocks
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkBlocks(d, "doc_id", "text", blockSize = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // global stream: doc0 [0,5), doc1 [5,14), doc3 [14,17), doc4 [17,37)
+    val expected = Set(
+      (0L, 0L, 0L, 5L),
+      (1L, 0L, 0L, 3L), (1L, 1L, 3L, 6L),
+      (3L, 1L, 0L, 2L), (3L, 2L, 2L, 1L), // straddles the block-1/2 boundary
+      (4L, 2L, 0L, 7L), (4L, 3L, 7L, 8L), (4L, 4L, 15L, 5L))
+    assert(got.toSet == expected)
+    // per-document spans are contiguous and sum to the token count
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(4L).sortBy(_._2).map(x => (x._3, x._4)).toSeq ==
+      Seq((0L, 7L), (7L, 8L), (15L, 5L)))
+    // every block except the last holds exactly blockSize tokens
+    val byBlock = got.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(byBlock == Map(0L -> 8L, 1L -> 8L, 2L -> 8L, 3L -> 8L, 4L -> 5L))
+  }
+
+  test("normalizeText: NFC + zero-width strip + CRLF + space collapse + trim") {
+    val d = Seq(
+      (0L, "cafe\u0301 x"),                  // NFD -> NFC
+      (1L, "a\u200Bb\u200C c\u200Dd\uFEFFe"), // zero-width family removed
+      (2L, "l1\r\nl2\rl3\nl4"),              // CR / CRLF / LF → LF
+      (3L, "  a\t\tb   c\t "),               // runs collapse, outer trim
+      (4L, "caf\u00E9")                       // already NFC → unchanged
+    ).toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextOps.normalizeText($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "caf\u00E9 x")
+    assert(got(1L) == "ab cde")
+    assert(got(2L) == "l1\nl2\nl3\nl4")
+    assert(got(3L) == "a b c")
+    assert(got(4L) == "caf\u00E9")
+  }
+
+  test("Links: extraction, RFC 3986 resolution, non-fetchable dropped") {
+    import graft.extract.Links
+    val html =
+      """<html><body>
+        |<a href="https://ext.example.net/x/1">abs</a>
+        |<a class="m" href="/r/3">rooted</a>
+        |<a href="a/b2">relative</a>
+        |<a href="../up1">parent</a>
+        |<a href="#frag">frag-only</a>
+        |<a href="mailto:x@y.example">mail</a>
+        |<a href="javascript:void(0)">js</a>
+        |<a href="sib#sec">frag-stripped</a>
+        |</body></html>""".stripMargin
+    val d = Seq((7L, "https://site.example.org/dir/page7", html))
+      .toDF("id", "url", "html")
+    val got = Links.pageLinks(d, "id", "url", "html")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      ("https://ext.example.net/x/1", "https://ext.example.net/x/1", "ext.example.net"),
+      ("/r/3", "https://site.example.org/r/3", "site.example.org"),
+      ("a/b2", "https://site.example.org/dir/a/b2", "site.example.org"),
+      ("../up1", "https://site.example.org/up1", "site.example.org"),
+      ("sib#sec", "https://site.example.org/dir/sib", "site.example.org")))
+    // host graph roll-up
+    val hg = Links.hostGraph(Links.pageLinks(d, "id", "url", "html"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(hg == Map(
+      ("site.example.org", "ext.example.net") -> 1L,
+      ("site.example.org", "site.example.org") -> 4L))
+  }
+
   test("DSIR: target-like documents score above off-target documents") {
     import graft.textops.Dsir
     val raw = Seq(
