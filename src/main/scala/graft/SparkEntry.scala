@@ -66,6 +66,7 @@ object SparkEntry {
     "q_kg_encode" -> (Queries.kgEncode _),
     "q_kg_negatives" -> (Queries.kgNegatives _),
     "q_kg_kcore" -> (Queries.kgKCore _),
+    "q_kg_communities" -> (Queries.kgCommunities _),
     "q_crawl_latest" -> (Queries.crawlLatest _),
     "q_stream_summary" -> (Queries.streamSummary _),
     "q_stream_dedup" -> (Queries.streamDedup _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "q_sim_ivf" -> (Queries.simIvf _),
     "q_sem_dedup" -> (Queries.semanticDedup _),
     "q_embed_quant" -> (Queries.embedQuant _),
+    "q_kmeans" -> (Queries.kmeansAssign _),
     "q_kg_mentions" -> (Queries.kgMentions _),
     "q_text_langid" -> (Queries.textLangId _),
     "q_text_filter" -> (Queries.textFilter _),
@@ -96,6 +98,7 @@ object SparkEntry {
     "q_dedup_rep" -> (Queries.dedupKeepBest _),
     "q_contam_report" -> (Queries.contamReport _),
     "q_vocab_topk" -> (Queries.vocabTop _),
+    "q_bpe_pairs" -> (Queries.bpePairs _),
     "q_tokenize_ids" -> (Queries.tokenizeIds _),
     "q_vocab_coverage" -> (Queries.vocabCoverage _),
     "q_select_budget" -> (Queries.selectBudget _),

@@ -546,6 +546,59 @@ object GraphOps {
       .filter(F.col("deg") >= k)
   }
 
+  /** Community detection by synchronous label propagation (LPA) over the
+    * undirected entity graph — the clustering pass KG curation runs after
+    * the structural measurements (degrees, triangles, k-core): entities that
+    * sit inside the same densely-linked region converge to one label, which
+    * becomes the community key for per-community sampling, spam-farm
+    * excision and topic-balanced corpus mixing.
+    *
+    * Semantics, fully deterministic (the asynchronous/random-order LPA of
+    * the original paper is not reproducible across engines; this is the
+    * synchronous variant with a total-order tiebreak): every edge-connected
+    * node starts with its own term as label; each round, every node
+    * simultaneously adopts the most frequent label among its neighbors'
+    * CURRENT labels, ties broken by the lexicographically smallest label.
+    * `rounds` is fixed so the oracle can unroll the identical iterations
+    * (the PageRank engine-exactness contract). Output: `(node, lbl)`.
+    *
+    * Scale shape: the bidirectional neighbor relation is materialized once
+    * (`localCheckpoint`; reliable checkpoint on a cluster) and reused every
+    * round; a round is one shuffle join on the neighbor key (a celebrity
+    * node's 10^9 incident rows stream through the 1:N join — AQE skew split
+    * applies) followed by an algebraic `count` on (node, label) and an
+    * algebraic struct-min argmax on node — both collapse map-side, so no
+    * per-node window and no single-reducer label lists exist anywhere.
+    */
+  def labelPropagation(triples: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val eu = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*) && F.col("s") =!= F.col("o"))
+      .select(F.least(F.col("s"), F.col("o")).as("a"),
+        F.greatest(F.col("s"), F.col("o")).as("b"))
+      .distinct()
+    val nb = eu.select(F.col("a").as("u"), F.col("b").as("v"))
+      .union(eu.select(F.col("b").as("u"), F.col("a").as("v")))
+      .localCheckpoint()
+    var labels = nb.select(F.col("u").as("node")).distinct()
+      .select(F.col("node"), F.col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cnt = nb
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy("u", "lbl").agg(F.count(F.lit(1)).as("c"))
+      // argmax by (count desc, label asc) as an algebraic struct-MIN over
+      // (-count, label) — partial-aggregates map-side, never a window
+      labels = cnt
+        .groupBy(F.col("u").as("node"))
+        .agg(F.min(F.struct((-F.col("c")).as("nc"), F.col("lbl").as("l"))).as("m"))
+        .select(F.col("node"), F.col("m.l").as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Entity-pair neighborhood Jaccard over the undirected entity graph — the
     * structural-similarity primitive KG curation uses for link prediction
     * and duplicate-entity candidates beyond shared labels: two entities are

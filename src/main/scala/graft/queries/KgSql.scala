@@ -538,6 +538,29 @@ object KgSql {
        |  ON p.h_id = c.h_id AND p.r_id = c.r_id AND p.t_id = c.t_neg""".stripMargin
   }
 
+  /** Oracle for Queries.kgCommunities (GraphOps.labelPropagation): the
+    * fixed synchronous LPA rounds unrolled as CTEs. The per-round argmax
+    * (most frequent neighbor label, min-label tiebreak) is stated as a
+    * window row_number here — the SEMANTIC definition; the engine computes
+    * the same argmax as an algebraic struct-min (scale plan).
+    */
+  def communitiesSql(rounds: Int): String = {
+    val head = s"WITH $triplesCtes,\n" +
+      s"""eu AS MATERIALIZED (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+         |  FROM tr WHERE k_s IN (0, 1) AND k_o IN (0, 1) AND s <> o),
+         |nb AS MATERIALIZED (SELECT a AS u, b AS v FROM eu
+         |  UNION ALL SELECT b, a FROM eu),
+         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM nb)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""cn$i AS (SELECT nb.u, l.lbl, count(*) AS c
+         |  FROM nb JOIN l${i - 1} l ON l.node = nb.v GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT u AS node, lbl FROM (
+         |  SELECT u, lbl, row_number() OVER (PARTITION BY u ORDER BY c DESC, lbl) AS rn
+         |  FROM cn$i) WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT node, lbl FROM l$rounds"
+  }
+
   /** Oracle for Queries.kgKCore (GraphOps.kCore): the fixed peeling rounds
     * unrolled as CTEs (the PageRank engine-exactness contract), then the
     * final within-core degree re-thresholded exactly as the engine does.

@@ -467,6 +467,9 @@ object Oracles {
     // k-core: fixed peeling rounds unrolled as CTEs (engine-exactness via
     // the fixed-round contract, same as PageRank)
     "q_kg_kcore" -> KgSql.kCoreSql(k = 2L, rounds = 4),
+    // LPA communities: fixed synchronous rounds unrolled; per-round argmax
+    // stated as a window in the oracle, algebraic struct-min in the engine
+    "q_kg_communities" -> KgSql.communitiesSql(rounds = 3),
     // newest capture per logical page: engine argmax = algebraic struct-max,
     // oracle = per-key window (semantics statement, not the scale plan)
     "q_crawl_latest" -> KgSql.crawlLatestSql,
@@ -559,6 +562,11 @@ object Oracles {
         |    d -> d * d), (acc, x) -> acc + x)
         |    / len(embedding) AS mse
         |FROM c""".stripMargin,
+
+    // engine-exact integer Lloyd k-means (k=4, 2 assignment rounds): the
+    // fixed rounds unrolled as CTEs; the per-vector argmin is a window here
+    // (semantics) vs the array_position projection in the engine
+    "q_kmeans" -> kmeansSql(k = 4, rounds = 2, dim = 64),
 
     "q_text_langid" -> langIdSql,
 
@@ -824,6 +832,16 @@ object Oracles {
          |  CAST(row_number() OVER (ORDER BY freq DESC, tok) - 1 AS INT) AS token_id,
          |  CAST(freq AS BIGINT) AS freq
          |FROM freq ORDER BY freq DESC, tok LIMIT 500""".stripMargin,
+
+    // BPE merge-iteration pair counts: adjacent-token pairs over the same
+    // pinned tokenizer, top-200 by (freq desc, pair asc)
+    "q_bpe_pairs" ->
+      s"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+         |p AS (SELECT UNNEST(list_transform(range(1, len(toks)),
+         |    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS pair
+         |  FROM t WHERE len(toks) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS freq
+         |FROM p GROUP BY 1 ORDER BY freq DESC, pair LIMIT 200""".stripMargin,
 
     // per-doc OOV rate under the SAME top-500 vocab; exact long counts plus
     // one engine-identical double division (zero-token docs → rate 0.0)
@@ -1099,6 +1117,51 @@ object Oracles {
         |  round(sum(value), 4) AS session_value
         |FROM s GROUP BY 1, 2""".stripMargin
   )
+
+  /** DuckDB replica of Similarity.kMeansInt: quantize to the same
+    * non-negative integer grid, unroll the fixed Lloyd rounds as CTEs.
+    * All arithmetic is integer (sums order-independent; `//` floor on
+    * non-negative operands ≡ Spark `div`), so both engines emit
+    * bit-identical assignments — see the kMeansInt scaladoc.
+    */
+  private def kmeansSql(k: Int, rounds: Int, dim: Int): String = {
+    val head =
+      s"""WITH qv AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) + 1024 AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS k, q AS c
+         |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val assign =
+        s"""d$i AS (
+           |  SELECT qv.vec_id, c${i - 1}.k,
+           |    list_reduce(list_transform(range(1, ${dim + 1}),
+           |      i -> (q[CAST(i AS INT)] - c[CAST(i AS INT)])
+           |         * (q[CAST(i AS INT)] - c[CAST(i AS INT)])),
+           |      (a, b) -> a + b) AS dist2
+           |  FROM qv CROSS JOIN c${i - 1}),
+           |a$i AS MATERIALIZED (SELECT vec_id, k AS cluster, dist2 FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, k) AS rn
+           |  FROM d$i) WHERE rn = 1)""".stripMargin
+      if (i == rounds) assign
+      else assign + ",\n" +
+        s"""s$i AS (SELECT a.cluster, i.i AS dim, sum(q[CAST(i.i AS INT)]) AS s,
+           |    count(*) AS n
+           |  FROM a$i a JOIN qv USING (vec_id), range(1, ${dim + 1}) i(i)
+           |  GROUP BY 1, 2),
+           |cp$i AS (SELECT cluster AS k, list(CAST(s // n AS BIGINT) ORDER BY dim) AS c
+           |  FROM s$i GROUP BY 1),
+           |c$i AS (SELECT c${i - 1}.k, COALESCE(cp$i.c, c${i - 1}.c) AS c
+           |  FROM c${i - 1} LEFT JOIN cp$i USING (k))""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT vec_id, CAST(cluster AS INT) AS cluster,
+         |  CAST(dist2 AS BIGINT) AS dist2
+         |FROM a$rounds""".stripMargin
+  }
 
   private def tokCountSql(col: String): String =
     s"len(list_filter(string_split_regex(lower($col), '[^a-z0-9]+'), x -> len(x) > 0))"

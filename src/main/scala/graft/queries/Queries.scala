@@ -638,6 +638,15 @@ object Queries {
     graft.kg.GraphOps.kCore(kgTriples(spark, dir), k = 2L, rounds = 4)
       .orderBy("node")
 
+  /** Synchronous label-propagation communities over the entity graph, 3
+    * fixed rounds (deterministic mode-label variant — see
+    * [[graft.kg.GraphOps.labelPropagation]]; [[KgSql.communitiesSql]]
+    * unrolls the identical rounds).
+    */
+  def kgCommunities(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.labelPropagation(kgTriples(spark, dir), rounds = 3)
+      .orderBy("node")
+
   /** Latest-capture crawl dedup: one row per logical wiki page (url slug),
     * the capture with the newest `warc_ts` (id tiebreak) — algebraic
     * struct-max argmax, see [[graft.extract.UrlOps.latestCapture]]; value
@@ -742,6 +751,18 @@ object Queries {
         F.md5(F.array_join(F.transform(F.col("codes"), _.cast("string")), ","))
           .as("codes_md5"),
         F.col("mse"))
+      .orderBy("vec_id")
+
+  /** Engine-exact integer Lloyd k-means over the embeddings (k=4, 2
+    * assignment rounds — the IVF coarse-quantizer training step; see
+    * [[graft.sim.Similarity.kMeansInt]]; the oracle unrolls the identical
+    * integer rounds in SQL).
+    */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kMeansInt(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      k = 4, rounds = 2)
+      .select(F.col("id").as("vec_id"), F.col("cluster"), F.col("dist2"))
       .orderBy("vec_id")
 
   def textLangId(spark: SparkSession, dir: String): DataFrame =
@@ -849,6 +870,12 @@ object Queries {
   def chunkBlocks(spark: SparkSession, dir: String): DataFrame =
     TextOps.chunkBlocks(docs(spark, dir), "doc_id", "text", blockSize = 256L)
       .orderBy("block_id", "id")
+
+  /** Top-200 adjacent-token pairs by (freq desc, pair asc) — the counting
+    * step of one BPE merge iteration (see [[TextOps.bpePairCounts]]).
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpePairCounts(docs(spark, dir), "text", topK = 200)
 
   /** Unicode + whitespace normalization over a deterministically-dirtied
     * corpus (the synthetic documents are clean ASCII, so both engines append

@@ -348,4 +348,86 @@ object Similarity {
       (F.aggregate(sqErr, F.lit(0.0), (acc, e) => acc + e) / F.size(F.col("vec")))
         .as("mse"))
   }
+
+  /** Engine-exact integer Lloyd k-means over an embedding column — the
+    * coarse-quantizer training step an IVF index needs at corpus scale
+    * ([[ivfTopK]]'s pinned centroids come from exactly this kind of run) and
+    * the cluster assignment SemDeDup-style pipelines shard by. Float k-means
+    * can never be engine-exact (per-dimension float sums depend on row
+    * order), so this is the micro-unit trick applied to Lloyd iteration
+    * (the PageRank/unigram-LM design): vectors quantize to the non-negative
+    * integer grid `q_i = floor(x_i * 1000) + 1024` (floor is unambiguous
+    * where `round` half-boundaries are not; the offset keeps every later
+    * integer division on non-negative operands, where Spark `div` truncation
+    * ≡ DuckDB `//` floor), distances are exact integer sums, and centroid
+    * updates are per-dimension integer `sum div count`. Every round is
+    * order-independent, so both engines emit bit-identical assignments.
+    *
+    * Semantics: initial centroids are the quantized vectors of the `k`
+    * smallest ids (centroid index = rank of that id); each round assigns
+    * every vector to the centroid minimizing exact squared L2 distance (tie
+    * → lowest centroid index), then recomputes each centroid as the
+    * per-dimension floor-mean of its members (a cluster that loses all
+    * members keeps its previous centroid). Output after `rounds`
+    * assignments: `(id, cluster, dist2)`.
+    *
+    * Scale shape: centroids are a k×dim integer table that lives on the
+    * driver and enters the plan as a broadcast literal — assignment is a
+    * pure codegen'd projection, ZERO shuffle over the corpus; the update is
+    * one posexplode + algebraic (cluster, dim) sum whose group space is
+    * k·dim (256 here), so a 10^10-vector corpus combines map-side into 256
+    * rows before the shuffle, and the collect is k·dim rows, never data.
+    */
+  def kMeansInt(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int
+  ): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val q = F.transform(F.col(vecCol), x =>
+      (F.floor(x.cast("double") * 1000) + 1024L).cast("long"))
+    val qv = df.select(F.col(idCol).cast("long").as("id"), q.as("q"))
+      .localCheckpoint()
+    var cents: Array[Seq[Long]] = qv.orderBy("id").limit(k).collect()
+      .map(_.getSeq[Long](1))
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      out = assignToCentroids(qv, cents)
+      if (r < rounds) {
+        val sums = out.join(qv, "id")
+          .select(F.col("cluster"), F.posexplode(F.col("q")).as(Seq("dim", "v")))
+          .groupBy("cluster", "dim")
+          .agg(F.sum("v").as("s"), F.count(F.lit(1)).as("n"))
+          .collect()
+          .map(row => (row.getInt(0), row.getInt(1), row.getLong(2), row.getLong(3)))
+        val byCluster = sums.groupBy(_._1)
+        cents = cents.zipWithIndex.map { case (old, ci) =>
+          byCluster.get(ci) match {
+            case Some(ds) => ds.sortBy(_._2).map(d => d._3 / d._4).toSeq
+            case None => old // emptied cluster keeps its centroid
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** Nearest-centroid assignment as a pure projection over broadcast literal
+    * centroids: `(id, cluster, dist2)`, tie → lowest centroid index (the
+    * first position `array_position` finds).
+    */
+  private def assignToCentroids(qv: DataFrame, cents: Array[Seq[Long]]): DataFrame = {
+    val dists = cents.map { c =>
+      F.aggregate(
+        F.zip_with(F.col("q"), F.typedlit(c), (a, b) => (a - b) * (a - b)),
+        F.lit(0L), (acc, x) => acc + x)
+    }
+    val dArr = F.array(dists.toIndexedSeq: _*)
+    qv.select(
+      F.col("id"),
+      (F.array_position(dArr, F.array_min(dArr)) - 1).cast("int").as("cluster"),
+      F.array_min(dArr).as("dist2"))
+  }
 }

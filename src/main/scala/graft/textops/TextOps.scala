@@ -439,6 +439,38 @@ object TextOps {
         "[ \t]+", " "))
   }
 
+  /** Corpus-wide adjacent-token-pair frequencies, top `topK` by (freq desc,
+    * pair asc) — the counting step of a BPE/WordPiece merge iteration
+    * (tokenizer TRAINING, where [[bpeishTokenCount]] is tokenizer
+    * application): the highest-frequency adjacent pair is the next merge
+    * rule, and the top table is what a tokenizer-training loop consumes per
+    * round. Pairs are over [[tokens]] (the repo's pinned word tokenizer);
+    * a document with fewer than two tokens contributes nothing.
+    *
+    * Scale shape: pair generation is a pure array projection
+    * (`zip_with(slice, slice)` — no self-join on a position key, no window);
+    * the explode fan-out is bounded by each document's own length; the count
+    * is algebraic (a "the the" pair appearing 10^9 times collapses
+    * map-side); and the final top-k plans as TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge, never a global sort.
+    */
+  def bpePairCounts(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      topK: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    df.select(tokens(F.col(textCol)).as("toks"))
+      .filter(F.size(F.col("toks")) >= 2)
+      .select(F.explode(F.zip_with(
+        F.slice(F.col("toks"), F.lit(1), F.size(F.col("toks")) - 1),
+        F.slice(F.col("toks"), F.lit(2), F.size(F.col("toks")) - 1),
+        (a, b) => F.concat_ws(" ", a, b))).as("pair"))
+      .groupBy("pair").agg(F.count(F.lit(1)).as("freq"))
+      .orderBy(F.col("freq").desc, F.col("pair").asc)
+      .limit(topK)
+  }
+
   /** Concat-and-chunk training-block materialization — the step after
     * [[packSequences]]'s block assignment: concatenate the corpus's token
     * stream in id order, cut it into fixed `blockSize` training blocks, and

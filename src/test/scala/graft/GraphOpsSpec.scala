@@ -321,6 +321,51 @@ class GraphOpsSpec extends AnyFunSuite {
       .filter(_._2 >= k)
   }
 
+  /** Straight-line synchronous LPA with the same deterministic tiebreak. */
+  private def refLpa(edges: Seq[(String, String)], rounds: Int): Map[String, String] = {
+    val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
+    val nb = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    var lbl = nb.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val old = lbl
+      lbl = nb.map { case (u, vs) =>
+        val counts = vs.map(old).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        u -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation: two triangles + bridge split into two communities") {
+    // triangle a-b-c, triangle x-y-z, bridge c-x: LPA should give each
+    // triangle one label (the bridge is outvoted by the triangle neighbors)
+    val es = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x"))
+    val ts = es.map { case (s, o) => (s, 0, "p", o, 0) }
+      .toDF("s", "sKind", "p", "o", "oKind")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+        $"o", $"oKind".cast("byte").as("oKind"))
+    val got = GraphOps.labelPropagation(ts, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == refLpa(es, 3))
+    // the two triangles end up with exactly two distinct community labels
+    assert(Set(got("a"), got("b"), got("c")).size == 1)
+    assert(Set(got("x"), got("y"), got("z")).size == 1)
+    assert(got("a") != got("x"))
+  }
+
+  test("labelPropagation matches the reference on the shared fixture") {
+    val got = GraphOps.labelPropagation(triples, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // undirected edges from the fixture: a-b, a-c, b-c, a-_:x (d has no
+    // graph edges and is absent from the label domain)
+    val expected = refLpa(Seq(("a", "b"), ("a", "c"), ("b", "c"), ("_:x", "a")), 3)
+    assert(got == expected)
+    assert(!got.contains("d"))
+  }
+
   test("kCore: 4 rounds reach the fixed point; matches the reference peel") {
     // triangle a-b-c (the 2-core) plus a pendant path c-d-e that peels away
     // over TWO rounds (e first, then d) — exercises multi-round convergence

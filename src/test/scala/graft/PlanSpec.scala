@@ -274,6 +274,34 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 0, s"link extraction shuffles the corpus:\n$plan")
   }
 
+  test("LPA communities: argmax is algebraic, no per-node window") {
+    val df = Queries.kgCommunities(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"),
+      s"LPA argmax planned as a per-node window:\n$plan")
+  }
+
+  test("BPE pairs: top-k plans as TakeOrderedAndProject, single scan") {
+    val df = Queries.bpePairs(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k not a bounded TakeOrdered:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$plan")
+    assert(!plan.contains("Window"), s"window in pair generation:\n$plan")
+  }
+
+  test("k-means assignment is a pure projection: no window, no join") {
+    val df = Queries.kmeansAssign(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"window in assignment:\n$plan")
+    assert(!plan.contains("Join"),
+      s"assignment joins (centroids must be broadcast literals):\n$plan")
+  }
+
   test("text normalization is scan -> project (no exchange, no join)") {
     val df = Queries.textNormalize(spark, dir)
     df.collect()

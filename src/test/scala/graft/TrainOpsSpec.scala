@@ -1092,6 +1092,74 @@ class TrainOpsSpec extends AnyFunSuite {
       ("site.example.org", "site.example.org") -> 4L))
   }
 
+  test("bpePairCounts: adjacent pairs counted, top order (freq desc, pair asc)") {
+    val d = Seq(
+      (0L, "a b a b c"),   // pairs: "a b", "b a", "a b", "b c"
+      (1L, "a b"),          // pair: "a b"
+      (2L, "x"),            // single token -> nothing
+      (3L, "")              // empty -> nothing
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpePairCounts(d, "text", topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+    // topK binds: asking for 2 returns the 2 best under the same order
+    val top2 = TextOps.bpePairCounts(d, "text", topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top2.toSeq == Seq(("a b", 3L), ("b a", 1L)))
+  }
+
+  /** Straight-line reference of the same integer Lloyd recurrence. */
+  private def refKMeans(
+      vecs: Seq[(Long, Seq[Float])], k: Int, rounds: Int
+  ): Map[Long, (Int, Long)] = {
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000).toLong + 1024L)
+    }.toMap
+    var cents: Seq[Seq[Long]] = vecs.map(_._1).sorted.take(k).map(q)
+    def assign() = q.map { case (id, v) =>
+      val ds = cents.map(c => v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      val best = ds.zipWithIndex.minBy { case (d, i) => (d, i) }
+      id -> ((best._2, best._1))
+    }
+    var out: Map[Long, (Int, Long)] = null
+    for (r <- 1 to rounds) {
+      out = assign()
+      if (r < rounds) {
+        val members = out.toSeq.groupBy(_._2._1)
+        cents = cents.zipWithIndex.map { case (old, ci) =>
+          members.get(ci) match {
+            case Some(ms) =>
+              val vs = ms.map(m => q(m._1))
+              vs.head.indices.map(i => vs.map(_(i)).sum / vs.size).toSeq
+            case None => old
+          }
+        }
+      }
+    }
+    out
+  }
+
+  test("kMeansInt: integer Lloyd matches the straight-line reference") {
+    // two tight clusters around (0.1, 0.1) and (-0.3, 0.4), seeds ids 0/1
+    val vecs = Seq(
+      (0L, Seq(0.10f, 0.11f)), (1L, Seq(-0.30f, 0.40f)),
+      (2L, Seq(0.12f, 0.09f)), (3L, Seq(-0.28f, 0.41f)),
+      (4L, Seq(0.09f, 0.10f)), (5L, Seq(-0.31f, 0.39f)),
+      (6L, Seq(0.11f, 0.12f)))
+    val d = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.kMeansInt(d, "vec_id", "embedding", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == refKMeans(vecs, k = 2, rounds = 2))
+    // the two geometric clusters separate
+    assert(Set(got(0L)._1, got(2L)._1, got(4L)._1, got(6L)._1).size == 1)
+    assert(Set(got(1L)._1, got(3L)._1, got(5L)._1).size == 1)
+    assert(got(0L)._1 != got(1L)._1)
+    // determinism across invocations
+    val again = Similarity.kMeansInt(d, "vec_id", "embedding", k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(again == got)
+  }
+
   test("DSIR: target-like documents score above off-target documents") {
     import graft.textops.Dsir
     val raw = Seq(
