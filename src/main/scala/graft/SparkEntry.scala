@@ -67,6 +67,8 @@ object SparkEntry {
     "q_kg_negatives" -> (Queries.kgNegatives _),
     "q_kg_kcore" -> (Queries.kgKCore _),
     "q_kg_communities" -> (Queries.kgCommunities _),
+    "q_kg_pred_lift" -> (Queries.kgPredLift _),
+    "q_kg_hits" -> (Queries.kgHits _),
     "q_crawl_latest" -> (Queries.crawlLatest _),
     "q_stream_summary" -> (Queries.streamSummary _),
     "q_stream_dedup" -> (Queries.streamDedup _),

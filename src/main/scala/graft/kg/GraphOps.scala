@@ -397,6 +397,102 @@ object GraphOps {
           .as("functionality"))
   }
 
+  /** Predicate-pair association strength (lift) on shared subjects — the
+    * association-mining side of schema discovery (where
+    * [[predicateSignatures]] finds exact type signatures, this finds the
+    * GRADIENT: predicate pairs that co-occur on the same entities far more
+    * (or less) often than independence predicts, the signal that proposes
+    * property groupings and flags extraction noise). For every unordered
+    * predicate pair `(p1 < p2)`:
+    * `lift = P(p1,p2) / (P(p1)·P(p2)) = n_pair·n_subj / (n1·n2)` over the
+    * distinct (subject, predicate) relation. Counts are exact longs; `lift`
+    * is ONE IEEE-754 double multiply-divide of exact integers — identical
+    * on both engines (log-PMI would put a transcendental between them).
+    *
+    * Scale shape: dedup to distinct (s, p) first (algebraic); the pair
+    * generation is a self-equi-join on the subject key — per-subject
+    * fan-out is C(preds-on-subject, 2), bounded by the predicate
+    * VOCABULARY, never the corpus; pair/marginal counts are algebraic and
+    * the marginal join sides are vocab-sized (broadcastable).
+    */
+  def predicatePairLift(triples: DataFrame): DataFrame = {
+    val sp = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*))
+      .select(F.col("s"), F.col("p")).distinct()
+      .localCheckpoint()
+    val nSubj = sp.select("s").distinct().count()
+    val marg = sp.groupBy("p").agg(F.count(F.lit(1)).as("n"))
+    val pairs = sp.as("a").join(sp.as("b"),
+        F.col("a.s") === F.col("b.s") && F.col("a.p") < F.col("b.p"))
+      .groupBy(F.col("a.p").as("p1"), F.col("b.p").as("p2"))
+      .agg(F.count(F.lit(1)).as("n_pair"))
+    pairs
+      .join(marg.select(F.col("p").as("p1"), F.col("n").as("n1")), "p1")
+      .join(marg.select(F.col("p").as("p2"), F.col("n").as("n2")), "p2")
+      .select(F.col("p1"), F.col("p2"), F.col("n_pair"), F.col("n1"), F.col("n2"),
+        (F.col("n_pair").cast("double") * F.lit(nSubj.toDouble) /
+          (F.col("n1").cast("double") * F.col("n2").cast("double"))).as("lift"))
+  }
+
+  /** Fixed-round integer HITS over the directed entity graph — hub and
+    * authority scores, the second centrality lens beside [[pageRank]]
+    * (PageRank finds globally-endorsed entities; HITS separates CURATORS —
+    * pages/entities that point at many good things — from the good things
+    * themselves, the distinction a crawl-frontier or source-quality ranker
+    * needs). Engine-exact by the same micro-unit contract: scores live in
+    * integer micro-units, each half-round is an exact integer sum followed
+    * by max-normalization `x·10^6 div max(x)` (all operands non-negative,
+    * so Spark `div` truncation ≡ DuckDB `//` floor), and `rounds` is fixed
+    * so the oracle unrolls the identical iterations.
+    *
+    * Semantics: edges are DISTINCT (s, o) node-node pairs; the score domain
+    * is every edge endpoint. h_0 = 10^6; per round: `auth_raw(n) =
+    * Σ_{m→n} hub(m)` then max-normalize; `hub_raw(n) = Σ_{n→m} auth(m)`
+    * then max-normalize. Output `(node, hub, auth)` after `rounds` rounds
+    * (nodes with no in-edges have auth 0; no out-edges, hub 0).
+    *
+    * Scale shape: the edge relation is materialized once; each half-round
+    * is one shuffle join on the edge key plus an algebraic sum (celebrity
+    * fan-in combines map-side) and the normalizing max is a single-scalar
+    * aggregate (never data to the driver). Bounds: sums stay under 2^63
+    * while n_nodes·10^12 does — i.e. up to ~9·10^6 nodes per connected
+    * normalization domain in the worst all-to-one case; real graphs are
+    * orders below the worst case (documented operating envelope).
+    */
+  def hits(triples: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val edges = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*))
+      .select("s", "o").distinct().localCheckpoint()
+    val nodes = edges.select(F.col("s").as("node"))
+      .union(edges.select(F.col("o").as("node")))
+      .distinct().localCheckpoint()
+    def maxNorm(df: DataFrame, col: String): DataFrame = {
+      val mx = math.max(df.agg(F.max(col)).collect()(0).getLong(0), 1L)
+      // integer `div`, not `/` (which Spark widens to double division)
+      df.select(F.col("node"),
+        F.expr(s"($col * 1000000L) div ${mx}L").as(col))
+    }
+    var hub = nodes.withColumn("hub", F.lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val aRaw = nodes.join(
+          edges.join(hub.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("o").as("node")).agg(F.sum("hub").as("auth")),
+          Seq("node"), "left")
+        .select(F.col("node"), F.coalesce(F.col("auth"), F.lit(0L)).as("auth"))
+      auth = maxNorm(aRaw, "auth").localCheckpoint()
+      val hRaw = nodes.join(
+          edges.join(auth.withColumnRenamed("node", "o"), "o")
+            .groupBy(F.col("s").as("node")).agg(F.sum("auth").as("hub")),
+          Seq("node"), "left")
+        .select(F.col("node"), F.coalesce(F.col("hub"), F.lit(0L)).as("hub"))
+      hub = maxNorm(hRaw, "hub").localCheckpoint()
+    }
+    hub.join(auth, "node").select("node", "hub", "auth")
+  }
+
   /** Contiguous-id encoding of the node-node triple relation — the input
     * artifact KG-embedding training (TransE/DistMult/RotatE-style) consumes:
     * every entity and relation gets a dense long id, ids assigned by

@@ -538,6 +538,54 @@ object KgSql {
        |  ON p.h_id = c.h_id AND p.r_id = c.r_id AND p.t_id = c.t_neg""".stripMargin
   }
 
+  /** Oracle for Queries.kgPredLift (GraphOps.predicatePairLift): exact
+    * integer counts; `lift` is one IEEE-754 multiply-divide of exact
+    * integers in the SAME association order as the engine.
+    */
+  val predPairLiftSql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""sp AS MATERIALIZED (SELECT DISTINCT s, p FROM tr WHERE k_s IN (0, 1)),
+       |nsub AS (SELECT count(DISTINCT s) AS n FROM sp),
+       |mg AS (SELECT p, count(*) AS n FROM sp GROUP BY 1),
+       |pr AS (SELECT a.p AS p1, b.p AS p2, count(*) AS n_pair
+       |  FROM sp a JOIN sp b ON a.s = b.s AND a.p < b.p GROUP BY 1, 2)
+       |SELECT pr.p1, pr.p2, CAST(pr.n_pair AS BIGINT) AS n_pair,
+       |  CAST(m1.n AS BIGINT) AS n1, CAST(m2.n AS BIGINT) AS n2,
+       |  CAST(pr.n_pair AS DOUBLE) * CAST((SELECT n FROM nsub) AS DOUBLE)
+       |    / (CAST(m1.n AS DOUBLE) * CAST(m2.n AS DOUBLE)) AS lift
+       |FROM pr JOIN mg m1 ON m1.p = pr.p1 JOIN mg m2 ON m2.p = pr.p2""".stripMargin
+
+  /** Oracle for Queries.kgHits (GraphOps.hits): the fixed integer
+    * half-rounds unrolled as CTEs — exact integer sums, max-normalization
+    * by `// greatest(max, 1)` on non-negative operands (≡ Spark `div`).
+    */
+  def hitsSql(rounds: Int): String = {
+    val head = s"WITH $triplesCtes,\n" +
+      s"""ed AS MATERIALIZED (SELECT DISTINCT s, o FROM tr
+         |  WHERE k_s IN (0, 1) AND k_o IN (0, 1)),
+         |nd AS MATERIALIZED (SELECT DISTINCT node FROM (
+         |  SELECT s AS node FROM ed UNION ALL SELECT o FROM ed)),
+         |h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS hub FROM nd)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""ar$i AS (SELECT nd.node, COALESCE(x.a, 0) AS auth FROM nd LEFT JOIN (
+         |    SELECT ed.o AS node, sum(h.hub) AS a
+         |    FROM ed JOIN h${i - 1} h ON h.node = ed.s GROUP BY 1) x USING (node)),
+         |am$i AS (SELECT greatest(max(auth), 1) AS m FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT node,
+         |  (auth * 1000000) // (SELECT m FROM am$i) AS auth FROM ar$i),
+         |hr$i AS (SELECT nd.node, COALESCE(x.h, 0) AS hub FROM nd LEFT JOIN (
+         |    SELECT ed.s AS node, sum(a.auth) AS h
+         |    FROM ed JOIN a$i a ON a.node = ed.o GROUP BY 1) x USING (node)),
+         |hm$i AS (SELECT greatest(max(hub), 1) AS m FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT node,
+         |  (hub * 1000000) // (SELECT m FROM hm$i) AS hub FROM hr$i)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT h.node, CAST(h.hub AS BIGINT) AS hub, CAST(a.auth AS BIGINT) AS auth
+         |FROM h$rounds h JOIN a$rounds a USING (node)""".stripMargin
+  }
+
   /** Oracle for Queries.kgCommunities (GraphOps.labelPropagation): the
     * fixed synchronous LPA rounds unrolled as CTEs. The per-round argmax
     * (most frequent neighbor label, min-label tiebreak) is stated as a

@@ -470,6 +470,10 @@ object Oracles {
     // LPA communities: fixed synchronous rounds unrolled; per-round argmax
     // stated as a window in the oracle, algebraic struct-min in the engine
     "q_kg_communities" -> KgSql.communitiesSql(rounds = 3),
+    // predicate-pair lift: exact counts + one IEEE multiply-divide
+    "q_kg_pred_lift" -> KgSql.predPairLiftSql,
+    // integer HITS: fixed max-normalized half-rounds unrolled as CTEs
+    "q_kg_hits" -> KgSql.hitsSql(rounds = 3),
     // newest capture per logical page: engine argmax = algebraic struct-max,
     // oracle = per-key window (semantics statement, not the scale plan)
     "q_crawl_latest" -> KgSql.crawlLatestSql,

@@ -647,6 +647,22 @@ object Queries {
     graft.kg.GraphOps.labelPropagation(kgTriples(spark, dir), rounds = 3)
       .orderBy("node")
 
+  /** Predicate-pair association lift on shared subjects (schema-discovery
+    * association mining — see [[graft.kg.GraphOps.predicatePairLift]]).
+    */
+  def kgPredLift(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.predicatePairLift(kgTriples(spark, dir))
+      .orderBy("p1", "p2")
+
+  /** Fixed-round integer HITS hub/authority scores, 3 rounds
+    * (engine-exact max-normalized integer iteration — see
+    * [[graft.kg.GraphOps.hits]]; [[KgSql.hitsSql]] unrolls the identical
+    * half-rounds).
+    */
+  def kgHits(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.hits(kgTriples(spark, dir), rounds = 3)
+      .orderBy("node")
+
   /** Latest-capture crawl dedup: one row per logical wiki page (url slug),
     * the capture with the newest `warc_ts` (id tiebreak) — algebraic
     * struct-max argmax, see [[graft.extract.UrlOps.latestCapture]]; value

@@ -321,6 +321,51 @@ class GraphOpsSpec extends AnyFunSuite {
       .filter(_._2 >= k)
   }
 
+  test("predicatePairLift: exact counts, lift = n_pair*n_subj/(n1*n2)") {
+    // distinct (s,p): a->{p1,p9,p2}, b->{p1}, c->{p1}, d->{p3}, _:x->{p4}
+    // n_subj=5; marginals p1=3, p2=p9=p3=p4=1; pairs only on subject a
+    val got = GraphOps.predicatePairLift(triples).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == Map(
+      ("p1", "p2") -> ((1L, 3L, 1L, 5.0 / 3.0)),
+      ("p1", "p9") -> ((1L, 3L, 1L, 5.0 / 3.0)),
+      ("p2", "p9") -> ((1L, 1L, 1L, 5.0))))
+  }
+
+  /** Straight-line reference of the same integer HITS recurrence. */
+  private def refHits(
+      edges: Seq[(String, String)], rounds: Int
+  ): Map[String, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var hub = nodes.map(n => n -> 1000000L).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to rounds) {
+      val aRaw = nodes.map(n =>
+        n -> edges.filter(_._2 == n).map(e => hub(e._1)).sum).toMap
+      val am = math.max(aRaw.values.max, 1L)
+      auth = aRaw.map { case (n, v) => n -> v * 1000000L / am }
+      val hRaw = nodes.map(n =>
+        n -> edges.filter(_._1 == n).map(e => auth(e._2)).sum).toMap
+      val hm = math.max(hRaw.values.max, 1L)
+      hub = hRaw.map { case (n, v) => n -> v * 1000000L / hm }
+    }
+    nodes.map(n => n -> ((hub(n), auth(n)))).toMap
+  }
+
+  test("hits: 3 integer rounds match the straight-line reference") {
+    // distinct node-node edges of the fixture: a->b, a->c, b->c, c->a, _:x->a
+    val es = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("_:x", "a"))
+    val got = GraphOps.hits(triples, rounds = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == refHits(es, 3))
+    // a emits to the two strongest authorities -> top hub is max-normalized
+    assert(got("a")._1 == 1000000L)
+    // d never appears (no node-node edge); _:x is a pure hub (auth 0)
+    assert(!got.contains("d"))
+    assert(got("_:x")._2 == 0L)
+  }
+
   /** Straight-line synchronous LPA with the same deterministic tiebreak. */
   private def refLpa(edges: Seq[(String, String)], rounds: Int): Map[String, String] = {
     val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }.distinct
