@@ -126,6 +126,9 @@ object SparkEntry {
     "q_text_overlap" -> (Queries.textOverlap _),
     "q_text_pii" -> (Queries.textPii _),
     "q_corpus_stats" -> (Queries.corpusStats _),
+    "q_exact_quantiles" -> (Queries.exactQuantiles _),
+    "q_dedup_winnow" -> (Queries.dedupWinnow _),
+    "q_host_boilerplate" -> (Queries.hostBoilerplate _),
     "q_media_meta" -> (Queries.mediaMeta _),
     "q_media_frames" -> (Queries.mediaFrames _),
     "q_media_resize" -> (Queries.mediaResize _),

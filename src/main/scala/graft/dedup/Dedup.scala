@@ -133,6 +133,71 @@ object Dedup {
     sig
   }
 
+  /** Winnowing (the MOSS local fingerprinting scheme, Schleimer/Wilkerson/
+    * Aiken SIGMOD'03) over character k-grams of the token-normalized text:
+    * hash every k-gram (the same splitmix64 fold as [[hashShingle]] —
+    * bit-exact SQL mirror in HashSql), slide a w-hash window, select each
+    * window's minimum hash taking the RIGHTMOST position on ties (the MOSS
+    * rule that lets consecutive windows reuse one selection), and emit the
+    * distinct selected (position, hash) pairs in position order.
+    *
+    * Guarantee: two documents sharing a normalized substring of at least
+    * w + k - 1 characters share at least one fingerprint VALUE — the robust
+    * near-dup/plagiarism candidate key that exact shingle equality loses
+    * under small edits. Comparisons are SIGNED 64-bit on both engines (the
+    * minhash-oracle convention). Texts normalizing to fewer than k chars
+    * emit nothing; fewer than w hashes form a single window.
+    */
+  def winnow(text: String, k: Int, w: Int, seed: Long): Array[(Int, Long)] = {
+    val clean = NonAlnum.split(text.toLowerCase).filter(_.nonEmpty).mkString(" ")
+    if (clean.length < k) return Array.empty
+    val ng = clean.length - k + 1
+    val hs = new Array[Long](ng)
+    var i = 0
+    while (i < ng) { hs(i) = hashShingle(clean.substring(i, i + k), seed); i += 1 }
+    val nw = math.max(ng - w + 1, 1)
+    val sel = new java.util.TreeMap[Integer, java.lang.Long]()
+    var j = 0
+    while (j < nw) {
+      val end = math.min(j + w - 1, ng - 1)
+      var best = j
+      var p = j + 1
+      while (p <= end) { if (hs(p) <= hs(best)) best = p; p += 1 } // <= : rightmost tie
+      sel.put(best, hs(best))
+      j += 1
+    }
+    val out = new Array[(Int, Long)](sel.size)
+    var q = 0
+    val it = sel.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); out(q) = (e.getKey.intValue, e.getValue.longValue); q += 1 }
+    out
+  }
+
+  /** Per-document winnowing fingerprint digest: fingerprint count plus an
+    * md5 over the position-ordered `pos:fp` list (the driver-hashable wire
+    * form; positions 0-based over the normalized text).
+    *
+    * Scale shape: a pure projection — the per-document selection is
+    * embarrassingly parallel, zero shuffle, no join; candidate generation
+    * downstream joins on the fp VALUE with the standard bucket cap.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      seed: Long = 0x5eed5eedL
+  ): DataFrame = {
+    val fpUdf = F.udf((t: String) =>
+      winnow(t, k, w, seed).map { case (p, h) => s"$p:$h" })
+    df.select(F.col(idCol).cast("long").as("doc_id"),
+        fpUdf(F.col(textCol)).as("fps"))
+      .filter(F.size(F.col("fps")) > 0)
+      .select(F.col("doc_id"), F.size(F.col("fps")).cast("long").as("n_fps"),
+        F.md5(F.array_join(F.col("fps"), ",")).as("fps_md5"))
+  }
+
   /** LSH band keys from a signature: one 64-bit key per band. */
   def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
     val rows = sig.length / bands

@@ -56,6 +56,41 @@ object HashSql {
        |      (h, c) -> $lam) AS HUGEINT)""".stripMargin
   }
 
+  /** Oracle for Dedup.winnowFingerprints: character k-gram splitmix hashes
+    * over the token-normalized text, per-w-window SIGNED min with the
+    * rightmost-position tie rule, distinct selections in position order —
+    * digested as (doc_id, n_fps, md5 of the ordered `pos:fp` CSV), pos
+    * 0-based like the engine. The window scan is relational (a windowed
+    * min + a bounded argmax join), bit-exact vs the engine's selection.
+    */
+  def winnowSql(k: Int, w: Int, seed: Long): String = {
+    val h = hashShingleSql("gram", seed)
+    s"""WITH c AS (SELECT doc_id,
+       |    array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      x -> len(x) > 0), ' ') AS s FROM documents),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(s, CAST(i AS INT), $k) AS gram
+       |      FROM c, UNNEST(range(1, len(s) - $k + 2)) AS u(i)
+       |      WHERE len(s) >= $k),
+       |hu AS (SELECT doc_id, pos, $h AS uv FROM g),
+       |hs AS (SELECT doc_id, pos,
+       |         CASE WHEN uv >= $Two63 THEN uv - $Two64 ELSE uv END AS sval FROM hu),
+       |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM hs GROUP BY 1),
+       |wm AS (SELECT doc_id, pos AS j,
+       |         min(sval) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
+       |       FROM hs),
+       |wins AS (SELECT wm.doc_id, wm.j, wm.m FROM wm JOIN st USING (doc_id)
+       |         WHERE wm.j <= greatest(st.ng - $w + 1, 1)),
+       |sel AS (SELECT w1.doc_id, max(h2.pos) AS pos, w1.m AS fp
+       |        FROM wins w1 JOIN hs h2 ON h2.doc_id = w1.doc_id
+       |          AND h2.pos BETWEEN w1.j AND w1.j + ${w - 1} AND h2.sval = w1.m
+       |        GROUP BY w1.doc_id, w1.j, w1.m),
+       |fp AS (SELECT DISTINCT doc_id, pos, fp FROM sel)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+       |  md5(string_agg((pos - 1) || ':' || fp, ',' ORDER BY pos)) AS fps_md5
+       |FROM fp GROUP BY doc_id""".stripMargin
+  }
+
   /** Oracle for TextOps.capPerDomain over documents(source): deterministic
     * pseudo-random rank = (mix64(doc_id ^ seed) unsigned-mod 10^9, doc_id)
     * within each source — bit-exact vs the engine's splitmix64 rank.

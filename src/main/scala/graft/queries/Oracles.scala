@@ -1119,7 +1119,51 @@ object Oracles {
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  round(sum(value), 4) AS session_value
-        |FROM s GROUP BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // winnowing fingerprints: bit-exact splitmix64 k-gram hashes, relational
+    // windowed-min selection with the rightmost tie rule
+    "q_dedup_winnow" -> HashSql.winnowSql(k = 8, w = 4, seed = 0x5eed5eedL),
+
+    // exact discrete quantiles: the window row_number form IS the semantic
+    // definition the distributed prefix-sum selection must match; rank =
+    // ceil(n*num/den) computed in integer arithmetic on both sides
+    "q_exact_quantiles" ->
+      """WITH v AS (SELECT doc_id AS id, CAST(strlen(text) AS BIGINT) AS value
+        |           FROM documents),
+        |r AS (SELECT id, value,
+        |        CAST(row_number() OVER (ORDER BY value, id) AS BIGINT) AS rank FROM v),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        |t AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+        |        ('p90', 9, 10), ('p99', 99, 100), ('max', 1, 1)) AS q(p_label, num, den)),
+        |tr AS (SELECT t.p_label,
+        |         greatest(CAST(1 AS BIGINT), (n.n * t.num + t.den - 1) // t.den) AS rank
+        |       FROM t, n)
+        |SELECT tr.p_label, tr.rank, r.value FROM tr JOIN r USING (rank)""".stripMargin,
+
+    // host-scoped boilerplate strip: host df / page counts recomputed
+    // relationally; integer-ratio verdict (n_with*5 >= n_pages*3, hosts with
+    // >= 2 pages); survivors reassembled in original line order
+    "q_host_boilerplate" ->
+      """WITH aug AS (SELECT doc_id,
+        |    'site' || (doc_id % 50) || '.example.org' AS host,
+        |    text || chr(10) || 'nav ' || (doc_id % 50)
+        |         || chr(10) || 'promo ' || (doc_id % 100) AS t
+        |  FROM documents),
+        |hp AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages FROM aug GROUP BY host),
+        |p AS (SELECT doc_id, host, string_split(t, chr(10)) AS parts FROM aug),
+        |l AS (SELECT doc_id, host, CAST(i - 1 AS INT) AS idx, parts[CAST(i AS INT)] AS line
+        |      FROM p, UNNEST(range(1, len(parts) + 1)) AS u(i)),
+        |df AS (SELECT host, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_with
+        |       FROM l GROUP BY host, line),
+        |bp AS (SELECT df.host, df.line FROM df JOIN hp USING (host)
+        |       WHERE hp.n_pages >= 2 AND df.n_with * 5 >= hp.n_pages * 3),
+        |kept AS (SELECT l.doc_id, l.idx, l.line FROM l
+        |         LEFT JOIN bp ON l.host = bp.host AND l.line = bp.line
+        |         WHERE bp.line IS NULL)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY idx)) AS kept_md5
+        |FROM kept GROUP BY doc_id""".stripMargin
   )
 
   /** DuckDB replica of Similarity.kMeansInt: quantize to the same

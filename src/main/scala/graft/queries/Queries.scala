@@ -1290,6 +1290,54 @@ object Queries {
     graft.textops.Dsir.importanceWeights(raw, target, "doc_id", "text")
       .orderBy("doc_id")
   }
+
+  /** Winnowing (MOSS) fingerprint digest per document: k=8-char grams of
+    * the token-normalized text, w=4 window, signed splitmix64 min with the
+    * rightmost tie rule. Pure projection (no shuffle); oracle replays the
+    * selection relationally, bit-exact (HashSql.winnowSql).
+    */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(docs(spark, dir), "doc_id", "text", k = 8, w = 4)
+      .orderBy("doc_id")
+
+  /** Exact global order statistics over document byte lengths via the
+    * two-pass distributed prefix sum — never a global sort or a
+    * single-partition window. Pure integer selection (rank =
+    * ceil(n·num/den) in (value, id) order), so values are engine-exact;
+    * the oracle re-derives the ranks closed-form with a window row_number
+    * (the semantic definition at toy scale).
+    */
+  def exactQuantiles(spark: SparkSession, dir: String): DataFrame =
+    TextOps.exactQuantiles(
+      docs(spark, dir).select(F.col("doc_id"),
+        F.octet_length(F.col("text")).cast("long").as("blen")),
+      "doc_id", "blen",
+      Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L),
+        ("p90", 9L, 10L), ("p99", 99L, 100L), ("max", 1L, 1L)))
+      .orderBy("p_label")
+
+  /** Host-scoped boilerplate strip: each document is assigned the
+    * host-graph fixture host (`site<doc_id%50>.example.org`) and augmented
+    * with a per-host nav line (on 100% of the host's pages -> stripped at
+    * the 3/5 threshold) and a promo line shared by half the host's pages
+    * (50% < 60% -> kept). The integer-ratio verdict and the salted join
+    * shapes live in [[TextOps.stripHostBoilerplate]]; the oracle recomputes
+    * host df / page counts relationally on the same augmented corpus.
+    */
+  def hostBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val aug = docs(spark, dir).select(F.col("doc_id"),
+      F.concat(F.lit("site"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.org")).as("host"),
+      F.concat_ws("\n", F.col("text"),
+        F.concat(F.lit("nav "), (F.col("doc_id") % 50).cast("string")),
+        F.concat(F.lit("promo "), (F.col("doc_id") % 100).cast("string")))
+        .as("text"))
+    TextOps.stripHostBoilerplate(aug, "doc_id", "host", "text",
+        minPages = 2L, fracNum = 3L, fracDen = 5L)
+      .select(F.col("id").as("doc_id"), F.col("n_kept"),
+        F.md5(F.col("text")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
 }
 
 /** Vis aggregates shared by queries and golden tests. */

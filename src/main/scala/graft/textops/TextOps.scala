@@ -1018,4 +1018,142 @@ object TextOps {
         F.regexp_replace(text, EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"),
       IpRe, "<IP>")
+
+  /** Exact global order statistics (discrete quantiles) WITHOUT a global
+    * sort — the exact counterpart to the `approx_percentile` swap documented
+    * on [[graft.queries.Queries.corpusStats]]: when a curation decision needs
+    * the exact p99 (contract thresholds, reproducible filter cut-offs), this
+    * computes it over 10^12 rows with no single-reducer stage.
+    *
+    * Definition: for each (label, num, den) the discrete quantile is the
+    * element at global rank `ceil(n·num/den)` in (value asc, id asc) order —
+    * pure integer selection, no interpolation, so the result is engine-exact
+    * (the oracle re-derives the same rank closed-form).
+    *
+    * Scale shape: the same textbook two-pass distributed prefix sum as
+    * [[rankBuckets]] — range-partition on the order, count per partition
+    * (the driver materializes #partitions longs, never data), broadcast the
+    * offsets, emit only the rows whose global rank is one of the ≤|ps|
+    * targets. A `Window.orderBy` global rank would collapse the corpus into
+    * one partition; this never does.
+    */
+  def exactQuantiles(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      valueCol: String,
+      ps: Seq[(String, Long, Long)]
+  ): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(ps.nonEmpty, "need at least one quantile")
+    ps.foreach { case (_, num, den) =>
+      require(den > 0 && num >= 0 && num <= den, s"quantile $num/$den out of [0,1]")
+    }
+    val rows = df
+      .select(F.col(idCol).cast("long").as("id"),
+        F.col(valueCol).cast("long").as("value"))
+      .repartitionByRange(F.col("value").asc, F.col("id").asc)
+      .sortWithinPartitions(F.col("value").asc, F.col("id").asc)
+      .localCheckpoint()
+    val perPart = rows.select(F.spark_partition_id().as("pid"))
+      .groupBy("pid").agg(F.count(F.lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = new java.util.HashMap[Int, Long]()
+    var acc = 0L
+    perPart.foreach { case (pid, cnt) => offsets.put(pid, acc); acc += cnt }
+    val n = acc
+    // target rank per label: ceil(n·num/den), clamped to >=1 (p=0 -> min)
+    val targets = new java.util.HashMap[Long, String]()
+    // reverse so that on a rank collision the FIRST label in ps wins —
+    // deterministic either way, but emit one row per label regardless
+    val labelRanks = ps.map { case (label, num, den) =>
+      (label, math.max(1L, (n * num + den - 1) / den))
+    }
+    labelRanks.foreach { case (label, rk) => targets.put(rk, label) }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcT = spark.sparkContext.broadcast(targets)
+    val hits = rows.as[(Long, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var r = bcOff.value.getOrDefault(pid, 0L)
+      it.flatMap { case (_, v) =>
+        r += 1
+        if (bcT.value.containsKey(r)) Some((r, v)) else None
+      }
+    }.toDF("rank", "value")
+    // re-attach ALL labels (two ps can share a rank at small n); the hit set
+    // is <=|ps| rows, so the label join is a broadcast over a literal table
+    val lbl = labelRanks.toDF("p_label", "rank")
+    lbl.join(F.broadcast(hits), Seq("rank"))
+      .select(F.col("p_label"), F.col("rank"), F.col("value"))
+  }
+
+  /** Host-scoped boilerplate stripping (jusText/CCNet-style): a line is
+    * boilerplate WITHIN a host when it appears on at least `fracNum/fracDen`
+    * of that host's pages (hosts with fewer than `minPages` pages are left
+    * alone — no reliable evidence). Strips nav bars / cookie banners /
+    * footers that are per-site templates without touching prose that happens
+    * to repeat across sites — the host-local complement to the GLOBAL
+    * first-occurrence pass in [[graft.dedup.Dedup.dedupLines]].
+    *
+    * The verdict is pure integer arithmetic (`n_with·fracDen >= n_pages·
+    * fracNum`) — no float ratio between the engines.
+    *
+    * Scale shape — the two hot-key joins are both salted (the BASELINE
+    * north-star's "explicit salted-key repartitioning" demand, same trick as
+    * the salted prefix counts):
+    *   1. line-df rows join host page-counts on the host key. A 10^9-page
+    *      host concentrates ALL its distinct lines on one reducer, so the
+    *      one-row-per-host count side is replicated `salt` ways and the join
+    *      key is (host, h % salt) — each reducer sees 1/salt of the host's
+    *      lines.
+    *   2. line instances anti-join the boilerplate set on (host, h). A
+    *      banner on 10^9 pages concentrates its instances, so the
+    *      one-row-per-line boilerplate side is replicated and the key is
+    *      (host, h, id % salt).
+    * The df aggregation itself is safe without salting: the distinct is on
+    * (host, h, id) — unique, no hot key — and the (host, h) count is
+    * algebraic (map-side partial collapse).
+    *
+    * Documents whose every line is boilerplate vanish from the output (same
+    * contract as [[graft.dedup.Dedup.dedupLines]]).
+    */
+  def stripHostBoilerplate(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      hostCol: String,
+      textCol: String,
+      minPages: Long,
+      fracNum: Long,
+      fracDen: Long,
+      salt: Int = 16
+  ): org.apache.spark.sql.DataFrame = {
+    require(minPages >= 1 && fracNum >= 1 && fracDen >= fracNum && salt >= 1,
+      "need minPages>=1, 0 < fracNum/fracDen <= 1, salt>=1")
+    val insts = df.select(F.col(idCol).cast("long").as("id"),
+        F.col(hostCol).as("host"),
+        F.posexplode(F.split(F.col(textCol), "\n")).as(Seq("idx", "line")))
+      .withColumn("h", F.xxhash64(F.col("line")))
+    val saltSeq = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    // per-(host, line) distinct-page counts; per-host page counts
+    val lineDf = insts.select("host", "h", "id").distinct()
+      .groupBy("host", "h").agg(F.count(F.lit(1)).as("n_with"))
+    val hostPages = df.groupBy(F.col(hostCol).as("host"))
+      .agg(F.count(F.lit(1)).as("n_pages"))
+      .withColumn("hsalt", saltSeq)
+    val boiler = lineDf
+      .withColumn("hsalt", F.pmod(F.col("h"), F.lit(salt)).cast("int"))
+      .join(hostPages, Seq("host", "hsalt"))
+      .filter(F.col("n_pages") >= minPages &&
+        F.col("n_with") * fracDen >= F.col("n_pages") * fracNum)
+      .select("host", "h")
+      .withColumn("isalt", saltSeq)
+    val kept = insts
+      .withColumn("isalt", F.pmod(F.col("id"), F.lit(salt)).cast("int"))
+      .join(boiler, Seq("host", "h", "isalt"), "left_anti")
+    kept.groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_kept"),
+        F.array_join(
+          F.transform(F.array_sort(F.collect_list(F.struct(F.col("idx"), F.col("line")))),
+            s => s.getField("line")), "\n").as("text"))
+  }
 }

@@ -312,4 +312,37 @@ class PlanSpec extends AnyFunSuite {
       s"normalization shuffles the corpus:\n$plan")
     assert(!plan.contains("Join"), s"normalization joins:\n$plan")
   }
+
+  test("winnowing digest is a pure projection: no hash exchange, no join") {
+    val df = Queries.dedupWinnow(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fingerprint selection shuffles the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"fingerprint selection joins:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$plan")
+  }
+
+  test("exact quantiles: distributed prefix-sum selection, no global window") {
+    // a Window.orderBy global rank would collapse the corpus into ONE
+    // partition; the selection must run on the checkpointed range layout
+    val df = Queries.exactQuantiles(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"global window in quantile selection:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"selection does not read the checkpointed range layout:\n$plan")
+  }
+
+  test("host boilerplate: salted anti join, no per-host or per-line window") {
+    val df = Queries.hostBoilerplate(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"window in boilerplate strip:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+    // both the verdict join and the anti join carry the salt in the key
+    assert(plan.contains("hsalt") && plan.contains("isalt"),
+      s"salted keys missing from the join plan:\n$plan")
+  }
 }

@@ -183,4 +183,31 @@ class SkewStressSpec extends AnyFunSuite {
     assert(got == Set(("c1", "c2"), ("c1", "c3"), ("c1", "c4"),
       ("c2", "c3"), ("c2", "c4"), ("c3", "c4")))
   }
+
+  test("stripHostBoilerplate on a 90%-hot host: salted parity, correct strip") {
+    // one content-farm host holds 4500 pages, all sharing a banner (the
+    // hot (host, line) key the salting exists for); 500 pages spread over
+    // 50 small hosts where the banner is NOT frequent enough host-locally
+    val hot = (0L until 4500L).map(i => (i, "farm.example.org",
+      s"mega banner line\narticle $i"))
+    val cold = for (k <- 0L until 50L; m <- 0L until 10L) yield {
+      val i = 4500L + k * 10L + m
+      val line = if (m == 0) "mega banner line" else s"cold prose $i"
+      (i, s"host$k.example.net", s"$line\nbody $i")
+    }
+    val df = (hot ++ cold).toDF("doc_id", "host", "text")
+    val strip = graft.textops.TextOps.stripHostBoilerplate(
+      df, "doc_id", "host", "text", minPages = 2L, fracNum = 3L, fracDen = 5L)
+    val got = strip.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every farm page loses exactly the banner; cold hosts keep it (each
+    // cold host has 10 pages, banner on 1 of 10 < 3/5)
+    assert(got(0L) == "article 0" && got(4499L) == "article 4499")
+    assert(got(4500L) == "mega banner line\nbody 4500")
+    assert(got.size == 5000)
+    // a different salt level must produce the identical corpus
+    val s4 = graft.textops.TextOps.stripHostBoilerplate(
+        df, "doc_id", "host", "text", 2L, 3L, 5L, salt = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s4 == got)
+  }
 }

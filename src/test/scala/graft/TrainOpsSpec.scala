@@ -1176,4 +1176,64 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(w(4L) > w(2L) && w(4L) > w(3L))
     assert(w(0L) > w(2L) && w(1L) > w(3L))
   }
+
+  test("winnowing: shared >= w+k-1 substring shares a fingerprint value; rightmost ties; determinism") {
+    val k = 8; val w = 4
+    // two docs share a 40-char normalized run (>= w+k-1 = 11) inside
+    // otherwise different prose; a third shares nothing
+    val shared = "the winnowing guarantee holds for this run"
+    val a = s"alpha prologue text $shared and an epilogue"
+    val b = s"completely other framing $shared closing words"
+    val c = "unrelated content speaking about graphs and executors only"
+    def fpVals(t: String) =
+      graft.dedup.Dedup.winnow(t, k, w, 0x5eed5eedL).map(_._2).toSet
+    assert((fpVals(a) intersect fpVals(b)).nonEmpty, "guarantee violated")
+    assert((fpVals(a) intersect fpVals(c)).isEmpty)
+    // tie case: a periodic string makes equal window hashes; selection must
+    // be deterministic and positions strictly increasing
+    val tie = graft.dedup.Dedup.winnow("ab ab ab ab ab ab ab ab", k, w, 1L)
+    assert(tie.map(_._1).toSeq == tie.map(_._1).toSeq.sorted)
+    assert(tie.nonEmpty &&
+      tie.sameElements(graft.dedup.Dedup.winnow("ab ab ab ab ab ab ab ab", k, w, 1L)))
+    // shorter than k after normalization -> empty
+    assert(graft.dedup.Dedup.winnow("a b", k, w, 1L).isEmpty)
+  }
+
+  test("exactQuantiles matches the global-sort definition, dupes and ties included") {
+    // heavy duplication: values cycle 0..6, ids shuffled — ties must break on id
+    val vals = Seq.tabulate(101)(i => ((i * 37 % 101).toLong, ((i * 13) % 7).toLong))
+    val df = vals.toDF("id", "v")
+    val ps = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p90", 9L, 10L), ("max", 1L, 1L))
+    val got = TextOps.exactQuantiles(df, "id", "v", ps).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val sorted = vals.map { case (id, v) => (v, id) }.sorted
+    val n = sorted.length.toLong
+    val exp = ps.map { case (l, num, den) =>
+      val rk = math.max(1L, (n * num + den - 1) / den)
+      (l, rk, sorted((rk - 1).toInt)._1)
+    }.toSet
+    assert(got == exp)
+  }
+
+  test("stripHostBoilerplate: host-local verdict, minPages gate, vanishing docs") {
+    // host A: banner on ALL 10 pages (stripped at 3/5); 'half' on 5/10 (kept);
+    // page 10 is banner-only (vanishes). host B: 1 page (< minPages, untouched).
+    val rows =
+      (0L to 9L).map(i => (i, "A", s"banner\nunique $i\nhalf ${i % 2}")) ++
+        Seq((10L, "A", "banner"), (11L, "B", "banner\nsolo"))
+    val df = rows.toDF("doc_id", "host", "text")
+    val got = TextOps.stripHostBoilerplate(df, "doc_id", "host", "text",
+        minPages = 2L, fracNum = 3L, fracDen = 5L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(!got.contains(10L), "banner-only doc must vanish")
+    assert(got(11L) == ((2L, "banner\nsolo")), "below-minPages host untouched")
+    (0L to 9L).foreach { i =>
+      assert(got(i) == ((2L, s"unique $i\nhalf ${i % 2}")), s"doc $i wrong: ${got(i)}")
+    }
+    // salt level must not change semantics
+    val s1 = TextOps.stripHostBoilerplate(df, "doc_id", "host", "text",
+        2L, 3L, 5L, salt = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(s1 == got.map { case (k, (a, b)) => (k, a, b) }.toSet)
+  }
 }
