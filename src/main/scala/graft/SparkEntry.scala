@@ -128,6 +128,7 @@ object SparkEntry {
     "q_corpus_stats" -> (Queries.corpusStats _),
     "q_exact_quantiles" -> (Queries.exactQuantiles _),
     "q_dedup_winnow" -> (Queries.dedupWinnow _),
+    "q_winnow_pairs" -> (Queries.winnowPairs _),
     "q_host_boilerplate" -> (Queries.hostBoilerplate _),
     "q_media_meta" -> (Queries.mediaMeta _),
     "q_media_frames" -> (Queries.mediaFrames _),

@@ -198,6 +198,43 @@ object Dedup {
         F.md5(F.array_join(F.col("fps"), ",")).as("fps_md5"))
   }
 
+  /** Winnowing-keyed near-dup candidate pairs: documents sharing at least
+    * `minShared` distinct fingerprint VALUES. Because of the winnowing
+    * guarantee, any pair sharing a normalized run of w+k-1 chars per shared
+    * fingerprint surfaces here — robust to the small edits that break exact
+    * shingle equality.
+    *
+    * Scale shape: the same df-capped inverted-index join as the other
+    * blocking schemes — distinct (doc, fp) rows, [[capBuckets]] drops
+    * degenerate fingerprints shared by more than `maxBucket` docs (the
+    * non-silent cap; a mega-bucket is an exact-dup cluster that exact dedup
+    * should have removed first), pair within buckets carrying bare ids,
+    * count shared keys per pair. No payloads flow through the self-join.
+    */
+  def winnowCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      seed: Long = 0x5eed5eedL,
+      minShared: Long = 3L,
+      maxBucket: Int = 100
+  ): DataFrame = {
+    val fpUdf = F.udf((t: String) => winnow(t, k, w, seed).map(_._2))
+    val fps = df.select(F.col(idCol).cast("long").as("id"),
+        F.explode(fpUdf(F.col(textCol))).as("fp"))
+      .distinct()
+    val capped = capBuckets(fps, Seq("fp"), maxBucket)
+    val a = capped.select(F.col("fp"), F.col("id").as("id_a"))
+    val b = capped.select(F.col("fp"), F.col("id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(F.count(F.lit(1)).as("n_shared"))
+      .filter(F.col("n_shared") >= minShared)
+  }
+
   /** LSH band keys from a signature: one 64-bit key per band. */
   def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
     val rows = sig.length / bands

@@ -63,15 +63,40 @@ object HashSql {
     * 0-based like the engine. The window scan is relational (a windowed
     * min + a bounded argmax join), bit-exact vs the engine's selection.
     */
-  def winnowSql(k: Int, w: Int, seed: Long): String = {
+  def winnowSql(k: Int, w: Int, seed: Long): String =
+    s"""WITH ${winnowCtes(k, w, seed)}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+       |  md5(string_agg((pos - 1) || ':' || fp, ',' ORDER BY pos)) AS fps_md5
+       |FROM fp GROUP BY doc_id""".stripMargin
+
+  /** Oracle for Dedup.winnowCandidates: distinct fingerprint VALUES per doc
+    * from the same selection CTEs, df-capped (fingerprints shared by more
+    * than maxBucket docs drop — the capBuckets mirror), paired a < b,
+    * shared-key count thresholded.
+    */
+  def winnowPairsSql(k: Int, w: Int, seed: Long, minShared: Long, maxBucket: Int): String =
+    s"""WITH ${winnowCtes(k, w, seed)},
+       |vals AS (SELECT DISTINCT doc_id, fp AS v FROM fp),
+       |caps AS (SELECT v FROM vals GROUP BY v HAVING count(*) <= $maxBucket),
+       |cf AS (SELECT vals.doc_id, vals.v FROM vals JOIN caps USING (v))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM cf a JOIN cf b ON a.v = b.v AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+
+  /** Shared CTE chain: token-normalize, k-gram splitmix hashes (signed),
+    * windowed min with rightmost tie, distinct (doc, pos, fp) selections.
+    */
+  private def winnowCtes(k: Int, w: Int, seed: Long): String = {
     val h = hashShingleSql("gram", seed)
-    s"""WITH c AS (SELECT doc_id,
+    s"""c AS (SELECT doc_id,
        |    array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |      x -> len(x) > 0), ' ') AS s FROM documents),
        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, substr(s, CAST(i AS INT), $k) AS gram
        |      FROM c, UNNEST(range(1, len(s) - $k + 2)) AS u(i)
        |      WHERE len(s) >= $k),
-       |hu AS (SELECT doc_id, pos, $h AS uv FROM g),
+       |dg AS (SELECT DISTINCT gram FROM g),
+       |dh AS (SELECT gram, $h AS uv FROM dg),
+       |hu AS (SELECT g.doc_id, g.pos, dh.uv FROM g JOIN dh USING (gram)),
        |hs AS (SELECT doc_id, pos,
        |         CASE WHEN uv >= $Two63 THEN uv - $Two64 ELSE uv END AS sval FROM hu),
        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM hs GROUP BY 1),
@@ -85,10 +110,7 @@ object HashSql {
        |        FROM wins w1 JOIN hs h2 ON h2.doc_id = w1.doc_id
        |          AND h2.pos BETWEEN w1.j AND w1.j + ${w - 1} AND h2.sval = w1.m
        |        GROUP BY w1.doc_id, w1.j, w1.m),
-       |fp AS (SELECT DISTINCT doc_id, pos, fp FROM sel)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
-       |  md5(string_agg((pos - 1) || ':' || fp, ',' ORDER BY pos)) AS fps_md5
-       |FROM fp GROUP BY doc_id""".stripMargin
+       |fp AS (SELECT DISTINCT doc_id, pos, fp FROM sel)""".stripMargin
   }
 
   /** Oracle for TextOps.capPerDomain over documents(source): deterministic

@@ -1124,6 +1124,8 @@ object Oracles {
     // winnowing fingerprints: bit-exact splitmix64 k-gram hashes, relational
     // windowed-min selection with the rightmost tie rule
     "q_dedup_winnow" -> HashSql.winnowSql(k = 8, w = 4, seed = 0x5eed5eedL),
+    "q_winnow_pairs" -> HashSql.winnowPairsSql(k = 8, w = 4, seed = 0x5eed5eedL,
+      minShared = 30L, maxBucket = 100),
 
     // exact discrete quantiles: the window row_number form IS the semantic
     // definition the distributed prefix-sum selection must match; rank =

@@ -1300,6 +1300,18 @@ object Queries {
     Dedup.winnowFingerprints(docs(spark, dir), "doc_id", "text", k = 8, w = 4)
       .orderBy("doc_id")
 
+  /** Winnowing-keyed candidate pairs: docs sharing >= 30 distinct
+    * fingerprint values under the df-capped inverted-index join
+    * (capBuckets 100). The synthetic corpus draws from a small vocabulary,
+    * so unrelated docs share a handful of grams; genuine near-dups share
+    * 100+ fingerprints — 30 separates the bands cleanly. Oracle replays
+    * the same selection + cap + pair count relationally.
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowCandidates(docs(spark, dir), "doc_id", "text",
+        k = 8, w = 4, minShared = 30L, maxBucket = 100)
+      .orderBy("id_a", "id_b")
+
   /** Exact global order statistics over document byte lengths via the
     * two-pass distributed prefix sum — never a global sort or a
     * single-partition window. Pure integer selection (rank =

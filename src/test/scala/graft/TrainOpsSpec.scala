@@ -1199,6 +1199,21 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(graft.dedup.Dedup.winnow("a b", k, w, 1L).isEmpty)
   }
 
+  test("winnowCandidates: dup/near-dup pairs surface, unrelated docs don't; cap silences mega-buckets") {
+    val got = graft.dedup.Dedup.winnowCandidates(docs, "doc_id", "text",
+        minShared = 3L, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0/2 exact dups, 1 a near-dup of both; 3 is unrelated prose
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)) && got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L })
+    // an exact-dup cluster larger than maxBucket produces ZERO pairs (the
+    // non-silent cap: exact dedup owns that cluster, not the fuzzy pass)
+    val clones = (0L until 150L).map(i => (i, "same content everywhere repeated verbatim"))
+      .toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.winnowCandidates(clones, "doc_id", "text",
+      minShared = 1L, maxBucket = 100).count() == 0L)
+  }
+
   test("exactQuantiles matches the global-sort definition, dupes and ties included") {
     // heavy duplication: values cycle 0..6, ids shuffled — ties must break on id
     val vals = Seq.tabulate(101)(i => ((i * 37 % 101).toLong, ((i * 13) % 7).toLong))
