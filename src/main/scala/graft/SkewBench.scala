@@ -26,6 +26,22 @@ object SkewBench {
     }.toDF("iri")
   }
 
+  /** Content-farm corpus for the boilerplate-strip A/B: one host carries 90%
+    * of all pages, every page of it sharing one banner line — the hot
+    * (host, line) key [[graft.textops.TextOps.stripHostBoilerplate]]'s
+    * salted joins exist for. salt=1 degenerates to the unsalted join (the
+    * banner's instances all probe one reducer); salt=16 spreads them.
+    */
+  def farmDocs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, 32).map { i =>
+      if (i % 10 != 0)
+        (i, "farm.example.org", s"mega banner line\nsecond shared footer\narticle $i body text")
+      else
+        (i, s"host${i % 5000}.example.net", s"cold prose $i\nbody $i")
+    }.toDF("doc_id", "host", "text")
+  }
+
   private def time(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
     val rows = f
@@ -48,11 +64,21 @@ object SkewBench {
     val iris = zipfIris(spark, n).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     iris.count() // materialize outside the timed region
 
+    val docs = farmDocs(spark, n / 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+
+    def strip(salt: Int): Long =
+      graft.textops.TextOps.stripHostBoilerplate(
+        docs, "doc_id", "host", "text", 2L, 3L, 5L, salt = salt).count()
+
     val variants: Seq[(String, () => Long)] = Seq(
       "counts_unsalted" -> (() => Inference.prefixCounts(iris, salt = 0).count()),
       "counts_salt32" -> (() => Inference.prefixCounts(iris, salt = 32).count()),
       "stats_exact" -> (() => Inference.prefixStats(iris).count()),
-      "stats_hll" -> (() => Inference.prefixStats(iris, approxUnique = true).count())
+      "stats_hll" -> (() => Inference.prefixStats(iris, approxUnique = true).count()),
+      "boiler_salt1" -> (() => strip(1)),
+      "boiler_salt16" -> (() => strip(16))
     )
     // warmup once each, then alternating measured reps (shared-host drift hits
     // all variants equally)
