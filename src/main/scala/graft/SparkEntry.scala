@@ -89,6 +89,7 @@ object SparkEntry {
     "q_sim_ivf" -> (Queries.simIvf _),
     "q_sem_dedup" -> (Queries.semanticDedup _),
     "q_embed_quant" -> (Queries.embedQuant _),
+    "q_embed_pq" -> (Queries.embedPq _),
     "q_kmeans" -> (Queries.kmeansAssign _),
     "q_kg_mentions" -> (Queries.kgMentions _),
     "q_text_langid" -> (Queries.textLangId _),

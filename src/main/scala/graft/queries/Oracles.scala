@@ -1127,6 +1127,31 @@ object Oracles {
     "q_winnow_pairs" -> HashSql.winnowPairsSql(k = 8, w = 4, seed = 0x5eed5eedL,
       minShared = 30L, maxBucket = 100),
 
+    // product-quantization codes: pinned closed-form integer codebook,
+    // relational per-subspace argmin with the lowest-index tie rule
+    "q_embed_pq" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1024) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT vec_id, s.s, j.j, d.d,
+        |    q[CAST(s.s * 16 + d.d + 1 AS INT)] AS qd
+        |  FROM q,
+        |    (SELECT UNNEST(range(0, 4)) AS s) s,
+        |    (SELECT UNNEST(range(0, 16)) AS j) j,
+        |    (SELECT UNNEST(range(0, 16)) AS d) d),
+        |dist AS (SELECT vec_id, s, j,
+        |    sum((qd - (24 + (211 * j + 97 * d + 59 * s) % 2001))
+        |      * (qd - (24 + (211 * j + 97 * d + 59 * s) % 2001))) AS dist
+        |  FROM dims GROUP BY 1, 2, 3),
+        |best AS (SELECT vec_id, s, j, dist,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+        |  FROM dist)
+        |SELECT vec_id,
+        |  string_agg(j, ',' ORDER BY s) AS codes_csv,
+        |  CAST(sum(dist) AS BIGINT) AS distortion
+        |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+
     // exact discrete quantiles: the window row_number form IS the semantic
     // definition the distributed prefix-sum selection must match; rank =
     // ceil(n*num/den) computed in integer arithmetic on both sides

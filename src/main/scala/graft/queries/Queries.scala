@@ -1300,6 +1300,17 @@ object Queries {
     Dedup.winnowFingerprints(docs(spark, dir), "doc_id", "text", k = 8, w = 4)
       .orderBy("doc_id")
 
+  /** Product-quantization codes over the embeddings table: 64 dims split
+    * into 4×16 subspaces, 16 sub-centroids each from the pinned closed-form
+    * integer codebook — exact integer L2, lowest-index ties, so codes and
+    * distortion are engine-exact. The oracle re-derives the codebook and
+    * unrolls the argmin relationally.
+    */
+  def embedPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   /** Winnowing-keyed candidate pairs: docs sharing >= 30 distinct
     * fingerprint values under the df-capped inverted-index join
     * (capBuckets 100). The synthetic corpus draws from a small vocabulary,

@@ -418,6 +418,55 @@ object Similarity {
     * centroids: `(id, cluster, dist2)`, tie → lowest centroid index (the
     * first position `array_position` finds).
     */
+  /** Product-quantization encoding — the fine half of the canonical IVF-PQ
+    * index ([[kMeansInt]] trains the coarse half): split the vector into `m`
+    * subspaces of `subDim` dims, assign each slice to its nearest of `kSub`
+    * sub-centroids by exact integer L2 (the kMeansInt micro-unit grid:
+    * floor(x·1000)+1024), emit the m-byte code word plus the total integer
+    * distortion. Ties take the lowest centroid index (`array_position`
+    * finds the first minimum) — same rule as the k-means assignment, so
+    * codes are bit-identical across engines and row orders.
+    *
+    * The codebook here is a pinned closed-form integer grid
+    * (`24 + (211·j + 97·d + 59·s) mod 2001` — spread over the quantized
+    * range, trivially re-derivable by the oracle); production trains it
+    * per-subspace with [[kMeansInt]] and broadcasts the k·dim-sized table
+    * the same way.
+    *
+    * Scale shape: a pure projection against broadcast-literal centroids —
+    * zero corpus shuffle, embarrassingly parallel, whole-stage-codegen'd
+    * array arithmetic; a 10^12-vector corpus encodes in one map pass and
+    * shrinks 256-byte float vectors to m-byte codes.
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      subDim: Int = 16,
+      kSub: Int = 16
+  ): DataFrame = {
+    require(m >= 1 && subDim >= 1 && kSub >= 1, "m, subDim, kSub must be >= 1")
+    def cent(s: Int, j: Int): Seq[Long] =
+      Seq.tabulate(subDim)(d => 24L + (211L * j + 97L * d + 59L * s) % 2001L)
+    val q = F.transform(F.col(vecCol), x =>
+      (F.floor(x.cast("double") * 1000) + 1024L).cast("long"))
+    val qv = df.select(F.col(idCol).cast("long").as("vec_id"), q.as("q"))
+    val perSub = (0 until m).map { s =>
+      val slice = F.slice(F.col("q"), s * subDim + 1, subDim)
+      val dists = F.array((0 until kSub).map { j =>
+        F.aggregate(
+          F.zip_with(slice, F.typedlit(cent(s, j)), (a, b) => (a - b) * (a - b)),
+          F.lit(0L), (acc, x) => acc + x)
+      }: _*)
+      ((F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+        F.array_min(dists))
+    }
+    qv.select(F.col("vec_id"),
+      F.concat_ws(",", perSub.map(_._1.cast("string")): _*).as("codes_csv"),
+      perSub.map(_._2).reduce(_ + _).as("distortion"))
+  }
+
   private def assignToCentroids(qv: DataFrame, cents: Array[Seq[Long]]): DataFrame = {
     val dists = cents.map { c =>
       F.aggregate(

@@ -324,6 +324,17 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$plan")
   }
 
+  test("PQ encoding is a pure projection: no exchange, no join, one scan") {
+    val df = Queries.embedPq(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"PQ encoding shuffles the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"PQ encoding joins:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single embeddings scan, saw $scans:\n$plan")
+  }
+
   test("exact quantiles: distributed prefix-sum selection, no global window") {
     // a Window.orderBy global rank would collapse the corpus into ONE
     // partition; the selection must run on the checkpointed range layout

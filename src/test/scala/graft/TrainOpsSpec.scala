@@ -1199,6 +1199,32 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(graft.dedup.Dedup.winnow("a b", k, w, 1L).isEmpty)
   }
 
+  test("pqEncode: exact argmin per subspace, reference parity, determinism") {
+    val m = 4; val subDim = 16; val kSub = 16
+    def cent(s: Int, j: Int): Seq[Long] =
+      Seq.tabulate(subDim)(d => 24L + (211L * j + 97L * d + 59L * s) % 2001L)
+    val vecs = Seq.tabulate(20)(i =>
+      (i.toLong, Array.tabulate(64)(d => ((i * 31 + d * 7) % 2000 - 1000) / 1000.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // straight-line reference: same grid, same argmin with lowest-j ties
+    vecs.foreach { case (id, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1000).toLong + 1024L)
+      val perSub = (0 until m).map { s =>
+        val slice = q.slice(s * subDim, (s + 1) * subDim)
+        val dists = (0 until kSub).map { j =>
+          slice.zip(cent(s, j)).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        val best = dists.zipWithIndex.minBy { case (dd, j) => (dd, j) }
+        (best._2, best._1)
+      }
+      val expCodes = perSub.map(_._1).mkString(",")
+      val expDist = perSub.map(_._2).sum
+      assert(got(id) == ((expCodes, expDist)), s"vec $id: ${got(id)} vs ($expCodes, $expDist)")
+    }
+  }
+
   test("winnowCandidates: dup/near-dup pairs surface, unrelated docs don't; cap silences mega-buckets") {
     val got = graft.dedup.Dedup.winnowCandidates(docs, "doc_id", "text",
         minShared = 3L, maxBucket = 100)
