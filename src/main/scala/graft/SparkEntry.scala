@@ -49,8 +49,10 @@ object SparkEntry {
     "q_rdf_parse" -> (Queries.rdfParse _),
     // KG pipeline over sf-scaled synthesized pages (full value oracles: the
     // splitmix page derivation is replicated in DuckDB SQL, queries/KgSql.scala)
+    "q_html_extract" -> (Queries.htmlExtract _),
     "q_kg_summary" -> (Queries.kgSummary _),
     "q_kg_triples" -> (Queries.kgTriples _),
+    "q_kg_domain_range" -> (Queries.kgDomainRange _),
     "q_kg_degrees" -> (Queries.kgDegrees _),
     "q_kg_pagerank" -> (Queries.kgPageRank _),
     "q_kg_triangles" -> (Queries.kgTriangles _),
@@ -109,6 +111,7 @@ object SparkEntry {
     "q_chunk_blocks" -> (Queries.chunkBlocks _),
     "q_text_normalize" -> (Queries.textNormalize _),
     "q_web_links" -> (Queries.webLinks _),
+    "q_anchor_text" -> (Queries.anchorText _),
     "q_host_graph" -> (Queries.hostGraph _),
     "q_text_unigram_lm" -> (Queries.textUnigramLm _),
     "q_text_bigram_lm" -> (Queries.textBigramLm _),

@@ -78,4 +78,46 @@ object Links {
   def hostGraph(links: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     links.groupBy("src_host", "tgt_host")
       .agg(F.count(F.lit(1)).as("n_links"))
+
+  private val AnchorRe = "<a\\s[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /** Per-page (resolved target, anchor text) relation — the classic
+    * entity-linking / ranking signal ("what does the web call this URL").
+    * Same extraction discipline as [[pageLinks]]: one codegen'd regex pass
+    * (group 1 = href, group 2 = inner text, paired positionally), fetchable
+    * filter, RFC 3986 resolution. ZERO shuffle — aggregation is owned by
+    * [[anchorTextProfile]].
+    */
+  def anchors(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      urlCol: String,
+      htmlCol: String
+  ): org.apache.spark.sql.DataFrame =
+    df.select(F.col(idCol).cast("long").as("id"), F.col(urlCol).as("base"),
+        F.regexp_extract_all(F.col(htmlCol), F.lit(AnchorRe), F.lit(2)).as("texts"),
+        F.posexplode(F.regexp_extract_all(F.col(htmlCol), F.lit(AnchorRe), F.lit(1)))
+          .as(Seq("pos", "href")))
+      .withColumn("anchor", F.element_at(F.col("texts"), F.col("pos") + 1))
+      .filter(isFetchable(F.col("href")))
+      .withColumn("resolved", resolve(F.col("base"), F.col("href")))
+      .filter(F.col("resolved").isNotNull)
+      .select(F.col("id"), F.col("resolved"), F.col("anchor"))
+
+  /** Per-target anchor-text profile: total in-link count, distinct anchor
+    * texts, and the most frequent text (ties by text, ascending) — argmax as
+    * an algebraic struct-MIN over `(-n, text)`, so a target with 10^9
+    * identical-text in-links collapses map-side; no window ever sees the
+    * link relation.
+    */
+  def anchorTextProfile(anchors: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    anchors.groupBy("resolved", "anchor")
+      .agg(F.count(F.lit(1)).as("n"))
+      .groupBy("resolved")
+      .agg(
+        F.sum("n").as("n_links"),
+        F.count(F.lit(1)).as("n_texts"),
+        F.min(F.struct((-F.col("n")).as("nn"), F.col("anchor").as("t"))).as("x"))
+      .select(F.col("resolved").as("tgt"), F.col("n_links"), F.col("n_texts"),
+        F.col("x.t").as("top_text"), (-F.col("x.nn")).as("top_n"))
 }

@@ -200,10 +200,12 @@ object KgSql {
     * (11 per-topic wiki children, 4 per-entity res children), and the
     * fixed-point exit ends round 2 (PipelineSpec + KgOracleSpec pin this).
     */
-  val summarySql: String =
-    s"WITH $triplesCtes,\n" +
+  /** Shared normalized-statement CTE (predicate IRI retained alongside the
+    * namespace keys) — used by [[summarySql]] and [[domainRangeSql]].
+    */
+  private val normCte: String =
     s"""norm AS (
-       |  SELECT
+       |  SELECT p,
        |    CASE WHEN k_s = 1 THEN 'BLANK'
        |         WHEN s LIKE '${Dict.dbr}%' THEN 'dbr'
        |         WHEN s LIKE '${Dict.wd}%' THEN 'wd'
@@ -224,9 +226,36 @@ object KgSql {
        |         WHEN o LIKE 'https://pages.example.com/wiki/%' THEN 'pages'
        |         ELSE 'UNKNOWN' END AS o_ns,
        |    k_o IN (2, 3, 4) AS is_datatype
-       |  FROM tr)
-       |SELECT s_ns, p_ns, o_ns, is_datatype, count(*) AS occurs
-       |FROM norm GROUP BY 1, 2, 3, 4""".stripMargin
+       |  FROM tr)""".stripMargin
+
+  val summarySql: String =
+    s"WITH $triplesCtes,\n$normCte\n" +
+    """SELECT s_ns, p_ns, o_ns, is_datatype, count(*) AS occurs
+      |FROM norm GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** Oracle for Queries.kgDomainRange: per-predicate namespace-level
+    * domain/range induction — the most frequent subject namespace and object
+    * namespace/literal group per predicate IRI, ties broken by namespace
+    * name (the engine's algebraic struct-min argmax uses the same
+    * (n DESC, ns ASC) order).
+    */
+  val domainRangeSql: String =
+    s"WITH $triplesCtes,\n$normCte,\n" +
+    """tot AS (SELECT p, count(*) AS n_stmts FROM norm GROUP BY 1),
+      |d AS (SELECT p, s_ns, count(*) AS n FROM norm GROUP BY 1, 2),
+      |dr AS (SELECT p, s_ns, n,
+      |         row_number() OVER (PARTITION BY p ORDER BY n DESC, s_ns) AS rn
+      |       FROM d),
+      |r AS (SELECT p, o_ns, count(*) AS n FROM norm GROUP BY 1, 2),
+      |rr AS (SELECT p, o_ns, n,
+      |         row_number() OVER (PARTITION BY p ORDER BY n DESC, o_ns) AS rn
+      |       FROM r)
+      |SELECT t.p, CAST(t.n_stmts AS BIGINT) AS n_stmts,
+      |  d.s_ns AS domain_ns, CAST(d.n AS BIGINT) AS domain_n,
+      |  r.o_ns AS range_ns, CAST(r.n AS BIGINT) AS range_n
+      |FROM tot t
+      |JOIN (SELECT * FROM dr WHERE rn = 1) d USING (p)
+      |JOIN (SELECT * FROM rr WHERE rn = 1) r USING (p)""".stripMargin
 
   /** Oracle for Queries.kgDegrees (graft.kg.GraphOps.entityDegrees): nodes
     * are IRI/blank terms (k 0/1); out-degree counts ALL outgoing statements
@@ -633,4 +662,40 @@ object KgSql {
          |  SELECT a AS node FROM eu$rounds UNION ALL SELECT b FROM eu$rounds)
          |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
   }
+
+  /** Oracle for Queries.htmlExtract — the north-rule per-row invariant
+    * (`extractText(html) == text`, byte-identical per url) surfaced through
+    * the driver gate. Reconstructs the expected extracted text closed-form
+    * from the generation rule (title line, relation sentences in k order,
+    * born/abstract/someone lines, the Mercury disambiguation-context line,
+    * the long-tail gadget line for bench-range ids) and md5-hashes it; the
+    * ENGINE hashes what its real HTML parser extracted from the html BYTES,
+    * so a single flipped byte in the extractor or the synthesizer fails the
+    * rows+schema+hash compare.
+    */
+  val extractSql: String =
+    s"WITH $pagesCtes,\n" +
+    s"""relagg AS (
+       |  SELECT r.id,
+       |    string_agg(p.topic || ' ' || r.phrase || ' ' || r.obj || '.',
+       |               chr(10) ORDER BY r.k) AS rtext
+       |  FROM rels r JOIN pg p USING (id) GROUP BY r.id),
+       |txt AS (
+       |  SELECT p.url,
+       |    p.topic || chr(10) || ra.rtext || chr(10)
+       |      || p.topic || ' was born in ' || p.year || '.' || chr(10)
+       |      || p.topic || ' is described on page ' || p.id || '.' || chr(10)
+       |      || 'Someone knows ' || p.topic || '.'
+       |      || CASE WHEN p.topic = 'Mercury'
+       |           THEN chr(10) || CASE WHEN p.mb = 0 THEN 'It is a planet in orbit.'
+       |                                ELSE 'It is a liquid metal.' END
+       |           ELSE '' END
+       |      || CASE WHEN p.id >= 100000 AND p.id % 1009 < 8
+       |           THEN chr(10) || 'Someone knows Tachyon Spool ' || (p.id % 1009) || '.'
+       |           ELSE '' END AS text
+       |  FROM pg p JOIN relagg ra ON ra.id = p.id)
+       |SELECT url, md5(text) AS text_md5,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  TRUE AS matches
+       |FROM txt""".stripMargin
 }

@@ -439,9 +439,11 @@ object Oracles {
         |WHERE rank <= 5""".stripMargin,
 
     // KG-construction path: bit-exact splitmix page-corpus replication (KgSql)
+    "q_html_extract" -> KgSql.extractSql,
     "q_kg_mentions" -> KgSql.mentionsSql,
     "q_kg_triples" -> KgSql.triplesSql,
     "q_kg_summary" -> KgSql.summarySql,
+    "q_kg_domain_range" -> KgSql.domainRangeSql,
     "q_kg_degrees" -> KgSql.degreesSql,
     "q_kg_pagerank" -> KgSql.pageRankSql,
     "q_kg_triangles" -> KgSql.trianglesSql,
@@ -756,6 +758,32 @@ object Oracles {
     // resolved URL set closed-form per href kind (the engine does real
     // regex extraction + java.net.URI reference resolution)
     "q_web_links" -> webLinksSql,
+
+    // per-target anchor-text profile: targets/texts re-derived closed-form
+    // per link kind; argmax replayed as a window over (n DESC, text ASC)
+    "q_anchor_text" ->
+      """WITH a AS (
+        |  SELECT 'https://ext' || (doc_id % 20) || '.example.net/x/' || doc_id AS tgt,
+        |         'e' AS anchor FROM documents
+        |  UNION ALL
+        |  SELECT 'https://site' || (doc_id % 50) || '.example.org/r/' || (doc_id % 10),
+        |         'r' || (doc_id % 7) FROM documents
+        |  UNION ALL
+        |  SELECT 'https://site' || (doc_id % 50) || '.example.org/dir/a/b' || (doc_id % 5),
+        |         'rel' || (doc_id % 3) FROM documents
+        |  UNION ALL
+        |  SELECT 'https://site' || (doc_id % 50) || '.example.org/up' || (doc_id % 3),
+        |         'up' FROM documents),
+        |c AS (SELECT tgt, anchor, count(*) AS n FROM a GROUP BY 1, 2),
+        |p AS (SELECT tgt, anchor, n,
+        |        row_number() OVER (PARTITION BY tgt ORDER BY n DESC, anchor) AS rn,
+        |        sum(n) OVER (PARTITION BY tgt) AS n_links,
+        |        count(*) OVER (PARTITION BY tgt) AS n_texts
+        |      FROM c)
+        |SELECT tgt, CAST(n_links AS BIGINT) AS n_links,
+        |  CAST(n_texts AS BIGINT) AS n_texts,
+        |  anchor AS top_text, CAST(n AS BIGINT) AS top_n
+        |FROM p WHERE rn = 1""".stripMargin,
 
     // host-level link graph over the same fixture: per-doc 1 external +
     // 3 self-host links, aggregated

@@ -489,6 +489,29 @@ object Queries {
   def kgPageCount(spark: SparkSession, dir: String): Long =
     docs(spark, dir).count() * 4
 
+  /** The north-rule per-row invariant as a first-class driver query:
+    * deterministic HTML->text extraction, byte-identical per url
+    * ([[graft.extract.HtmlText]], cf. BASELINE.json `input_hint`). The ENGINE
+    * runs the real extractor over the html BYTES and hashes the result; the
+    * oracle ([[KgSql.extractSql]]) reconstructs the expected text closed-form
+    * from the generation rule and hashes independently — the two sides share
+    * no code path, so any extractor or synthesizer drift fails the gate.
+    * Scale shape: pure per-row projection — zero shuffle, the corpus never
+    * leaves its scan partitions (the `matches` flag compares against the
+    * carried `text` column in the same task).
+    */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.extract.Synth.pages(spark, kgPageCount(spark, dir))
+      .map(p => (p.url, graft.extract.HtmlText.extractText(p.html), p.text))
+      .toDF("url", "etext", "text")
+      .select(F.col("url"),
+        F.md5(F.col("etext").cast("binary")).as("text_md5"),
+        F.length(F.col("etext")).cast("long").as("n_chars"),
+        (F.col("etext") === F.col("text")).as("matches"))
+      .orderBy("url")
+  }
+
   /** Mention detection + entity-link scoring over synthesized pages
     * (north-rule KG stage as a first-class query; value oracle in
     * [[KgSql.mentionsSql]]).
@@ -690,6 +713,37 @@ object Queries {
     val cfg = graft.pipeline.Pipeline.Config(outDir = out, minOccurs = 5,
       minNsSize = 100, minDomainOccurs = 10, resume = false)
     graft.pipeline.Pipeline.run(spark, pages, cfg).summary
+  }
+
+  /** Per-predicate namespace-level domain/range induction (schema discovery
+    * stage of KG construction): for each predicate IRI, the most frequent
+    * subject namespace (domain) and object namespace / literal group (range)
+    * with support counts, under the SAME registry the summary uses. Argmax is
+    * an algebraic struct-MIN over `(-n, ns)` — partial-aggregates map-side,
+    * never a window over statements; the group space is |predicates| x
+    * |namespaces| (tiny at any corpus size) and the final joins are
+    * predicate-vocabulary-sized, so AQE broadcasts them. Value oracle in
+    * [[KgSql.domainRangeSql]] re-derives with windowed argmax over the same
+    * (n DESC, ns ASC) order.
+    */
+  def kgDomainRange(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-kg-dr").toString
+    val pages = graft.extract.Synth.pages(spark, kgPageCount(spark, dir))
+    val cfg = graft.pipeline.Pipeline.Config(outDir = out, minOccurs = 5,
+      minNsSize = 100, minDomainOccurs = 10, resume = false)
+    val res = graft.pipeline.Pipeline.run(spark, pages, cfg)
+    val bc = spark.sparkContext.broadcast(res.registry)
+    val norm = Normalize.normalize(res.triples, bc).select("p", "s_ns", "o_ns")
+    def argmaxSide(col: String, outNs: String, outN: String): DataFrame =
+      norm.groupBy(F.col("p"), F.col(col).as(outNs))
+        .agg(F.count(F.lit(1)).as(outN))
+        .groupBy("p")
+        .agg(F.min(F.struct((-F.col(outN)).as("nn"), F.col(outNs).as("ns"))).as("x"))
+        .select(F.col("p"), F.col("x.ns").as(outNs), (-F.col("x.nn")).as(outN))
+    val tot = norm.groupBy("p").agg(F.count(F.lit(1)).as("n_stmts"))
+    tot.join(argmaxSide("s_ns", "domain_ns", "domain_n"), "p")
+      .join(argmaxSide("o_ns", "range_ns", "range_n"), "p")
+      .orderBy("p")
   }
 
   /** The SAME summary as [[kgSummary]], produced by the STREAMING path
@@ -931,7 +985,12 @@ object Queries {
     graft.extract.Links.hostGraph(linkFixture(spark, dir))
       .orderBy("src_host", "tgt_host")
 
-  private def linkFixture(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared synthesized link-fixture pages: anchor TEXTS vary on different
+    * moduli than their targets so the anchor-text profile has real text
+    * collisions and argmax ties to break (hrefs unchanged — the q_web_links
+    * / q_host_graph oracles only see targets).
+    */
+  private def linkFixturePages(spark: SparkSession, dir: String): DataFrame = {
     val id = F.col("doc_id")
     def s(c: Column) = c.cast("string")
     val base = F.concat(F.lit("https://site"), s(id % 50),
@@ -939,15 +998,28 @@ object Queries {
     val html = F.concat(
       F.lit("<html><body>\n<a href=\"https://ext"), s(id % 20),
       F.lit(".example.net/x/"), s(id), F.lit("\">e</a>\n"),
-      F.lit("<a class=\"m\" href=\"/r/"), s(id % 10), F.lit("\">r</a>\n"),
-      F.lit("<a href=\"a/b"), s(id % 5), F.lit("\">rel</a>\n"),
+      F.lit("<a class=\"m\" href=\"/r/"), s(id % 10), F.lit("\">r"), s(id % 7), F.lit("</a>\n"),
+      F.lit("<a href=\"a/b"), s(id % 5), F.lit("\">rel"), s(id % 3), F.lit("</a>\n"),
       F.lit("<a href=\"../up"), s(id % 3), F.lit("\">up</a>\n"),
       F.lit("<a href=\"#sec\">f</a>\n<a href=\"mailto:x@y.example\">m</a>\n"),
       F.lit("</body></html>"))
-    graft.extract.Links.pageLinks(
-      docs(spark, dir).select(id, base.as("url"), html.as("html")),
-      "doc_id", "url", "html")
+    docs(spark, dir).select(id, base.as("url"), html.as("html"))
   }
+
+  private def linkFixture(spark: SparkSession, dir: String): DataFrame =
+    graft.extract.Links.pageLinks(
+      linkFixturePages(spark, dir), "doc_id", "url", "html")
+
+  /** Per-target anchor-text profile over the link fixture ("what does the
+    * web call this URL" — the entity-linking prior): total in-links,
+    * distinct texts, most frequent text with algebraic struct-min argmax
+    * ([[graft.extract.Links.anchorTextProfile]]).
+    */
+  def anchorText(spark: SparkSession, dir: String): DataFrame =
+    graft.extract.Links.anchorTextProfile(
+      graft.extract.Links.anchors(
+        linkFixturePages(spark, dir), "doc_id", "url", "html"))
+      .orderBy("tgt")
 
   /** Corpus-unigram LM scoring (CCNet-style perplexity-filter signal). */
   def textUnigramLm(spark: SparkSession, dir: String): DataFrame =

@@ -25,6 +25,13 @@ class ExtractSpec extends AnyFunSuite {
       val got = HtmlText.extractText(p.html)
       assert(got == p.text, s"page $id:\n---got---\n$got\n---want---\n${p.text}")
     }
+    // bench-range ids: the long-tail gadget line (ids >= 100000, id % 1009 < 8)
+    // must round-trip too — the q_html_extract oracle reconstructs it
+    (100000L until 100000L + 2018L).foreach { id =>
+      val p = Synth.page(id)
+      assert(HtmlText.extractText(p.html) == p.text, s"tail page $id")
+    }
+    assert((100000L until 102018L).exists(id => Synth.page(id).text.contains("Tachyon Spool")))
   }
 
   test("synthesis is deterministic across calls") {

@@ -39,6 +39,35 @@ class KgOracleSpec extends AnyFunSuite {
     assert(!keys.contains("UNKNOWN"))
   }
 
+  test("domain/range induction: algebraic struct-min argmax ≡ window argmax") {
+    // the engine's map-side-combining argmax (min over (-n, ns)) must pick
+    // exactly the row a (n DESC, ns ASC) window rank-1 would — the oracle
+    // contract of KgSql.domainRangeSql
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{functions => F}
+    val r = runAt(400)
+    val bc = spark.sparkContext.broadcast(r.registry)
+    val norm = graft.summarize.Normalize.normalize(r.triples, bc)
+      .select("p", "s_ns", "o_ns").cache()
+    def windowArgmax(col: String): Map[String, (String, Long)] = {
+      val w = Window.partitionBy("p")
+        .orderBy(F.col("n").desc, F.col(col).asc)
+      norm.groupBy("p", col).agg(F.count(F.lit(1)).as("n"))
+        .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") === 1)
+        .collect().map(x => x.getString(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    }
+    def algArgmax(col: String): Map[String, (String, Long)] =
+      norm.groupBy(F.col("p"), F.col(col).as("ns"))
+        .agg(F.count(F.lit(1)).as("n"))
+        .groupBy("p")
+        .agg(F.min(F.struct((-F.col("n")).as("nn"), F.col("ns").as("ns"))).as("x"))
+        .select(F.col("p"), F.col("x.ns"), (-F.col("x.nn")).as("n"))
+        .collect().map(x => x.getString(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(algArgmax("s_ns") == windowArgmax("s_ns"))
+    assert(algArgmax("o_ns") == windowArgmax("o_ns"))
+    norm.unpersist()
+  }
+
   test("kg page corpus scales with the documents table (4x)") {
     val n = graft.queries.Queries.kgPageCount(spark, "/root/testdata/sf0.001")
     assert(n == 2000L)

@@ -1092,6 +1092,41 @@ class TrainOpsSpec extends AnyFunSuite {
       ("site.example.org", "site.example.org") -> 4L))
   }
 
+  test("Links.anchors: text pairs positionally with href across dropped links") {
+    import graft.extract.Links
+    // a mailto link BETWEEN two fetchable ones: positional pairing must
+    // survive the post-pairing fetchability filter (texts keep their own
+    // match positions, not the filtered ones)
+    val html =
+      """<a href="/a">first</a>
+        |<a href="mailto:x@y.example">mail</a>
+        |<a href="/b">second</a>
+        |<a href="#f">frag</a>
+        |<a href="/a">third</a>""".stripMargin
+    val d = Seq((1L, "https://h.example.org/p", html)).toDF("id", "url", "html")
+    val got = Links.anchors(d, "id", "url", "html")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("https://h.example.org/a", "first"),
+      ("https://h.example.org/b", "second"),
+      ("https://h.example.org/a", "third")))
+  }
+
+  test("Links.anchorTextProfile: counts, distinct texts, argmax tie by text asc") {
+    import graft.extract.Links
+    val a = Seq(
+      ("t1", "x"), ("t1", "x"), ("t1", "y"),          // clear winner x (2)
+      ("t2", "b"), ("t2", "a"),                        // tie 1-1 → "a" (asc)
+      ("t3", "only")
+    ).toDF("resolved", "anchor")
+    val got = Links.anchorTextProfile(a).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got("t1") == ((3L, 2L, "x", 2L)))
+    assert(got("t2") == ((2L, 2L, "a", 1L)))
+    assert(got("t3") == ((1L, 1L, "only", 1L)))
+  }
+
   test("bpePairCounts: adjacent pairs counted, top order (freq desc, pair asc)") {
     val d = Seq(
       (0L, "a b a b c"),   // pairs: "a b", "b a", "a b", "b c"
