@@ -94,6 +94,7 @@ object SparkEntry {
     "q_embed_pq" -> (Queries.embedPq _),
     "q_kmeans" -> (Queries.kmeansAssign _),
     "q_kg_mentions" -> (Queries.kgMentions _),
+    "q_el_priors" -> (Queries.elPriors _),
     "q_text_langid" -> (Queries.textLangId _),
     "q_text_filter" -> (Queries.textFilter _),
     "q_split_train_val" -> (Queries.splitTrainVal _),

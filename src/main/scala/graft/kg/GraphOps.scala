@@ -167,6 +167,31 @@ object GraphOps {
       .agg(F.count(F.lit(1)).as("n_pages"))
   }
 
+  /** Entity-linking commonness prior P(entity | surface) — the Milne-Witten
+    * table that seeds every anchor-dictionary linker: for each (surface form,
+    * entity) pair observed in the mention stream, the link count, the
+    * surface's total mention count and candidate-entity count (ambiguity),
+    * and the prior as ONE IEEE divide of two exact longs (so both engines
+    * compute the identical double).
+    *
+    * Scale shape: one algebraic count over (surface, entity) — a surface
+    * mentioned on 10^9 pages collapses map-side — then per-surface totals
+    * over the VOCABULARY-sized pair table, joined back on surface (both
+    * sides post-aggregation, AQE broadcasts). The mention stream itself is
+    * touched exactly once; no window ever sees it.
+    */
+  def mentionPriors(mentions: DataFrame): DataFrame = {
+    val pair = mentions
+      .groupBy(F.col("surface"), F.col("entityIri").as("entity_iri"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val tot = pair.groupBy("surface")
+      .agg(F.sum("n").as("n_surface"), F.count(F.lit(1)).as("n_entities"))
+    pair.join(tot, "surface")
+      .select(F.col("surface"), F.col("entity_iri"), F.col("n"),
+        F.col("n_surface"), F.col("n_entities"),
+        (F.col("n").cast("double") / F.col("n_surface")).as("prior"))
+  }
+
   /** Cross-KB identity resolution by shared surface labels — the
     * `owl:sameAs`-closure step of KG construction: two entity IRIs observed
     * under the same label anywhere in the corpus are merged, transitively

@@ -382,6 +382,22 @@ object KgSql {
        |FROM pe a JOIN pe b ON a.url = b.url AND a.iri < b.iri
        |GROUP BY 1, 2""".stripMargin
 
+  /** Oracle for Queries.elPriors: the Milne-Witten commonness prior per
+    * (surface, entity) over the mention stream (mentionsSql embedded as a
+    * pre-stripped subquery — see the mentionsSql NOTE). Counts are exact
+    * BIGINTs; the prior is the identical single IEEE divide the engine
+    * performs (DOUBLE/DOUBLE of two exact longs).
+    */
+  val elPriorSql: String =
+    "WITH pair AS (\n" +
+    "  SELECT surface, \"entityIri\" AS entity_iri, count(*) AS n\n" +
+    "  FROM (\n" + mentionsSql + "\n) m GROUP BY 1, 2),\n" +
+    s"""tot AS (SELECT surface, sum(n) AS ns, count(*) AS ne FROM pair GROUP BY 1)
+       |SELECT p.surface, p.entity_iri, CAST(p.n AS BIGINT) AS n,
+       |  CAST(t.ns AS BIGINT) AS n_surface, CAST(t.ne AS BIGINT) AS n_entities,
+       |  CAST(p.n AS DOUBLE) / CAST(t.ns AS DOUBLE) AS prior
+       |FROM pair p JOIN tot t USING (surface)""".stripMargin
+
   /** Shared CTE list for the sameAs-closure queries: distinct label↔entity
     * pairs from the mention relation (embedded as a pre-stripped subquery —
     * see the mentionsSql NOTE), per-label min-entity star edges, and the

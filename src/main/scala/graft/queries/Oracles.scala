@@ -441,6 +441,7 @@ object Oracles {
     // KG-construction path: bit-exact splitmix page-corpus replication (KgSql)
     "q_html_extract" -> KgSql.extractSql,
     "q_kg_mentions" -> KgSql.mentionsSql,
+    "q_el_priors" -> KgSql.elPriorSql,
     "q_kg_triples" -> KgSql.triplesSql,
     "q_kg_summary" -> KgSql.summarySql,
     "q_kg_domain_range" -> KgSql.domainRangeSql,

@@ -525,6 +525,19 @@ object Queries {
       .orderBy("srcUrl", "start")
   }
 
+  /** Entity-linking commonness prior table P(entity | surface) over the
+    * mention stream ([[graft.kg.GraphOps.mentionPriors]]; value oracle in
+    * [[KgSql.elPriorSql]] — the prior is one IEEE divide of two exact longs,
+    * identical across engines).
+    */
+  def elPriors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = graft.extract.Synth.pages(spark, kgPageCount(spark, dir))
+      .flatMap(p => graft.extract.Mentions.mentionsOf(p.url, p.text))
+      .toDF()
+    graft.kg.GraphOps.mentionPriors(m).orderBy("surface", "entity_iri")
+  }
+
   /** Stage-A OpenIE extraction as a first-class query (value oracle in
     * [[KgSql.triplesSql]]).
     */

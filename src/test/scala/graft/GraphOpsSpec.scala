@@ -105,6 +105,26 @@ class GraphOpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("mentionPriors: counts, ambiguity, priors sum to 1 per surface") {
+    val mentions = Seq(
+      ("u1", "Mercury", "E_planet"), ("u2", "Mercury", "E_planet"),
+      ("u3", "Mercury", "E_planet"), ("u4", "Mercury", "E_metal"),
+      ("u1", "Paris", "E_city"),
+      ("u2", "Paris", "E_city")
+    ).toDF("srcUrl", "surface", "entityIri")
+    val got = GraphOps.mentionPriors(mentions).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(("Mercury", "E_planet")) == ((3L, 4L, 2L, 0.75)))
+    assert(got(("Mercury", "E_metal")) == ((1L, 4L, 2L, 0.25)))
+    assert(got(("Paris", "E_city")) == ((2L, 2L, 1L, 1.0)))
+    // power-of-2 denominators in this fixture -> the IEEE divides are exact
+    // and sum to exactly 1 per surface
+    got.toSeq.groupBy(_._1._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2._4).sum == 1.0)
+    }
+  }
+
   test("resolveByLabel: transitive closure through shared labels") {
     // L1:{A,B}, L2:{B,C} chain -> {A,B,C} one class through multi-label B;
     // L3:{D} singleton maps to itself; L4:{E,F} separate class
