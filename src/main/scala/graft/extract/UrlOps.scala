@@ -134,4 +134,41 @@ object UrlOps {
       .agg(F.max(F.struct(packed: _*)).as("w"))
       .select(keyCols.map(F.col) ++ (orderCols ++ payload).map(c => F.col(s"w.$c")): _*)
   }
+
+  /** Redirect-chain resolution over a crawl's `(src, dst)` redirect relation
+    * (301/302/canonical-link edges): every source URL maps to the terminal
+    * URL of its chain with the hop count — the canonical-URL rewrite table
+    * every dedup and link-graph stage wants. A source listed with several
+    * targets keeps the lexicographic minimum (algebraic, deterministic).
+    * `resolved` is false when `rounds` doublings did not reach a terminal
+    * (chain longer than 2^rounds, or a redirect cycle).
+    *
+    * Scale shape: pointer jumping — `rounds` self-joins compose the mapping
+    * with itself, so a length-L chain resolves in ceil(log2 L) rounds, never
+    * L sequential joins; hop counts add associatively during each doubling.
+    * All joins are on the redirect RELATION (bounded by the number of
+    * redirecting URLs, never the corpus); each round localCheckpoints (on a
+    * cluster: reliable checkpoint) to cut the doubling lineage.
+    */
+  def resolveRedirects(
+      edges: org.apache.spark.sql.DataFrame,
+      rounds: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val f0 = edges.groupBy(F.col("src")).agg(F.min(F.col("dst")).as("dst"))
+      .withColumn("hops", F.lit(1L)).localCheckpoint()
+    var f = f0
+    var r = 0
+    while (r < rounds) {
+      f = f.as("a").join(f.as("b"), F.col("a.dst") === F.col("b.src"), "left")
+        .select(F.col("a.src").as("src"),
+          F.coalesce(F.col("b.dst"), F.col("a.dst")).as("dst"),
+          (F.col("a.hops") + F.coalesce(F.col("b.hops"), F.lit(0L))).as("hops"))
+        .localCheckpoint()
+      r += 1
+    }
+    val srcs = f0.select(F.col("src").as("still_src")).distinct()
+    f.join(srcs, F.col("dst") === F.col("still_src"), "left")
+      .select(F.col("src"), F.col("dst").as("final_url"), F.col("hops"),
+        F.col("still_src").isNull.as("resolved"))
+  }
 }

@@ -983,6 +983,23 @@ object Oracles {
     // url_raw in the output pins the synthesis itself
     "q_url_normalize" -> urlNormalizeSql,
 
+    // redirect-chain walk to the terminal as a RECURSIVE CTE; the engine's
+    // pointer jumping (3 doublings >= max chain 7) must land on the same
+    // terminal with the same hop count
+    "q_url_redirects" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'https://r.example.org/u' || doc_id AS src,
+        |         'https://r.example.org/u' || (doc_id - 1) AS dst
+        |  FROM documents WHERE doc_id % 8 <> 0),
+        |walk AS (
+        |  SELECT src, dst AS cur, 1 AS hops FROM e
+        |  UNION ALL
+        |  SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.cur)
+        |SELECT w.src, w.cur AS final_url, CAST(w.hops AS BIGINT) AS hops,
+        |  TRUE AS resolved
+        |FROM walk w
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)""".stripMargin,
+
     // hashed-feature linear classifier: per-feature polyhash31 (exact
     // integer ascii arithmetic) -> splitmix64 bucket -> splitmix64 integer
     // per-mille weight, per-doc exact integer sum. The engine computes the

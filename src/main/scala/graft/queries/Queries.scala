@@ -715,6 +715,21 @@ object Queries {
       .orderBy("slug")
   }
 
+  /** Redirect-chain resolution over a synthesized crawl redirect relation:
+    * doc_ids not divisible by 8 redirect one step down (`u{i} -> u{i-1}`),
+    * giving chains of length 1..7 onto the `u{8k}` terminals; 3 pointer-
+    * jumping doublings (2^3 >= 7) resolve every chain
+    * ([[graft.extract.UrlOps.resolveRedirects]]). Oracle replays the walk
+    * as a DuckDB RECURSIVE CTE to the terminal.
+    */
+  def urlRedirects(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    def u(c: Column) = F.concat(F.lit("https://r.example.org/u"), c.cast("string"))
+    val edges = docs(spark, dir).filter(id % 8 =!= 0)
+      .select(u(id).as("src"), u(id - 1).as("dst"))
+    graft.extract.UrlOps.resolveRedirects(edges, rounds = 3).orderBy("src")
+  }
+
   /** The flagship end-to-end pipeline (extract -> infer -> normalize ->
     * summarize) over the sf-scaled corpus; value oracle in
     * [[KgSql.summarySql]] (inference outcome pinned + scale-stable for this

@@ -1092,6 +1092,32 @@ class TrainOpsSpec extends AnyFunSuite {
       ("site.example.org", "site.example.org") -> 4L))
   }
 
+  test("resolveRedirects: log-round pointer jumping, min-dst tie, cycle flagged") {
+    import graft.extract.UrlOps
+    val edges = Seq(
+      // chain of 5: a->b->c->d->e->T (resolves in 3 doublings, 2^3 >= 5)
+      ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "T"),
+      // duplicate-src: keeps the lexicographic min target
+      ("x", "z"), ("x", "y"),
+      // 2-cycle: never terminal -> resolved = false
+      ("p", "q"), ("q", "p")
+    ).toDF("src", "dst")
+    val got = UrlOps.resolveRedirects(edges, rounds = 3).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got("a") == (("T", 5L, true)))
+    assert(got("b") == (("T", 4L, true)))
+    assert(got("e") == (("T", 1L, true)))
+    assert(got("x") == (("y", 1L, true)))   // min("y","z") = "y", terminal
+    assert(got("p")._3 == false)            // cycle: still a source
+    assert(got("q")._3 == false)
+    // insufficient rounds leave a long chain unresolved (truthful flag)
+    val short = UrlOps.resolveRedirects(edges, rounds = 1).collect()
+      .map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(short("a") == false)             // 2^1 = 2 hops < 5
+    assert(short("e") == true)
+  }
+
   test("Links.anchors: text pairs positionally with href across dropped links") {
     import graft.extract.Links
     // a mailto link BETWEEN two fetchable ones: positional pairing must
