@@ -58,6 +58,7 @@ object SparkEntry {
     "q_kg_triangles" -> (Queries.kgTriangles _),
     "q_kg_cooccur" -> (Queries.kgCooccur _),
     "q_kg_jaccard" -> (Queries.kgNeighborJaccard _),
+    "q_kg_resource_alloc" -> (Queries.kgResourceAlloc _),
     "q_kg_signatures" -> (Queries.kgSignatures _),
     "q_kg_pred_stats" -> (Queries.kgPredStats _),
     "q_kg_entity_resolve" -> (Queries.kgEntityResolve _),

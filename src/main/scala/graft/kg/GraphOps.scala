@@ -742,6 +742,43 @@ object GraphOps {
     * `minShared` filter prunes the long tail of coincidental single-shared
     * pairs before the two degree joins.
     */
+  /** Resource-Allocation link-prediction index — the exact-integer
+    * counterpart of Adamic-Adar: `RA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/deg(z)`,
+    * scored in integer micro-units (`1000000 div deg(z)` summed exactly, no
+    * transcendental log between the engines). High-degree shared neighbors
+    * contribute least, so the hub cap that bounds pair generation drops only
+    * the near-zero tail of the score — same one-consistent-semantics rule as
+    * [[neighborJaccard]] (hubs are excluded from pair generation AND the
+    * score on both engine and oracle sides).
+    *
+    * Scale shape: identical to neighborJaccard — distinct undirected edges,
+    * hub-capped inverted adjacency (per-neighbor fan-out ≤ C(maxDeg, 2)),
+    * algebraic count + sum roll-up; the per-neighbor weight rides the
+    * adjacency row so scoring adds no join.
+    */
+  def resourceAllocation(
+      triples: DataFrame,
+      maxDeg: Long = 64L,
+      minShared: Long = 2L
+  ): DataFrame = {
+    val eu = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*) && F.col("s") =!= F.col("o"))
+      .select(F.least(F.col("s"), F.col("o")).as("a"),
+        F.greatest(F.col("s"), F.col("o")).as("b"))
+      .distinct()
+    val adj = eu.select(F.col("a").as("e"), F.col("b").as("n"))
+      .union(eu.select(F.col("b").as("e"), F.col("a").as("n")))
+    val nd = adj.groupBy("n").agg(F.count(F.lit(1)).as("dn"))
+    val cold = adj.join(nd.filter(F.col("dn") <= maxDeg), "n")
+      .withColumn("w", F.expr("1000000 div dn"))
+    cold.as("x").join(cold.as("y"),
+        F.col("x.n") === F.col("y.n") && F.col("x.e") < F.col("y.e"))
+      .groupBy(F.col("x.e").as("e1"), F.col("y.e").as("e2"))
+      .agg(F.count(F.lit(1)).as("shared"), F.sum(F.col("x.w")).as("ra_micro"))
+      .filter(F.col("shared") >= minShared)
+  }
+
   def neighborJaccard(
       triples: DataFrame,
       maxDeg: Long = 64L,

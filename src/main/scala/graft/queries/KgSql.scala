@@ -370,6 +370,24 @@ object KgSql {
        |    CAST(d1.d + d2.d - pr.shared AS DOUBLE) AS jacc
        |FROM pr JOIN dg d1 ON d1.e = pr.e1 JOIN dg d2 ON d2.e = pr.e2""".stripMargin
 
+  /** Oracle for Queries.kgResourceAlloc: Resource-Allocation index in exact
+    * integer micro-units over the same hub-filtered undirected graph as
+    * [[neighborJaccardSql]] — `1000000 // deg(z)` summed per shared
+    * neighbor; no IEEE op at all, both engines sum identical longs.
+    */
+  def resourceAllocSql(maxDeg: Long, minShared: Long): String =
+    s"WITH $triplesCtes,\n" +
+    s"""eu AS (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+       |  FROM tr WHERE k_s IN (0, 1) AND k_o IN (0, 1) AND s <> o),
+       |adj AS (SELECT a AS e, b AS n FROM eu UNION ALL SELECT b, a FROM eu),
+       |nd AS (SELECT n, count(*) AS dn FROM adj GROUP BY 1),
+       |cold AS (SELECT adj.e, adj.n, 1000000 // nd.dn AS w
+       |  FROM adj JOIN nd USING (n) WHERE nd.dn <= $maxDeg)
+       |SELECT x.e AS e1, y.e AS e2, CAST(count(*) AS BIGINT) AS shared,
+       |  CAST(sum(x.w) AS BIGINT) AS ra_micro
+       |FROM cold x JOIN cold y ON y.n = x.n AND x.e < y.e
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin
+
   /** Oracle for Queries.kgCooccur: unordered same-page entity pairs over the
     * distinct (page, entity) mention projection. mentionsSql is embedded as a
     * pre-stripped subquery (NEVER re-stripMargin'd — see the mentionsSql

@@ -449,6 +449,7 @@ object Oracles {
     "q_kg_pagerank" -> KgSql.pageRankSql,
     "q_kg_triangles" -> KgSql.trianglesSql,
     "q_kg_jaccard" -> KgSql.neighborJaccardSql(maxDeg = 64L, minShared = 2L),
+    "q_kg_resource_alloc" -> KgSql.resourceAllocSql(maxDeg = 64L, minShared = 2L),
     "q_kg_signatures" -> KgSql.signaturesSql,
     "q_kg_pred_stats" -> KgSql.predStatsSql,
     "q_kg_cooccur" -> KgSql.cooccurSql,

@@ -587,6 +587,14 @@ object Queries {
     graft.kg.GraphOps.neighborJaccard(kgTriples(spark, dir))
       .orderBy("e1", "e2")
 
+  /** Resource-Allocation link-prediction index in exact integer micro-units
+    * ([[graft.kg.GraphOps.resourceAllocation]]; oracle
+    * [[KgSql.resourceAllocSql]] — no IEEE op on either side).
+    */
+  def kgResourceAlloc(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.resourceAllocation(kgTriples(spark, dir))
+      .orderBy("e1", "e2")
+
   def kgCooccur(spark: SparkSession, dir: String): DataFrame =
     graft.kg.GraphOps.cooccurrence(kgMentions(spark, dir))
       .orderBy("e1", "e2")

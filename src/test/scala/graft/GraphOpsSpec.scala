@@ -283,6 +283,28 @@ class GraphOpsSpec extends AnyFunSuite {
       ("h", "m") -> ((2L, 2.0 / 3.0))))
   }
 
+  test("resourceAllocation: exact micro-unit weights, hub excluded consistently") {
+    // same fixture as the jaccard test; weights are 1000000 div deg(z)
+    val es = Seq(
+      ("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4"),
+      ("x1", "m"), ("x2", "m"), ("x3", "m"),
+      ("x1", "n"), ("x2", "n"),
+      ("x1", "z")
+    )
+    val ts = es.map { case (s, o) => (s, 0, "p", o, 0) }
+      .toDF("s", "sKind", "p", "o", "oKind")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+        $"o", $"oKind".cast("byte").as("oKind"))
+    val got = GraphOps.resourceAllocation(ts, maxDeg = 3L, minShared = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // (h,m) share {x2 (deg 3 -> 333333), x3 (deg 2 -> 500000)} = 833333
+    // (x1,x2) share {m (deg 3 -> 333333), n (deg 2 -> 500000)} = 833333
+    assert(got == Map(
+      ("h", "m") -> ((2L, 833333L)),
+      ("x1", "x2") -> ((2L, 833333L))))
+  }
+
   test("encodeForEmbedding: ids dense by (freq desc, term asc), window parity") {
     val enc = GraphOps.encodeForEmbedding(triples)
     val rows = enc.collect()
