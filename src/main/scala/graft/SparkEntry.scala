@@ -112,6 +112,7 @@ object SparkEntry {
     "q_pack_sequences" -> (Queries.packSequences _),
     "q_chunk_blocks" -> (Queries.chunkBlocks _),
     "q_text_normalize" -> (Queries.textNormalize _),
+    "q_script_profile" -> (Queries.scriptProfileQ _),
     "q_web_links" -> (Queries.webLinks _),
     "q_anchor_text" -> (Queries.anchorText _),
     "q_host_graph" -> (Queries.hostGraph _),

@@ -737,6 +737,31 @@ object Oracles {
     // unicode + whitespace normalization over the same doc_id-derived dirt:
     // NFC via nfc_normalize (both engines implement the same Unicode
     // standard), then the identical global-regex step chain
+    // per-script codepoint counts through RE2's Unicode script tables —
+    // the identical subtraction form the engine runs through Java regex;
+    // the fixed-priority dominant CASE chain is replicated verbatim
+    "q_script_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 1 THEN ' Привет мир дом'
+        |         WHEN doc_id % 7 = 2 THEN ' 你好世界汉字'
+        |         WHEN doc_id % 7 = 3 THEN ' مرحبا بالعالم'
+        |         WHEN doc_id % 7 = 4 THEN ' Привет 你好 مرحبا'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_cp,
+        |  CAST(len(t) - len(regexp_replace(t, '\p{Latin}', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(len(t) - len(regexp_replace(t, '\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(len(t) - len(regexp_replace(t, '\p{Han}', '', 'g')) AS BIGINT) AS n_han,
+        |  CAST(len(t) - len(regexp_replace(t, '\p{Arabic}', '', 'g')) AS BIGINT) AS n_arabic
+        |  FROM t)
+        |SELECT doc_id, n_cp, n_latin, n_cyrillic, n_han, n_arabic,
+        |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han AND n_latin >= n_arabic THEN 'latin'
+        |       WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic THEN 'cyrillic'
+        |       WHEN n_han >= n_arabic THEN 'han' ELSE 'arabic' END AS dominant
+        |FROM c""".stripMargin,
+
     "q_text_normalize" ->
       s"""WITH a AS (
          |  SELECT doc_id,

@@ -1002,6 +1002,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Per-doc Unicode script profile over a deterministically script-mixed
+    * corpus: doc_id-keyed Cyrillic / Han / Arabic / mixed suffixes are
+    * appended to the (Latin) document text, then counted per script through
+    * each engine's regex Unicode tables ([[TextOps.scriptProfile]]; the
+    * oracle repeats the identical subtraction form with RE2 script classes).
+    */
+  def scriptProfileQ(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val aug = F.concat(
+      F.col("text"),
+      F.when(id % 7 === 1, F.lit(" Привет мир дом"))
+        .when(id % 7 === 2, F.lit(" 你好世界汉字"))
+        .when(id % 7 === 3, F.lit(" مرحبا بالعالم"))
+        .when(id % 7 === 4, F.lit(" Привет 你好 مرحبا"))
+        .otherwise(F.lit("")))
+    val cols = TextOps.scriptProfile(aug).map { case (n, c) => c.as(n) }
+    docs(spark, dir).select(id +: cols: _*).orderBy("doc_id")
+  }
+
   /** Anchor-link extraction + RFC 3986 resolution over deterministically
     * synthesized page HTML (absolute / rooted / relative / parent-relative
     * anchors plus fragment-only and mailto noise that must be dropped —

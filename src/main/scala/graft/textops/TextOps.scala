@@ -49,6 +49,40 @@ object TextOps {
     F.size(F.filter(toks, t => t.isin(list.map(_.asInstanceOf[Any]): _*)))
   }
 
+  /** Per-script codepoint count: `length(text) - length(text with the
+    * script's chars removed)` — the subtraction form is replicated verbatim
+    * in the DuckDB oracle so both engines count through their regex engine's
+    * Unicode script tables (identical over BMP text).
+    */
+  private def scriptCount(text: Column, javaScript: String): Column =
+    F.length(text) - F.length(F.regexp_replace(text, s"\\p{$javaScript}", ""))
+
+  /** Per-document Unicode script profile — the multilingual-curation signal
+    * beside [[langId]]: total codepoints, per-script counts (Latin,
+    * Cyrillic, Han, Arabic), and the dominant script by a fixed-priority
+    * argmax (latin > cyrillic > han > arabic on ties — a deterministic CASE
+    * chain, identical on both engines). Pure `Column` projection: zero
+    * shuffle, whole-stage-codegen'd, the corpus never leaves its scan
+    * partitions.
+    */
+  def scriptProfile(text: Column): Seq[(String, Column)] = {
+    val latin = scriptCount(text, "IsLatin")
+    val cyr = scriptCount(text, "IsCyrillic")
+    val han = scriptCount(text, "IsHan")
+    val ara = scriptCount(text, "IsArabic")
+    val dominant = F.when(latin >= cyr && latin >= han && latin >= ara, "latin")
+      .when(cyr >= han && cyr >= ara, "cyrillic")
+      .when(han >= ara, "han")
+      .otherwise("arabic")
+    Seq(
+      "n_cp" -> F.length(text).cast("long"),
+      "n_latin" -> latin.cast("long"),
+      "n_cyrillic" -> cyr.cast("long"),
+      "n_han" -> han.cast("long"),
+      "n_arabic" -> ara.cast("long"),
+      "dominant" -> dominant)
+  }
+
   /** Language-ID by stopword-hit argmax; ties break in fixed lang order. */
   def langId(text: Column): Column = langIdFrom(tokens(text))
 

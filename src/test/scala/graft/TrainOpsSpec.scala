@@ -1092,6 +1092,28 @@ class TrainOpsSpec extends AnyFunSuite {
       ("site.example.org", "site.example.org") -> 4L))
   }
 
+  test("scriptProfile: per-script counts and fixed-priority dominant") {
+    val d = Seq(
+      (0L, "hello world 123"),          // pure latin, digits are Common
+      (1L, "Привет мир"),               // cyrillic
+      (2L, "abc Привет"),               // tie 3-6 -> cyrillic wins count
+      (3L, "你好 abc"),                  // han 2, latin 3 -> latin
+      (4L, "مرحبا"),                    // arabic
+      (5L, "")                          // empty -> all zero, dominant latin
+    ).toDF("doc_id", "text")
+    val cols = graft.textops.TextOps.scriptProfile(F.col("text"))
+      .map { case (n, c) => c.as(n) }
+    val got = d.select(F.col("doc_id") +: cols: _*).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))).toMap
+    assert(got(0L) == ((15L, 10L, 0L, 0L, 0L, "latin")))
+    assert(got(1L) == ((10L, 0L, 9L, 0L, 0L, "cyrillic")))
+    assert(got(2L) == ((10L, 3L, 6L, 0L, 0L, "cyrillic")))
+    assert(got(3L) == ((6L, 3L, 0L, 2L, 0L, "latin")))
+    assert(got(4L) == ((5L, 0L, 0L, 0L, 5L, "arabic")))
+    assert(got(5L) == ((0L, 0L, 0L, 0L, 0L, "latin")))
+  }
+
   test("resolveRedirects: log-round pointer jumping, min-dst tie, cycle flagged") {
     import graft.extract.UrlOps
     val edges = Seq(
