@@ -128,6 +128,7 @@ object SparkEntry {
     "q_dsir_weights" -> (Queries.dsirWeights _),
     "q_url_normalize" -> (Queries.urlCanonicalize _),
     "q_url_redirects" -> (Queries.urlRedirects _),
+    "q_domain_stats" -> (Queries.domainStatsQ _),
     "q_text_tokens" -> (Queries.textTokens _),
     "q_text_fingerprint" -> (Queries.textFingerprint _),
     "q_text_repetition" -> (Queries.textRepetition _),

@@ -135,6 +135,41 @@ object UrlOps {
       .select(keyCols.map(F.col) ++ (orderCols ++ payload).map(c => F.col(s"w.$c")): _*)
   }
 
+  /** Per-registrable-domain corpus mix report — the "what is this corpus
+    * made of" table every web-scale dataset publishes: document count,
+    * distinct host count, and total character/token volume per registrable
+    * domain (real longest-suffix [[registrableDomain]] logic, so
+    * `sub.a.co.uk` and `www.a.co.uk` roll up together).
+    *
+    * Scale shape: the doc-count/volume aggregation is purely algebraic (a
+    * 10^9-page domain collapses map-side); the host count pre-dedups the
+    * (domain, host) pair relation — bounded by the host vocabulary, never
+    * the corpus — then counts algebraically; the final join is
+    * domain-vocabulary-sized (AQE broadcasts). Never a count_distinct
+    * expand over the corpus, never a window.
+    */
+  def domainStats(
+      df: org.apache.spark.sql.DataFrame,
+      urlCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val u = F.col(urlCol)
+    val base = df.select(
+      registrableDomain(host(u)).as("domain"),
+      host(u).as("h"),
+      F.length(F.col(textCol)).cast("long").as("nc"),
+      graft.textops.TextOps.tokenCount(F.col(textCol)).cast("long").as("nt"))
+    val agg = base.groupBy("domain").agg(
+      F.count(F.lit(1)).as("n_docs"),
+      F.sum("nc").as("sum_chars"),
+      F.sum("nt").as("sum_tokens"))
+    val hosts = base.select("domain", "h").distinct()
+      .groupBy("domain").agg(F.count(F.lit(1)).as("n_hosts"))
+    agg.join(hosts, "domain")
+      .select(F.col("domain"), F.col("n_docs"), F.col("n_hosts"),
+        F.col("sum_chars"), F.col("sum_tokens"))
+  }
+
   /** Redirect-chain resolution over a crawl's `(src, dst)` redirect relation
     * (301/302/canonical-link edges): every source URL maps to the terminal
     * URL of its chain with the hop count — the canonical-URL rewrite table

@@ -1012,6 +1012,27 @@ object Oracles {
     // redirect-chain walk to the terminal as a RECURSIVE CTE; the engine's
     // pointer jumping (3 doublings >= max chain 7) must land on the same
     // terminal with the same hop count
+    // registrable domain reconstructed closed-form from the URL generation
+    // rule (engine runs the real longest-suffix logic); exact count/sum
+    // roll-ups + pre-deduped host counts
+    "q_domain_stats" ->
+      ("""WITH b AS (
+        |  SELECT 'site' || (doc_id % 20) ||
+        |           CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.org' END AS domain,
+        |         'sub' || (doc_id % 3) || '.site' || (doc_id % 20) ||
+        |           CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.org' END AS h,
+        |         len(text) AS nc,
+        |         """ + tokCountSql("text") + """ AS nt
+        |  FROM documents),
+        |a AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(nc) AS BIGINT) AS sum_chars,
+        |        CAST(sum(nt) AS BIGINT) AS sum_tokens
+        |      FROM b GROUP BY 1),
+        |hh AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_hosts
+        |       FROM (SELECT DISTINCT domain, h FROM b) GROUP BY 1)
+        |SELECT a.domain, a.n_docs, hh.n_hosts, a.sum_chars, a.sum_tokens
+        |FROM a JOIN hh USING (domain)""").stripMargin,
+
     "q_url_redirects" ->
       """WITH RECURSIVE e AS (
         |  SELECT 'https://r.example.org/u' || doc_id AS src,

@@ -723,6 +723,25 @@ object Queries {
       .orderBy("slug")
   }
 
+  /** Per-registrable-domain corpus mix over a synthesized URL fixture:
+    * hosts `sub{id%3}.site{id%20}.co.uk` (id%4=0) or `.org` roll up to
+    * their registrable domains through the REAL longest-suffix logic
+    * ([[graft.extract.UrlOps.domainStats]]); the oracle reconstructs the
+    * domain closed-form from the generation rule, so a suffix-logic
+    * regression fails the compare.
+    */
+  def domainStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    def s(c: Column) = c.cast("string")
+    val url = F.concat(F.lit("https://sub"), s(id % 3), F.lit(".site"),
+      s(id % 20),
+      F.when(id % 4 === 0, F.lit(".co.uk")).otherwise(F.lit(".org")),
+      F.lit("/p/"), s(id))
+    graft.extract.UrlOps.domainStats(
+      docs(spark, dir).select(url.as("url"), F.col("text")), "url", "text")
+      .orderBy("domain")
+  }
+
   /** Redirect-chain resolution over a synthesized crawl redirect relation:
     * doc_ids not divisible by 8 redirect one step down (`u{i} -> u{i-1}`),
     * giving chains of length 1..7 onto the `u{8k}` terminals; 3 pointer-

@@ -1092,6 +1092,21 @@ class TrainOpsSpec extends AnyFunSuite {
       ("site.example.org", "site.example.org") -> 4L))
   }
 
+  test("domainStats: hosts roll up through multi-part suffixes, host pre-dedup") {
+    import graft.extract.UrlOps
+    val d = Seq(
+      ("https://a.x.co.uk/1", "one two"),
+      ("https://b.x.co.uk/2", "three"),
+      ("https://a.x.co.uk/3", "four five six"),   // same host as row 1
+      ("https://y.org/4", "seven")
+    ).toDF("url", "text")
+    val got = UrlOps.domainStats(d, "url", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got("x.co.uk") == ((3L, 2L, 25L, 6L)))
+    assert(got("y.org") == ((1L, 1L, 5L, 1L)))
+  }
+
   test("scriptProfile: per-script counts and fixed-priority dominant") {
     val d = Seq(
       (0L, "hello world 123"),          // pure latin, digits are Common
