@@ -128,6 +128,30 @@ object HashSql {
        |WHERE domain_rank <= $cap""".stripMargin
   }
 
+  /** Oracle for TextOps.temperatureSample (alpha = 0.5 mC4/ROOTS mixture):
+    * quotas from the identical defined-order left fold over sqrt counts
+    * (list_reduce ≡ the engine's Scala fold; sqrt is IEEE-exact in both),
+    * per-language ranks from the same splitmix64 rank key — bit-exact.
+    */
+  def temperatureMixSql(seed: Long): String = {
+    val mxr =
+      s"(${mix64(xor64("CAST(doc_id AS HUGEINT)", s"CAST('${uc(seed)}' AS HUGEINT)"))}) % 1000000000"
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |tq AS (SELECT count(*) // 2 AS t FROM documents),
+       |st AS (SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang),
+       |         (a, b) -> a + b) AS stot FROM c),
+       |q AS (SELECT lang, CAST(floor(CAST((SELECT t FROM tq) AS DOUBLE)
+       |         * sqrt(CAST(n AS DOUBLE)) / (SELECT stot FROM st)) AS BIGINT) AS quota
+       |       FROM c),
+       |m AS (SELECT doc_id, lang, $mxr AS mxr FROM documents),
+       |r AS (SELECT doc_id, lang,
+       |        CAST(row_number() OVER (PARTITION BY lang ORDER BY mxr, doc_id) AS BIGINT)
+       |          AS lang_rank FROM m)
+       |SELECT r.doc_id, r.lang, r.lang_rank, q.quota,
+       |  r.lang_rank <= q.quota AS selected
+       |FROM r JOIN q USING (lang)""".stripMargin
+  }
+
   /** Oracle for TextOps.trainValSplit: splitmix64 over (doc_id ^ seed),
     * unsigned mod 1000 vs the val permille — bit-exact.
     */

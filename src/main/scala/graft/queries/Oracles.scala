@@ -849,6 +849,10 @@ object Oracles {
     "q_stratified_sample" ->
       HashSql.stratifiedSampleSql(enPermille = 300, defaultPermille = 700, seed = 11L),
 
+    // temperature mixture: sqrt-weighted quotas (defined-order fold) +
+    // splitmix per-language rank selection — bit-exact
+    "q_temperature_mix" -> HashSql.temperatureMixSql(seed = 23L),
+
     // two-corpus weighted mix: per-source splitmix bucket, seed rotated by
     // source index — provenance tag + union, zero shuffle on either side
     "q_mix_corpora" ->

@@ -921,6 +921,19 @@ object Queries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Temperature-resampled multilingual mixture (alpha = 0.5, T = half the
+    * corpus, seed 23): per-language sqrt-weighted quotas filled by
+    * deterministic splitmix rank — [[TextOps.temperatureSample]]; bit-exact
+    * oracle [[HashSql.temperatureMixSql]] (quota doubles share one defined
+    * operand order, selection is exact-integer).
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.temperatureSample(d, "doc_id", "lang",
+      targetTotal = d.count() / 2, seed = 23L)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic two-corpus mix: 700‰ of documents ('web') interleaved
     * with 300‰ of part names ('parts'), seed 7 rotated per source —
     * bit-exact splitmix64 buckets on both sides

@@ -674,6 +674,74 @@ object TextOps {
     ranked.withColumn("bucket", bucket.cast("long"))
   }
 
+  /** Temperature-resampled multilingual mixture (the mC4 / ROOTS sampling
+    * rule at alpha = 0.5): language `l` with `n_l` documents receives quota
+    * `floor(T * sqrt(n_l) / S)` where `S = Σ sqrt(n_l)` — up-sampling the
+    * tail languages relative to proportional sampling — and fills its quota
+    * with the `quota_l` documents of smallest deterministic pseudo-random
+    * rank `(mix64(seed ^ id) mod 10^9, id)`. Exactness: sqrt is IEEE
+    * correctly-rounded in both engines, `S` is a defined-order left fold
+    * over languages ascending (DuckDB `list_reduce` ≡ the Scala fold), and
+    * the quota expression keeps one operand order — so quotas are
+    * bit-identical and selection is exact-integer.
+    *
+    * Scale shape: the per-language count table is language-vocabulary-sized
+    * (collected, folded on the driver, broadcast back); per-language ranks
+    * come from ONE global two-pass distributed prefix sum over the
+    * (lang, rank-key) range partitioning minus broadcast language offsets —
+    * never a per-language window, so a 10^11-doc head language costs no
+    * single reducer. Emits every document with its rank, quota and
+    * `selected` verdict (the keep-set is a filter away).
+    */
+  def temperatureSample(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      langCol: String,
+      targetTotal: Long,
+      seed: Long
+  ): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(F.col(langCol).as("lang"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var s = 0.0
+    counts.foreach { case (_, n) => s += java.lang.Math.sqrt(n.toDouble) }
+    val sTot = s
+    var off = 0L
+    val meta = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    counts.foreach { case (l, n) =>
+      val q = java.lang.Math
+        .floor(targetTotal.toDouble * java.lang.Math.sqrt(n.toDouble) / sTot).toLong
+      meta.put(l, (q, off)); off += n
+    }
+    val bcMeta = spark.sparkContext.broadcast(meta)
+    val mixU = F.udf((id: Long) => java.lang.Long.remainderUnsigned(
+      graft.extract.Synth.mix64(seed ^ id), 1000000000L))
+    val rows = df
+      .select(F.col(idCol).cast("long").as("id"), F.col(langCol).as("lang"))
+      .withColumn("mxr", mixU(F.col("id")))
+      .repartitionByRange(F.col("lang").asc, F.col("mxr").asc, F.col("id").asc)
+      .sortWithinPartitions(F.col("lang").asc, F.col("mxr").asc, F.col("id").asc)
+      .localCheckpoint()
+    val perPart = rows.select(F.spark_partition_id().as("pid"))
+      .groupBy("pid").agg(F.count(F.lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = new java.util.HashMap[Int, Long]()
+    var acc = 0L
+    perPart.foreach { case (pid, cnt) => offsets.put(pid, acc); acc += cnt }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    rows.as[(Long, String, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var r = bcOff.value.getOrDefault(pid, 0L)
+      it.map { case (id, lang, _) =>
+        r += 1
+        val (q, langOff) = bcMeta.value(lang)
+        (id, lang, r - langOff, q, r - langOff <= q)
+      }
+    }.toDF("doc_id", "lang", "lang_rank", "quota", "selected")
+  }
+
   /** Positional inverted index: one postings row per (term, document) with
     * the term frequency and the ascending position list (canonical CSV — a
     * deterministic wire form the driver's value compare can hash). The

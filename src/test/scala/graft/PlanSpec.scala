@@ -253,6 +253,14 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("Scan parquet"), s"unexpected source:\n$plan")
   }
 
+  test("temperature mix: per-language ranks never plan a window") {
+    val df = Queries.temperatureMix(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"),
+      s"per-language rank planned as a window over the corpus:\n$plan")
+  }
+
   test("embedding encode: id assignment never plans a global window") {
     val df = Queries.kgEncode(spark, dir)
     df.collect()

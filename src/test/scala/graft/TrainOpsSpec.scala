@@ -1092,6 +1092,34 @@ class TrainOpsSpec extends AnyFunSuite {
       ("site.example.org", "site.example.org") -> 4L))
   }
 
+  test("temperatureSample: sqrt quotas, distributed rank == window rank") {
+    import graft.textops.TextOps
+    import org.apache.spark.sql.expressions.Window
+    // skewed corpus: 64 "en", 16 "de", 4 "fr" docs; T = 42
+    val d = ((0L until 64L).map((_, "en")) ++ (100L until 116L).map((_, "de")) ++
+      (200L until 204L).map((_, "fr"))).toDF("doc_id", "lang")
+    val got = TextOps.temperatureSample(d, "doc_id", "lang",
+      targetTotal = 42L, seed = 5L)
+    val rows = got.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // S = sqrt(16) + 8 + 2 = 14 exactly; quotas floor(42*w/14): en 24, de 12, fr 6
+    assert(rows.values.collect { case ("en", _, q, _) => q }.head == 24L)
+    assert(rows.values.collect { case ("de", _, q, _) => q }.head == 12L)
+    assert(rows.values.collect { case ("fr", _, q, _) => q }.head == 6L)
+    // selected = min(quota, supply) per language: 24 + 12 + 4 = 40
+    assert(rows.values.count(_._4) == 40)
+    // fr has 4 docs but quota 6: all selected, quota not silently clamped
+    assert(rows.filter(_._2._1 == "fr").values.forall(_._4))
+    // distributed rank equals the per-lang window rank on the same key
+    val mixU = F.udf((id: Long) => java.lang.Long.remainderUnsigned(
+      graft.extract.Synth.mix64(5L ^ id), 1000000000L))
+    val w = Window.partitionBy("lang").orderBy(F.col("mxr"), F.col("doc_id"))
+    val ref = d.withColumn("mxr", mixU(F.col("doc_id")))
+      .withColumn("rn", F.row_number().over(w).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { case (id, (_, rank, _, _)) => assert(rank == ref(id)) }
+  }
+
   test("domainStats: hosts roll up through multi-part suffixes, host pre-dedup") {
     import graft.extract.UrlOps
     val d = Seq(
