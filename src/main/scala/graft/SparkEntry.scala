@@ -101,6 +101,7 @@ object SparkEntry {
     "q_split_train_val" -> (Queries.splitTrainVal _),
     "q_stratified_sample" -> (Queries.stratifiedSample _),
     "q_temperature_mix" -> (Queries.temperatureMix _),
+    "q_shard_manifest" -> (Queries.shardManifest _),
     "q_mix_corpora" -> (Queries.mixCorpora _),
     "q_dedup_substr" -> (Queries.dedupSubstr _),
     "q_dedup_rep" -> (Queries.dedupKeepBest _),

@@ -128,6 +128,22 @@ object HashSql {
        |WHERE domain_rank <= $cap""".stripMargin
   }
 
+  /** Oracle for TextOps.shardManifest: splitmix shard id (unsigned mod) +
+    * order-free bit_xor checksum over the SIGNED mix values — bit-exact.
+    */
+  def shardManifestSql(nShards: Int, seed: Long): String = {
+    val u = mix64(xor64("CAST(doc_id AS HUGEINT)", s"CAST('${uc(seed)}' AS HUGEINT)"))
+    s"""WITH m AS (
+       |  SELECT ($u) AS u, len(text) AS nc FROM documents),
+       |s AS (SELECT CAST(u % $nShards AS BIGINT) AS shard,
+       |        CAST(CASE WHEN u >= $Two63 THEN u - $Two64 ELSE u END AS BIGINT) AS sm,
+       |        nc FROM m)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nc) AS BIGINT) AS sum_chars,
+       |  bit_xor(sm) AS checksum
+       |FROM s GROUP BY 1""".stripMargin
+  }
+
   /** Oracle for TextOps.temperatureSample (alpha = 0.5 mC4/ROOTS mixture):
     * quotas from the identical defined-order left fold over sqrt counts
     * (list_reduce ≡ the engine's Scala fold; sqrt is IEEE-exact in both),

@@ -853,6 +853,9 @@ object Oracles {
     // splitmix per-language rank selection — bit-exact
     "q_temperature_mix" -> HashSql.temperatureMixSql(seed = 23L),
 
+    // shard layout + order-free xor checksums — bit-exact splitmix
+    "q_shard_manifest" -> HashSql.shardManifestSql(nShards = 48, seed = 31L),
+
     // two-corpus weighted mix: per-source splitmix bucket, seed rotated by
     // source index — provenance tag + union, zero shuffle on either side
     "q_mix_corpora" ->

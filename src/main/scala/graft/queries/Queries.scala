@@ -921,6 +921,17 @@ object Queries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** Deterministic shard assignment + order-free manifest checksums over
+    * the documents table (48 shards — deliberately not a power of two, so
+    * the unsigned-mod path is exercised; seed 31).
+    * [[TextOps.shardManifest]]; bit-exact oracle
+    * [[HashSql.shardManifestSql]].
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    TextOps.shardManifest(docs(spark, dir), "doc_id", "text",
+      nShards = 48, seed = 31L)
+      .orderBy("shard")
+
   /** Temperature-resampled multilingual mixture (alpha = 0.5, T = half the
     * corpus, seed 23): per-language sqrt-weighted quotas filled by
     * deterministic splitmix rank — [[TextOps.temperatureSample]]; bit-exact

@@ -674,6 +674,39 @@ object TextOps {
     ranked.withColumn("bucket", bucket.cast("long"))
   }
 
+  /** Deterministic training-shard assignment + manifest: every document maps
+    * to shard `mix64(seed ^ id) mod nShards` (splitmix-uniform, stable under
+    * re-runs and row order), and the manifest row per shard carries the doc
+    * count, character volume, and an ORDER-FREE integrity checksum —
+    * `bit_xor(mix64(id))` — so two independently produced copies of a shard
+    * can be compared without sorting either.
+    *
+    * Scale shape: one scan, one algebraic aggregation into nShards rows —
+    * count/sum/bit_xor all combine map-side; no sort, no window, no
+    * collect_list of members. The checksum's commutativity is the point:
+    * shard equality checks never need the member order.
+    */
+  def shardManifest(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      seed: Long
+  ): org.apache.spark.sql.DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val mixU = F.udf((id: Long) => graft.extract.Synth.mix64(seed ^ id))
+    val shardU = F.udf((m: Long) =>
+      java.lang.Long.remainderUnsigned(m, nShards.toLong))
+    df.select(F.col(idCol).cast("long").as("id"),
+        F.length(F.col(textCol)).cast("long").as("nc"))
+      .withColumn("mx", mixU(F.col("id")))
+      .withColumn("shard", shardU(F.col("mx")))
+      .groupBy("shard")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("nc").as("sum_chars"),
+        F.expr("bit_xor(mx)").as("checksum"))
+  }
+
   /** Temperature-resampled multilingual mixture (the mC4 / ROOTS sampling
     * rule at alpha = 0.5): language `l` with `n_l` documents receives quota
     * `floor(T * sqrt(n_l) / S)` where `S = Σ sqrt(n_l)` — up-sampling the

@@ -1092,6 +1092,26 @@ class TrainOpsSpec extends AnyFunSuite {
       ("site.example.org", "site.example.org") -> 4L))
   }
 
+  test("shardManifest: stable assignment, order-free checksum") {
+    import graft.textops.TextOps
+    val d = Seq((1L, "aa"), (2L, "bbb"), (3L, "c"), (4L, "dddd")).toDF("doc_id", "text")
+    val got = TextOps.shardManifest(d, "doc_id", "text", nShards = 3, seed = 9L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // straight-line reference
+    val ref = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 4L)).map { case (id, nc) =>
+      val mx = graft.extract.Synth.mix64(9L ^ id)
+      (java.lang.Long.remainderUnsigned(mx, 3L), nc, mx)
+    }.groupBy(_._1).map { case (s, rows) =>
+      s -> ((rows.size.toLong, rows.map(_._2).sum, rows.map(_._3).reduce(_ ^ _)))
+    }
+    assert(got == ref)
+    // checksum is order-free: reversed input yields identical manifests
+    val rev = TextOps.shardManifest(
+      d.orderBy(F.col("doc_id").desc), "doc_id", "text", nShards = 3, seed = 9L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rev == got)
+  }
+
   test("temperatureSample: sqrt quotas, distributed rank == window rank") {
     import graft.textops.TextOps
     import org.apache.spark.sql.expressions.Window
