@@ -55,6 +55,7 @@ object SparkEntry {
     "q_kg_domain_range" -> (Queries.kgDomainRange _),
     "q_kg_degrees" -> (Queries.kgDegrees _),
     "q_kg_pagerank" -> (Queries.kgPageRank _),
+    "q_kg_ppr" -> (Queries.kgPprDbr _),
     "q_kg_triangles" -> (Queries.kgTriangles _),
     "q_kg_cooccur" -> (Queries.kgCooccur _),
     "q_kg_jaccard" -> (Queries.kgNeighborJaccard _),

@@ -300,6 +300,34 @@ object KgSql {
     (head +: steps).mkString(",\n") + "\nSELECT node, rank FROM r5"
   }
 
+  /** Oracle for Queries.kgPprDbr: personalized PageRank restarted on the
+    * dbr namespace, 3 unrolled integer rounds — same exact recurrence shape
+    * as [[pageRankSql]] with the seed CASE in r0 and the teleport term.
+    */
+  val pprSql: String = {
+    val seed = s"node LIKE '${Dict.dbr}%'"
+    val head = s"WITH $triplesCtes,\n" +
+      s"""nd AS (SELECT DISTINCT node FROM (
+         |  SELECT s AS node FROM tr WHERE k_s IN (0, 1)
+         |  UNION ALL SELECT o FROM tr WHERE k_o IN (0, 1))),
+         |e0 AS (SELECT DISTINCT s, o FROM tr WHERE k_s IN (0, 1) AND k_o IN (0, 1)),
+         |od AS (SELECT s, CAST(count(*) AS BIGINT) AS outdeg FROM e0 GROUP BY 1),
+         |ed AS (SELECT e0.s, e0.o, od.outdeg FROM e0 JOIN od USING (s)),
+         |r0 AS (SELECT node,
+         |  CAST(CASE WHEN $seed THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+         |  FROM nd)""".stripMargin
+    val steps = (1 to 3).map { i =>
+      s"""r$i AS (SELECT nd.node,
+         |  CAST(CASE WHEN $seed THEN 150000 ELSE 0 END
+         |       + COALESCE(c.inc, 0) AS BIGINT) AS rank
+         |  FROM nd LEFT JOIN (
+         |    SELECT ed.o AS node,
+         |      CAST(sum((r.rank * 17) // (20 * ed.outdeg)) AS BIGINT) AS inc
+         |    FROM ed JOIN r${i - 1} r ON r.node = ed.s GROUP BY 1) c USING (node))""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + "\nSELECT node, rank FROM r3"
+  }
+
   /** Oracle for Queries.kgTriangles: the naive a<b<c three-way join — the
     * SEMANTIC definition of the triangle set; the engine finds the same set
     * with the degree-ordered orientation (GraphOps.triangleCounts scaladoc).

@@ -447,6 +447,7 @@ object Oracles {
     "q_kg_domain_range" -> KgSql.domainRangeSql,
     "q_kg_degrees" -> KgSql.degreesSql,
     "q_kg_pagerank" -> KgSql.pageRankSql,
+    "q_kg_ppr" -> KgSql.pprSql,
     "q_kg_triangles" -> KgSql.trianglesSql,
     "q_kg_jaccard" -> KgSql.neighborJaccardSql(maxDeg = 64L, minShared = 2L),
     "q_kg_resource_alloc" -> KgSql.resourceAllocSql(maxDeg = 64L, minShared = 2L),

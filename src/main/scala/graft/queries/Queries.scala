@@ -595,6 +595,16 @@ object Queries {
     graft.kg.GraphOps.resourceAllocation(kgTriples(spark, dir))
       .orderBy("e1", "e2")
 
+  /** Personalized PageRank restarted on the dbr namespace (3 engine-exact
+    * integer rounds — [[graft.kg.GraphOps.personalizedPageRank]]; oracle
+    * [[KgSql.pprSql]] unrolls the identical recurrence).
+    */
+  def kgPprDbr(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.personalizedPageRank(
+      kgTriples(spark, dir),
+      n => n.startsWith(graft.extract.Dict.dbr), iters = 3)
+      .orderBy("node")
+
   def kgCooccur(spark: SparkSession, dir: String): DataFrame =
     graft.kg.GraphOps.cooccurrence(kgMentions(spark, dir))
       .orderBy("e1", "e2")

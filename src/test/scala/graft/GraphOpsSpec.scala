@@ -283,6 +283,30 @@ class GraphOpsSpec extends AnyFunSuite {
       ("h", "m") -> ((2L, 2.0 / 3.0))))
   }
 
+  test("personalizedPageRank: straight-line integer parity, seeds only restart") {
+    // the shared `triples` fixture's DISTINCT node-node edges:
+    // (a,b),(a,c),(b,c),(c,a),(_:x,a); d has only a literal attribute
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("_:x", "a"))
+    val nodes = Seq("a", "b", "c", "d", "_:x")
+    val outdeg = Map("a" -> 2L, "b" -> 1L, "c" -> 1L, "_:x" -> 1L)
+    var r: Map[String, Long] =
+      nodes.map(n => n -> (if (n == "a") 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val inc = edges.groupBy(_._2).map { case (o, es) =>
+        o -> es.map { case (s, _) => (r(s) * 17) / (20 * outdeg(s)) }.sum
+      }
+      r = nodes.map(n =>
+        n -> ((if (n == "a") 150000L else 0L) + inc.getOrElse(n, 0L))).toMap
+    }
+    val got = GraphOps.personalizedPageRank(triples,
+        n => n === "a", iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach(n => assert(got(n) == r(n), s"node $n"))
+    // non-seed node with no graph in-edges stays at zero
+    assert(got("d") == 0L)
+  }
+
   test("resourceAllocation: exact micro-unit weights, hub excluded consistently") {
     // same fixture as the jaccard test; weights are 1000000 div deg(z)
     val es = Seq(
