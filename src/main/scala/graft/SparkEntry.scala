@@ -154,7 +154,10 @@ object SparkEntry {
     "q_window_events" -> (Queries.windowEvents _),
     "q_topk_events" -> (Queries.topkEvents _),
     "q_set_ops" -> (Queries.setOpsEvents _),
-    "q_sessionize" -> (Queries.sessionizeEvents _)
+    "q_sessionize" -> (Queries.sessionizeEvents _),
+    "q_asof_join" -> (Queries.asofEvents _),
+    "q_range_join" -> (Queries.rangeJoinQ _),
+    "q_kg_jsonld" -> (Queries.kgJsonLd _)
   )
 
   /** DuckDB oracle SQL per query (omitted => rows-only check). */

@@ -1222,6 +1222,45 @@ object Oracles {
         |  round(sum(value), 4) AS session_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // JSON-LD harvest: the six expected triples per doc, reconstructed
+    // closed-form from the generation rule (independent of the parser)
+    "q_kg_jsonld" ->
+      """WITH e AS (SELECT doc_id, 'http://example.org/e' || doc_id AS s FROM documents)
+        |SELECT doc_id, s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+        |       'https://schema.org/Person' AS o FROM e
+        |UNION ALL SELECT doc_id, s, 'https://schema.org/name',
+        |       'Entity "' || doc_id || '"' FROM e
+        |UNION ALL SELECT doc_id, s, 'https://schema.org/age',
+        |       CAST(doc_id % 90 AS VARCHAR) FROM e
+        |UNION ALL SELECT doc_id, s, 'https://schema.org/worksFor',
+        |       'http://example.org/org' || (doc_id % 20) FROM e
+        |UNION ALL SELECT doc_id, s, 'https://schema.org/sameAs',
+        |       'http://dbpedia.org/resource/E' || (doc_id % 50) FROM e
+        |UNION ALL SELECT doc_id, s, 'https://schema.org/sameAs',
+        |       'http://www.wikidata.org/entity/Q' || (doc_id % 30) FROM e""".stripMargin,
+
+    // as-of join: DuckDB's NATIVE ASOF LEFT JOIN recomputes the
+    // union-tag carry-forward independently (inclusive >= match)
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts, max(event_id) AS signup_id FROM events
+        |      WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT p.user_id, p.purchase_id,
+        |  coalesce(s.signup_id, -1) AS signup_id,
+        |  coalesce(date_diff('second', s.ts, p.ts), -1) AS lag_sec
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin,
+
+    // range join: plain BETWEEN theta join recomputes the bucketed
+    // decomposition's matches
+    "q_range_join" ->
+      """WITH iv AS (SELECT doc_id AS iid, (doc_id * 211) % 100000 AS lo,
+        |              (doc_id * 211) % 100000 + doc_id % 500 AS hi FROM documents),
+        |pt AS (SELECT event_id AS pid, (event_id * 101) % 100000 AS p FROM events)
+        |SELECT iid, count(*) AS n_points, CAST(sum(pid) AS BIGINT) AS sum_pid
+        |FROM pt JOIN iv ON pt.p >= iv.lo AND pt.p <= iv.hi
+        |GROUP BY iid""".stripMargin,
+
     // winnowing fingerprints: bit-exact splitmix64 k-gram hashes, relational
     // windowed-min selection with the rightmost tie rule
     "q_dedup_winnow" -> HashSql.winnowSql(k = 8, w = 4, seed = 0x5eed5eedL),

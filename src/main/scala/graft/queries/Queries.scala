@@ -1541,6 +1541,85 @@ object Queries {
         F.md5(F.col("text")).as("kept_md5"))
       .orderBy("doc_id")
   }
+
+  /** As-of join over the events stream: every purchase picks the user's most
+    * recent signup at-or-before it ([[graft.operators.AsofJoin]] — ONE
+    * key-shuffle union-tag carry-forward, never the BroadcastNestedLoopJoin
+    * a `ts >= ts` theta join would plan). State rows are made unique per
+    * (user, ts) by an algebraic argmax first, per the operator's contract.
+    * Oracled against DuckDB's NATIVE `ASOF LEFT JOIN` — a fully independent
+    * implementation of the same semantics (inclusive match, NULL when no
+    * state precedes; NULLs surfaced as -1 on both sides).
+    */
+  def asofEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val purchases = e.filter(F.col("event_type") === "purchase")
+      .select(F.col("user_id"), F.col("ts"), F.col("event_id").as("purchase_id"))
+    val signups = e.filter(F.col("event_type") === "signup")
+      .groupBy("user_id", "ts")
+      .agg(F.max("event_id").as("signup_id"))
+      .withColumn("signup_ts", F.col("ts"))
+    graft.operators.AsofJoin.asofJoin(purchases, signups, "user_id", "ts",
+        probeCols = Seq("purchase_id"), stateCols = Seq("signup_id", "signup_ts"))
+      .select(F.col("user_id"), F.col("purchase_id"),
+        F.coalesce(F.col("signup_id"), F.lit(-1L)).as("signup_id"),
+        F.coalesce(F.col("ts").cast("timestamp").cast("long")
+            - F.col("signup_ts").cast("timestamp").cast("long"),
+          F.lit(-1L)).as("lag_sec"))
+      .orderBy("purchase_id")
+  }
+
+  /** JSON-LD structured-data harvest ([[graft.extract.JsonLd]]): each doc
+    * carries a synthesized page whose `application/ld+json` block (plus a
+    * decoy plain script that must be ignored) encodes a Person entity with a
+    * quoted-escape name, an integer age, a nested `@id`-object `worksFor`,
+    * and a two-element `sameAs` array. The ENGINE runs the real regex
+    * discovery + recursive-descent JSON parser + @id/@type triple mapping
+    * over the HTML; the ORACLE reconstructs the six expected triples per doc
+    * closed-form from the generation rule — a parser/mapper regression on
+    * any row (escape handling, nested @id, array fan-out, decoy exclusion)
+    * fails the hash. Pure per-row flatMap, zero shuffle.
+    */
+  def kgJsonLd(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id").cast("string")
+    val html = F.concat(
+      F.lit("<html><head><script>var notLd = \"{\\\"@id\\\":\\\"decoy\\\"}\";</script>\n" +
+        "<script type=\"application/ld+json\">\n{ \"@context\": \"https://schema.org\",\n" +
+        "  \"@id\": \"http://example.org/e"), id,
+      F.lit("\",\n  \"@type\": \"Person\",\n  \"name\": \"Entity \\\""), id,
+      F.lit("\\\"\",\n  \"age\": "), F.col("doc_id") % 90,
+      F.lit(",\n  \"worksFor\": { \"@id\": \"http://example.org/org"), F.col("doc_id") % 20,
+      F.lit("\" },\n  \"sameAs\": [ \"http://dbpedia.org/resource/E"), F.col("doc_id") % 50,
+      F.lit("\", \"http://www.wikidata.org/entity/Q"), F.col("doc_id") % 30,
+      F.lit("\" ]\n}\n</script></head><body><p>Entity page.</p></body></html>"))
+    graft.extract.JsonLd.jsonLdTriples(
+        docs(spark, dir).select(F.col("doc_id"), html.as("html")), "doc_id", "html")
+      .orderBy("doc_id", "p", "o")
+  }
+
+  /** Range-containment join via bucket decomposition
+    * ([[graft.operators.RangeJoin]]): synthetic integer intervals from
+    * documents (span <= 499, bucket 512 => fan-out <= 2 bucket rows per
+    * interval) matched to synthetic points from events through ONE
+    * equi-join + residual filter — the oracle recomputes the same matches
+    * with a plain BETWEEN theta join. Output is the per-interval point
+    * count/sum, so result size is interval-bounded at any sf.
+    */
+  def rangeJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val intervals = docs(spark, dir).select(
+      id.as("iid"),
+      ((id * 211) % 100000).as("lo"),
+      ((id * 211) % 100000 + id % 500).as("hi"))
+    val points = spark.read.parquet(s"$dir/events.parquet")
+      .select(F.col("event_id").as("pid"),
+        ((F.col("event_id") * 101) % 100000).as("p"))
+    graft.operators.RangeJoin.bucketedRangeJoin(points, intervals,
+        "p", "lo", "hi", bucket = 512L)
+      .groupBy("iid")
+      .agg(F.count(F.lit(1)).as("n_points"), F.sum("pid").as("sum_pid"))
+      .orderBy("iid")
+  }
 }
 
 /** Vis aggregates shared by queries and golden tests. */
