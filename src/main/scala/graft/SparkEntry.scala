@@ -157,7 +157,8 @@ object SparkEntry {
     "q_sessionize" -> (Queries.sessionizeEvents _),
     "q_asof_join" -> (Queries.asofEvents _),
     "q_range_join" -> (Queries.rangeJoinQ _),
-    "q_kg_jsonld" -> (Queries.kgJsonLd _)
+    "q_kg_jsonld" -> (Queries.kgJsonLd _),
+    "q_heavy_hitters" -> (Queries.heavyHitters _)
   )
 
   /** DuckDB oracle SQL per query (omitted => rows-only check). */

@@ -1222,6 +1222,10 @@ object Oracles {
         |  round(sum(value), 4) AS session_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // count-min sketch: identical splitmix64 row hashes + min-over-rows
+    // estimate rebuilt relationally, alongside the exact counts
+    "q_heavy_hitters" -> cmsSql(width = 8, threshold = 200L),
+
     // JSON-LD harvest: the six expected triples per doc, reconstructed
     // closed-form from the generation rule (independent of the parser)
     "q_kg_jsonld" ->
@@ -1383,6 +1387,28 @@ object Oracles {
 
   private def toksSql(col: String): String =
     s"list_filter(string_split_regex(lower($col), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** CMS heavy hitters: rebuild the sketch relationally with the engine's
+    * exact hash chain (shingle-fold base, per-row splitmix64 re-seed, low
+    * bits as the bucket) and compare min-over-rows estimates + exact counts.
+    */
+  private def cmsSql(width: Int, threshold: Long): String = {
+    val rows = graft.sketch.Sketch.RowSeeds.zipWithIndex.map { case (s, d) =>
+      val seed = s"CAST('${java.lang.Long.toUnsignedString(s)}' AS HUGEINT)"
+      s"  SELECT tok, n, $d AS d,\n" +
+      s"    CAST((${HashSql.mix64(HashSql.xor64("base", seed))}) % $width AS BIGINT) AS bucket FROM hb"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH occ AS (SELECT UNNEST(${toksSql("text")}) AS tok FROM documents),
+       |cnt AS (SELECT tok, count(*) AS n FROM occ GROUP BY tok),
+       |hb AS (SELECT tok, n, ${HashSql.hashShingleSql("tok", graft.sketch.Sketch.CmsSeed)} AS base FROM cnt),
+       |rws AS (
+       |$rows),
+       |cells AS (SELECT d, bucket, CAST(sum(n) AS BIGINT) AS total FROM rws GROUP BY 1, 2),
+       |est AS (SELECT tok, n, min(total) AS cms_est FROM rws JOIN cells USING (d, bucket)
+       |        GROUP BY tok, n)
+       |SELECT tok AS token, cms_est, CAST(n AS BIGINT) AS n_exact
+       |FROM est WHERE cms_est >= $threshold""".stripMargin
+  }
 
   // TextOps PII regexes with Scala escaping unwound (single-backslash form
   // embeds directly into DuckDB single-quoted strings)

@@ -1569,6 +1569,20 @@ object Queries {
       .orderBy("purchase_id")
   }
 
+  /** Count-min-sketch heavy hitters ([[graft.sketch.Sketch]]): depth-4,
+    * width-8 sketch over the token stream — width deliberately far below the
+    * corpus vocabulary so bucket collisions are guaranteed and the sketch's
+    * defining over-estimate behavior is exercised, not just the happy path.
+    * The oracle rebuilds the identical sketch relationally (same splitmix64
+    * row hashes, same min-over-rows estimate) AND the exact counts, so the
+    * hash pins estimate and truth together; `cms_est >= n_exact` is the
+    * invariant a broken sketch breaks first.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.sketch.Sketch.cmsHeavyHitters(docs(spark, dir), "text",
+        width = 8, threshold = 200L)
+      .orderBy("token")
+
   /** JSON-LD structured-data harvest ([[graft.extract.JsonLd]]): each doc
     * carries a synthesized page whose `application/ld+json` block (plus a
     * decoy plain script that must be ignored) encodes a Person entity with a

@@ -1,0 +1,85 @@
+package graft.sketch
+
+import graft.dedup.Dedup
+import graft.extract.Synth
+import graft.textops.TextOps
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Count-min sketch — sublinear heavy-hitter counting for streams whose key
+  * space is too large to shuffle (the regime where the exact
+  * `groupBy(token)` behind a vocabulary table stops being affordable: URL
+  * tails, raw shingles, user ids).
+  *
+  * The sketch is `depth` rows of `width` counters; an occurrence increments
+  * one counter per row (bucket = row-seeded splitmix64 of the key, masked to
+  * the power-of-two width); a key's estimate is the MIN over its `depth`
+  * counters — an overestimate with the classic (e/width, 1-e^-depth)
+  * guarantee, never an under-estimate.
+  *
+  * Scale shape: counter addition is commutative+associative, so the cell
+  * table builds with ONE occurrence-level scan whose map-side combine
+  * collapses every task to <= depth x width rows BEFORE the shuffle — the
+  * exchange is sketch-sized (a few KB) regardless of corpus size or key
+  * cardinality, which is the entire point. Estimation broadcasts the cells
+  * (bounded, depth x width) and probes as a pure projection — zero shuffle
+  * on the probe side.
+  */
+object Sketch {
+
+  val Depth = 4
+  /** Per-row seeds (arbitrary odd 64-bit constants, pinned). */
+  val RowSeeds: Array[Long] = Array(
+    0xc3a5c85c97cb3127L, 0xb492b66fbe98f273L, 0x9ae16a3b2f90404fL, 0x165667b19e3779f9L)
+  val CmsSeed = 0xc0117edL
+
+  /** Bucket of `key` in sketch row `d` (splitmix64 of the shingle-fold base,
+    * re-seeded per row, masked to the power-of-two width).
+    */
+  def bucketOf(key: String, d: Int, width: Int): Int = {
+    val base = Dedup.hashShingle(key, CmsSeed)
+    (Synth.mix64(base ^ RowSeeds(d)) & (width - 1)).toInt
+  }
+
+  /** The cell table (d, bucket, total) over the lowercase-alnum token stream
+    * of `textCol`. One scan; the (d, bucket) exchange is bounded by
+    * depth x width per map task.
+    */
+  def cmsCells(df: DataFrame, textCol: String, width: Int): DataFrame = {
+    require(width > 0 && (width & (width - 1)) == 0, "width must be a power of two")
+    val bucketsUdf = F.udf((t: String) =>
+      (0 until Depth).map(d => bucketOf(t, d, width)))
+    df.select(F.explode(TextOps.tokens(F.col(textCol))).as("tok"))
+      .select(F.posexplode(bucketsUdf(F.col("tok"))).as(Seq("d", "bucket")))
+      .groupBy("d", "bucket")
+      .agg(F.count(F.lit(1)).as("total"))
+  }
+
+  /** Point estimates for a probe relation: min over the key's depth cells.
+    * The cell table collects to a bounded depth x width map and broadcasts;
+    * probing is a zero-shuffle projection.
+    */
+  def cmsEstimate(probes: DataFrame, tokCol: String, cells: DataFrame, width: Int): DataFrame = {
+    val cellMap: Map[(Int, Int), Long] = cells
+      .collect() // bounded: depth x width cells by construction
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val bc = probes.sparkSession.sparkContext.broadcast(cellMap)
+    val estUdf = F.udf((t: String) =>
+      (0 until Depth).map(d => bc.value.getOrElse((d, bucketOf(t, d, width)), 0L)).min)
+    probes.withColumn("cms_est", estUdf(F.col(tokCol)))
+  }
+
+  /** Heavy hitters with their exact counts alongside the sketch estimate:
+    * every distinct token whose CMS estimate clears `threshold`, with the
+    * true count for over-estimate accounting. (The exact count exists here
+    * to VALIDATE the sketch — a production 100-TB run keeps only the
+    * sketch path and the estimate.)
+    */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, width: Int, threshold: Long): DataFrame = {
+    val cells = cmsCells(df, textCol, width)
+    val exact = df.select(F.explode(TextOps.tokens(F.col(textCol))).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("n_exact"))
+    cmsEstimate(exact, "token", cells, width)
+      .filter(F.col("cms_est") >= threshold)
+      .select("token", "cms_est", "n_exact")
+  }
+}
