@@ -158,7 +158,8 @@ object SparkEntry {
     "q_asof_join" -> (Queries.asofEvents _),
     "q_range_join" -> (Queries.rangeJoinQ _),
     "q_kg_jsonld" -> (Queries.kgJsonLd _),
-    "q_heavy_hitters" -> (Queries.heavyHitters _)
+    "q_heavy_hitters" -> (Queries.heavyHitters _),
+    "q_kg_bgp" -> (Queries.kgBgp _)
   )
 
   /** DuckDB oracle SQL per query (omitted => rows-only check). */

@@ -735,6 +735,20 @@ object KgSql {
     * so a single flipped byte in the extractor or the synthesizer fails the
     * rows+schema+hash compare.
     */
+  /** Oracle for Queries.kgBgp: the same basic graph pattern evaluated as
+    * plain SQL joins over the DISTINCT triple set (SPARQL set semantics).
+    */
+  val bgpSql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""k AS (SELECT DISTINCT s AS a, o AS b FROM tr
+       |      WHERE p = '${Dict.foaf}knows' AND k_s = 0),
+       |bp AS (SELECT DISTINCT s AS b, o AS city FROM tr
+       |       WHERE p = '${Dict.dbo}birthPlace'),
+       |w AS (SELECT DISTINCT s AS a, o AS org FROM tr
+       |      WHERE p = '${Dict.schemaNs}worksFor')
+       |SELECT k.a, k.b, bp.city, w.org
+       |FROM k JOIN bp USING (b) JOIN w ON w.a = k.a""".stripMargin
+
   val extractSql: String =
     s"WITH $pagesCtes,\n" +
     s"""relagg AS (

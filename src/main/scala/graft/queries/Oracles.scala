@@ -443,6 +443,7 @@ object Oracles {
     "q_kg_mentions" -> KgSql.mentionsSql,
     "q_el_priors" -> KgSql.elPriorSql,
     "q_kg_triples" -> KgSql.triplesSql,
+    "q_kg_bgp" -> KgSql.bgpSql,
     "q_kg_summary" -> KgSql.summarySql,
     "q_kg_domain_range" -> KgSql.domainRangeSql,
     "q_kg_degrees" -> KgSql.degreesSql,

@@ -1569,6 +1569,32 @@ object Queries {
       .orderBy("purchase_id")
   }
 
+  /** Basic-graph-pattern query (the SPARQL workload chilon's summaries
+    * exist to route): `?a knows ?b . ?b birthPlace ?city . ?a worksFor
+    * ?org` over the materialized triple table, SET semantics. Each leg is a
+    * predicate-filtered DISTINCT projection — the filter pushes to the
+    * scan, the distinct collapses map-side to the entity vocabulary, and
+    * the three-way join runs over vocabulary-sized relations (AQE
+    * broadcasts them) — the duplicate-triple fan-out a naive
+    * join-then-distinct would pay (page-multiplicity squared per hot
+    * entity) never happens. Oracle: [[KgSql.bgpSql]].
+    */
+  def kgBgp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.extract.Dict
+    val t = kgTriples(spark, dir)
+    def leg(pred: String, sOut: String, oOut: String, iriSubjOnly: Boolean = false) = {
+      val base = t.filter(F.col("p") === pred)
+      (if (iriSubjOnly) base.filter(F.col("sKind") === 0) else base)
+        .select(F.col("s").as(sOut), F.col("o").as(oOut)).distinct()
+    }
+    val knows = leg(Dict.foaf + "knows", "a", "b", iriSubjOnly = true)
+    val birth = leg(Dict.dbo + "birthPlace", "b", "city")
+    val works = leg(Dict.schemaNs + "worksFor", "a", "org")
+    knows.join(birth, "b").join(works, "a")
+      .select("a", "b", "city", "org")
+      .orderBy("a", "b", "city", "org")
+  }
+
   /** Count-min-sketch heavy hitters ([[graft.sketch.Sketch]]): depth-4,
     * width-8 sketch over the token stream — width deliberately far below the
     * corpus vocabulary so bucket collisions are guaranteed and the sketch's

@@ -364,4 +364,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("hsalt") && plan.contains("isalt"),
       s"salted keys missing from the join plan:\n$plan")
   }
+
+  test("BGP: vocabulary-sized distinct legs broadcast, no nested-loop join") {
+    val df = Queries.kgBgp(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop join in BGP plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast join for the vocabulary legs:\n$plan")
+    // legs dedup BEFORE joining: distinct aggregation appears under each side
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"legs not deduped before the join:\n$plan")
+  }
 }
