@@ -159,7 +159,8 @@ object SparkEntry {
     "q_range_join" -> (Queries.rangeJoinQ _),
     "q_kg_jsonld" -> (Queries.kgJsonLd _),
     "q_heavy_hitters" -> (Queries.heavyHitters _),
-    "q_kg_bgp" -> (Queries.kgBgp _)
+    "q_kg_bgp" -> (Queries.kgBgp _),
+    "q_html_tables" -> (Queries.htmlTablesQ _)
   )
 
   /** DuckDB oracle SQL per query (omitted => rows-only check). */

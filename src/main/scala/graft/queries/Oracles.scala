@@ -1223,6 +1223,20 @@ object Oracles {
         |  round(sum(value), 4) AS session_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // WebTables harvest: all nine expected cells per doc closed-form
+    "q_html_tables" ->
+      """WITH c(r, cc, hdr, t) AS (VALUES
+        |  (0, 0, TRUE, 'entity'), (0, 1, TRUE, 'relation & role'), (0, 2, TRUE, 'value'))
+        |SELECT doc_id, CAST(0 AS INT) AS table_idx, CAST(r AS INT) AS row_idx,
+        |       CAST(cc AS INT) AS col_idx, hdr AS is_header, t AS cell_text
+        |FROM documents, c
+        |UNION ALL SELECT doc_id, 0, 1, 0, FALSE, 'E' || (doc_id % 50) FROM documents
+        |UNION ALL SELECT doc_id, 0, 1, 1, FALSE, 'population' FROM documents
+        |UNION ALL SELECT doc_id, 0, 1, 2, FALSE, ((doc_id * 13) % 97) || 'k' FROM documents
+        |UNION ALL SELECT doc_id, 0, 2, 0, FALSE, 'E' || (doc_id % 50) FROM documents
+        |UNION ALL SELECT doc_id, 0, 2, 1, FALSE, 'mayor' FROM documents
+        |UNION ALL SELECT doc_id, 0, 2, 2, FALSE, 'Person ' || (doc_id % 30) FROM documents""".stripMargin,
+
     // count-min sketch: identical splitmix64 row hashes + min-over-rows
     // estimate rebuilt relationally, alongside the exact counts
     "q_heavy_hitters" -> cmsSql(width = 8, threshold = 200L),

@@ -1569,6 +1569,31 @@ object Queries {
       .orderBy("purchase_id")
   }
 
+  /** WebTables harvest ([[graft.extract.HtmlTables]]): each doc carries a
+    * synthesized page whose fact table exercises the parser's tolerance
+    * corners — attributes on `<TABLE>`, mixed tag case, an HTML entity in a
+    * header, an implicitly-closed `<td>` (next cell opens it shut), and an
+    * unclosed final cell (the `</TABLE>` shuts it). The ENGINE runs the
+    * real scanner; the ORACLE reconstructs all nine expected cells per doc
+    * closed-form — a regression in any tolerance rule flips a cell's text
+    * or position and fails the hash. Pure per-row flatMap, zero shuffle.
+    */
+  def htmlTablesQ(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    def s(c: Column) = c.cast("string")
+    val html = F.concat(
+      F.lit("<html><body><h1>Facts</h1>\n<TABLE class=\"wikitable\">" +
+        "<tr><TH>entity</th><th>relation &amp; role</th><th>value</th></tr>\n" +
+        "<tr><td>E"), s(id % 50),
+      F.lit("</td><td>population<td>"), s((id * 13) % 97),
+      F.lit("k</td></tr>\n<tr><td>E"), s(id % 50),
+      F.lit("</td><td>mayor</td><td>Person "), s(id % 30),
+      F.lit("</TABLE>\n</body></html>"))
+    graft.extract.HtmlTables.tableCells(
+        docs(spark, dir).select(F.col("doc_id"), html.as("html")), "doc_id", "html")
+      .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+  }
+
   /** Basic-graph-pattern query (the SPARQL workload chilon's summaries
     * exist to route): `?a knows ?b . ?b birthPlace ?city . ?a worksFor
     * ?org` over the materialized triple table, SET semantics. Each leg is a
