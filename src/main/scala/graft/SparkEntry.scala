@@ -160,7 +160,8 @@ object SparkEntry {
     "q_kg_jsonld" -> (Queries.kgJsonLd _),
     "q_heavy_hitters" -> (Queries.heavyHitters _),
     "q_kg_bgp" -> (Queries.kgBgp _),
-    "q_html_tables" -> (Queries.htmlTablesQ _)
+    "q_html_tables" -> (Queries.htmlTablesQ _),
+    "q_table_triples" -> (Queries.tableTriples _)
   )
 
   /** DuckDB oracle SQL per query (omitted => rows-only check). */

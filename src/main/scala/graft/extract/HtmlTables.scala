@@ -110,6 +110,45 @@ object HtmlTables {
   private def cleanCell(raw: String): String =
     HtmlText.extractText(raw).replace('\n', ' ').trim
 
+  /** The classic WebTables lifting rule (header row = predicates, first
+    * column = subject): for every table whose row 0 is all-header, each data
+    * cell at col > 0 becomes `(subject_cell, header_text, cell_text)`.
+    * Headerless tables and cells beyond the header width lift nothing —
+    * silence over guesses. Purely local to one page's cells.
+    */
+  def lift(cs: Vector[Cell]): Vector[(String, String, String)] =
+    cs.groupBy(_.tableIdx).toVector.sortBy(_._1).flatMap { case (_, tc) =>
+      val headerRow = tc.filter(c => c.rowIdx == 0)
+      if (headerRow.isEmpty || !headerRow.forall(_.isHeader)) Vector.empty
+      else {
+        val preds = headerRow.map(c => c.colIdx -> c.text).toMap
+        val dataRows = tc.filter(c => !c.isHeader && c.rowIdx > 0).groupBy(_.rowIdx)
+        dataRows.toVector.sortBy(_._1).flatMap { case (_, row) =>
+          row.find(_.colIdx == 0).map(_.text) match {
+            case None => Vector.empty
+            case Some(subj) =>
+              row.filter(_.colIdx > 0).sortBy(_.colIdx).flatMap(c =>
+                preds.get(c.colIdx).map(p => (subj, p, c.text)))
+          }
+        }
+      }
+    }
+
+  /** Distributed lifting surface: (idCol, subj, pred, obj) per lifted
+    * triple — the cells never leave the page's task (zero shuffle).
+    */
+  def liftedTriples(df: org.apache.spark.sql.DataFrame, idCol: String, htmlCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(F.col(idCol).cast("long"), F.col(htmlCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, html) =>
+        lift(cells(html)).map(t => (id, t._1, t._2, t._3))
+      }
+      .toDF(idCol, "subj", "pred", "obj")
+  }
+
   /** Distributed surface: one output row per cell. */
   def tableCells(df: org.apache.spark.sql.DataFrame, idCol: String, htmlCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.{functions => F}

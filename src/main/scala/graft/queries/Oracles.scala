@@ -1237,6 +1237,17 @@ object Oracles {
         |UNION ALL SELECT doc_id, 0, 2, 1, FALSE, 'mayor' FROM documents
         |UNION ALL SELECT doc_id, 0, 2, 2, FALSE, 'Person ' || (doc_id % 30) FROM documents""".stripMargin,
 
+    // WebTables lifting: four triples per doc closed-form
+    "q_table_triples" ->
+      """SELECT doc_id, 'E' || (doc_id % 50) AS subj, 'relation & role' AS pred,
+        |       'population' AS obj FROM documents
+        |UNION ALL SELECT doc_id, 'E' || (doc_id % 50), 'value',
+        |       ((doc_id * 13) % 97) || 'k' FROM documents
+        |UNION ALL SELECT doc_id, 'E' || (doc_id % 50), 'relation & role',
+        |       'mayor' FROM documents
+        |UNION ALL SELECT doc_id, 'E' || (doc_id % 50), 'value',
+        |       'Person ' || (doc_id % 30) FROM documents""".stripMargin,
+
     // count-min sketch: identical splitmix64 row hashes + min-over-rows
     // estimate rebuilt relationally, alongside the exact counts
     "q_heavy_hitters" -> cmsSql(width = 8, threshold = 200L),

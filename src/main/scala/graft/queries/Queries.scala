@@ -1578,7 +1578,7 @@ object Queries {
     * closed-form — a regression in any tolerance rule flips a cell's text
     * or position and fails the hash. Pure per-row flatMap, zero shuffle.
     */
-  def htmlTablesQ(spark: SparkSession, dir: String): DataFrame = {
+  private def tablesFixture(spark: SparkSession, dir: String): DataFrame = {
     val id = F.col("doc_id")
     def s(c: Column) = c.cast("string")
     val html = F.concat(
@@ -1589,10 +1589,21 @@ object Queries {
       F.lit("k</td></tr>\n<tr><td>E"), s(id % 50),
       F.lit("</td><td>mayor</td><td>Person "), s(id % 30),
       F.lit("</TABLE>\n</body></html>"))
-    graft.extract.HtmlTables.tableCells(
-        docs(spark, dir).select(F.col("doc_id"), html.as("html")), "doc_id", "html")
-      .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+    docs(spark, dir).select(F.col("doc_id"), html.as("html"))
   }
+
+  def htmlTablesQ(spark: SparkSession, dir: String): DataFrame =
+    graft.extract.HtmlTables.tableCells(tablesFixture(spark, dir), "doc_id", "html")
+      .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+
+  /** WebTables -> triples: the classic lifting rule (header row =
+    * predicates, first column = subject) applied page-locally — cells never
+    * leave their task, so the harvest stays a zero-shuffle flatMap like the
+    * extraction itself. Four triples per fixture doc, closed-form oracle.
+    */
+  def tableTriples(spark: SparkSession, dir: String): DataFrame =
+    graft.extract.HtmlTables.liftedTriples(tablesFixture(spark, dir), "doc_id", "html")
+      .orderBy("doc_id", "subj", "pred", "obj")
 
   /** Basic-graph-pattern query (the SPARQL workload chilon's summaries
     * exist to route): `?a knows ?b . ?b birthPlace ?city . ?a worksFor

@@ -43,6 +43,18 @@ class HtmlTablesSpec extends AnyFunSuite {
     assert(cs == Vector(HtmlTables.Cell(0, 0, 0, isHeader = false, "tail")))
   }
 
+  test("lifting: header-as-predicate, first-column subject, headerless skipped") {
+    val html =
+      """<table><tr><th>who</th><th>age</th><th>city</th></tr>
+        |<tr><td>ann</td><td>41</td><td>rome</td></tr>
+        |<tr><td>bob</td><td>7</td></tr></table>
+        |<table><tr><td>no</td><td>header</td></tr></table>""".stripMargin
+    val got = HtmlTables.lift(HtmlTables.cells(html))
+    assert(got == Vector(
+      ("ann", "age", "41"), ("ann", "city", "rome"),
+      ("bob", "age", "7"))) // short row lifts what it has; headerless table lifts nothing
+  }
+
   test("distributed surface is a zero-shuffle projection") {
     val spark = SparkSuite.spark
     import spark.implicits._
