@@ -161,7 +161,8 @@ object SparkEntry {
     "q_heavy_hitters" -> (Queries.heavyHitters _),
     "q_kg_bgp" -> (Queries.kgBgp _),
     "q_html_tables" -> (Queries.htmlTablesQ _),
-    "q_table_triples" -> (Queries.tableTriples _)
+    "q_table_triples" -> (Queries.tableTriples _),
+    "q_hll_distinct" -> (Queries.hllDistinct _)
   )
 
   /** DuckDB oracle SQL per query (omitted => rows-only check). */

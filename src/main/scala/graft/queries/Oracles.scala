@@ -1252,6 +1252,9 @@ object Oracles {
     // estimate rebuilt relationally, alongside the exact counts
     "q_heavy_hitters" -> cmsSql(width = 8, threshold = 200L),
 
+    // HyperLogLog: register table + defined-order-IEEE raw estimate
+    "q_hll_distinct" -> hllSql,
+
     // JSON-LD harvest: the six expected triples per doc, reconstructed
     // closed-form from the generation rule (independent of the parser)
     "q_kg_jsonld" ->
@@ -1413,6 +1416,37 @@ object Oracles {
 
   private def toksSql(col: String): String =
     s"list_filter(string_split_regex(lower($col), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** HLL: rebuild the register table with the engine's exact hash chain and
+    * re-derive the raw estimate through the SAME ascending-j IEEE fold of
+    * exact power-of-two reciprocals (list_reduce is left-to-right like the
+    * engine's foldLeft; every term and the alpha constant are bit-identical,
+    * so the emitted double matches exactly).
+    */
+  private def hllSql: String = {
+    val m = graft.sketch.Sketch.HllM
+    val alpha = s"CAST('${graft.sketch.Sketch.HllAlpha.toString}' AS DOUBLE)"
+    s"""WITH k AS (SELECT 'e' || (event_id // 3) AS key FROM events),
+       |hb AS (SELECT ${HashSql.hashShingleSql("key", graft.sketch.Sketch.HllSeed)} AS h FROM k),
+       |jr AS (SELECT CAST(h % $m AS INT) AS j,
+       |         CASE WHEN h // $m = 0 THEN 57
+       |              ELSE 57 - length(format('{:b}', CAST(h // $m AS BIGINT))) END AS rho
+       |       FROM hb),
+       |regs AS (SELECT j, max(rho) AS m_j FROM jr GROUP BY j),
+       |fullr AS (SELECT CAST(r.r AS INT) AS j, coalesce(regs.m_j, 0) AS mj
+       |          FROM (SELECT UNNEST(range(0, $m)) AS r) r LEFT JOIN regs ON regs.j = r.r),
+       |s AS (SELECT list_reduce(
+       |        list_prepend(CAST(0.0 AS DOUBLE),
+       |          list(1.0 / CAST((CAST(1 AS BIGINT) << mj) AS DOUBLE) ORDER BY j)),
+       |        (a, b) -> a + b) AS harm FROM fullr),
+       |dig AS (SELECT md5(string_agg(j || ':' || m_j, ',' ORDER BY j)) AS regs_md5,
+       |               count(*) AS n_regs FROM regs),
+       |ex AS (SELECT CAST(count(DISTINCT key) AS BIGINT) AS n_exact FROM k)
+       |SELECT CAST($m AS BIGINT) AS m, CAST($m - dig.n_regs AS BIGINT) AS v_zero,
+       |  $alpha * ${m.toDouble * m.toDouble} / s.harm AS hll_est,
+       |  ex.n_exact, dig.regs_md5
+       |FROM s, dig, ex""".stripMargin
+  }
 
   /** CMS heavy hitters: rebuild the sketch relationally with the engine's
     * exact hash chain (shingle-fold base, per-row splitmix64 re-seed, low

@@ -1631,6 +1631,22 @@ object Queries {
       .orderBy("a", "b", "city", "org")
   }
 
+  /** HyperLogLog distinct count ([[graft.sketch.Sketch]]): 256 registers
+    * over a key stream derived from events (ids collapsed 3:1 so duplicates
+    * genuinely exist). The oracle rebuilds the identical register table
+    * (same splitmix64 hash, same leading-zero ranks), digests it, and
+    * recomputes the raw estimate through the SAME defined-order IEEE fold
+    * of exact power-of-two reciprocals — the emitted double is
+    * bit-identical across engines, no transcendental anywhere. Exact
+    * distinct count rides alongside for validation.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val keys = spark.read.parquet(s"$dir/events.parquet")
+      .select(F.concat(F.lit("e"),
+        F.floor(F.col("event_id") / 3).cast("long").cast("string")).as("key"))
+    graft.sketch.Sketch.hllSummary(keys, "key")
+  }
+
   /** Count-min-sketch heavy hitters ([[graft.sketch.Sketch]]): depth-4,
     * width-8 sketch over the token stream — width deliberately far below the
     * corpus vocabulary so bucket collisions are guaranteed and the sketch's

@@ -68,6 +68,71 @@ object Sketch {
     probes.withColumn("cms_est", estUdf(F.col(tokCol)))
   }
 
+  // --------------------------------------------------------------------
+  // HyperLogLog — distinct counting in 256 registers
+  // --------------------------------------------------------------------
+
+  /** Register precision: p = 8 bits -> m = 256 registers (~6.5% std error),
+    * the remaining 56 hash bits feed the leading-zero rank.
+    */
+  val HllP = 8
+  val HllM = 256
+  val HllSeed = 0x4711dadaL
+  /** alpha_256 (Flajolet et al. 2007), computed once and round-tripped
+    * through its shortest decimal so the oracle uses the bit-identical
+    * IEEE constant.
+    */
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
+
+  /** (register index, rank): low p bits route, the 56-bit suffix's
+    * leading-zero count + 1 is the rank (57 when the suffix is zero).
+    */
+  def hllRegisterOf(key: String): (Int, Int) = {
+    val h = Dedup.hashShingle(key, HllSeed)
+    val j = (h & (HllM - 1)).toInt
+    val w = h >>> HllP
+    val rho = if (w == 0L) 57 else 57 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+    (j, rho)
+  }
+
+  /** Register table (j, m_j = max rank). `max` is algebraic, so the shuffle
+    * is bounded at m rows per map task — like the CMS cells, sketch-sized
+    * regardless of stream cardinality.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
+    val regUdf = F.udf((k: String) => { val (j, r) = hllRegisterOf(k); Seq(j, r) })
+    df.select(regUdf(F.col(keyCol)).as("jr"))
+      .select(F.col("jr")(0).as("j"), F.col("jr")(1).as("rho"))
+      .groupBy("j").agg(F.max("rho").as("m_j"))
+  }
+
+  /** One-row summary: the raw HLL estimate (no small-range correction — a
+    * deliberate engine-exactness choice: the correction's `m ln(m/V)` is a
+    * cross-engine transcendental; callers in the linear-counting regime
+    * have `v_zero` right here to apply it), the register digest, and the
+    * exact distinct count for validation.
+    */
+  def hllSummary(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val regs = hllRegisters(df, keyCol)
+      .collect() // bounded: <= m registers by construction
+      .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    val regMap = regs.toMap
+    // defined-order fold (ascending j) of exact power-of-two reciprocals:
+    // both engines run the identical IEEE addition sequence
+    val harm = (0 until HllM).foldLeft(0.0)((acc, j) =>
+      acc + 1.0 / (1L << regMap.getOrElse(j, 0)).toDouble)
+    val est = HllAlpha * (HllM.toDouble * HllM.toDouble) / harm
+    val vZero = (HllM - regs.length).toLong
+    val csv = regs.map { case (j, m) => s"$j:$m" }.mkString(",")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(csv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val nExact = df.select(keyCol).distinct().count()
+    import spark.implicits._
+    Seq((HllM.toLong, vZero, est, nExact, md5))
+      .toDF("m", "v_zero", "hll_est", "n_exact", "regs_md5")
+  }
+
   /** Heavy hitters with their exact counts alongside the sketch estimate:
     * every distinct token whose CMS estimate clears `threshold`, with the
     * true count for over-estimate accounting. (The exact count exists here

@@ -55,4 +55,37 @@ class SketchSpec extends AnyFunSuite {
       Sketch.cmsCells(docs, "text", width = 100)
     }
   }
+
+  test("HLL register rank: leading zeros of the 56-bit suffix, 57 floor") {
+    // rank bounds: 1..57 for any key; register index within [0, m)
+    (0 until 200).foreach { i =>
+      val (j, rho) = Sketch.hllRegisterOf(s"key-$i")
+      assert(j >= 0 && j < Sketch.HllM)
+      assert(rho >= 1 && rho <= 57, s"rank $rho out of range for key-$i")
+    }
+  }
+
+  test("HLL estimate lands within the 3-sigma band of its 6.5% std error") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 5000
+    val keys = (0 until n).map(i => s"user-$i").toDF("key")
+      .union((0 until n).map(i => s"user-$i").toDF("key")) // dups must not move it
+    val row = Sketch.hllSummary(keys, "key").collect().head
+    val est = row.getDouble(2)
+    val exact = row.getLong(3)
+    assert(exact == n)
+    assert(math.abs(est - n) / n < 0.20, s"estimate $est too far from $n")
+  }
+
+  test("HLL summary is deterministic and register-bounded") {
+    val spark2 = spark
+    import spark2.implicits._
+    val keys = (0 until 1000).map(i => s"k$i").toDF("key")
+    val a = Sketch.hllSummary(keys, "key").collect().head
+    val b = Sketch.hllSummary(keys, "key").collect().head
+    assert(a == b)
+    assert(a.getLong(0) == Sketch.HllM && a.getLong(1) >= 0)
+    assert(Sketch.hllRegisters(keys, "key").count() <= Sketch.HllM)
+  }
 }
