@@ -162,7 +162,8 @@ object SparkEntry {
     "q_kg_bgp" -> (Queries.kgBgp _),
     "q_html_tables" -> (Queries.htmlTablesQ _),
     "q_table_triples" -> (Queries.tableTriples _),
-    "q_hll_distinct" -> (Queries.hllDistinct _)
+    "q_hll_distinct" -> (Queries.hllDistinct _),
+    "q_bloom_decontam" -> (Queries.bloomDecontamQ _)
   )
 
   /** DuckDB oracle SQL per query (omitted => rows-only check). */

@@ -1255,6 +1255,9 @@ object Oracles {
     // HyperLogLog: register table + defined-order-IEEE raw estimate
     "q_hll_distinct" -> hllSql,
 
+    // portable Bloom: exact bit-set replay, per-row FP/no-FN verdicts
+    "q_bloom_decontam" -> bloomSql(k = 4, m = 256),
+
     // JSON-LD harvest: the six expected triples per doc, reconstructed
     // closed-form from the generation rule (independent of the parser)
     "q_kg_jsonld" ->
@@ -1416,6 +1419,39 @@ object Oracles {
 
   private def toksSql(col: String): String =
     s"list_filter(string_split_regex(lower($col), '[^a-z0-9]+'), x -> len(x) > 0)"
+
+  /** Portable Bloom: rebuild the exact bit set from the same splitmix64
+    * family and replay the all-k-positions-set verdict per document
+    * (duplicate positions join twice on both sides, so count = k is
+    * exactly the engine's forall).
+    */
+  private def bloomSql(k: Int, m: Int): String = {
+    val base = HashSql.hashShingleSql("text", graft.sketch.Sketch.BloomSeed)
+    def posExpr(i: Int): String = {
+      val seed = graft.extract.Synth.mix64(graft.sketch.Sketch.BloomSeed + i)
+      val sc = s"CAST('${java.lang.Long.toUnsignedString(seed)}' AS HUGEINT)"
+      s"(${HashSql.mix64(HashSql.xor64("base", sc))}) % $m"
+    }
+    val blPos = (0 until k).map(i => s"  SELECT ${posExpr(i)} AS pos FROM blh")
+      .mkString("\n  UNION ALL\n")
+    val docPos = (0 until k).map(i => s"  SELECT doc_id, ${posExpr(i)} AS pos FROM dh")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH bl AS (SELECT DISTINCT text FROM documents WHERE doc_id % 11 = 0),
+       |blh AS (SELECT $base AS base FROM bl),
+       |bits AS (SELECT DISTINCT pos FROM (
+       |$blPos)),
+       |dh AS (SELECT doc_id, $base AS base FROM documents),
+       |dp AS (
+       |$docPos),
+       |hits AS (SELECT doc_id, count(*) AS nhit FROM dp JOIN bits USING (pos)
+       |         GROUP BY doc_id),
+       |ex AS (SELECT DISTINCT d.doc_id FROM documents d JOIN bl ON d.text = bl.text)
+       |SELECT d.doc_id, coalesce(h.nhit, 0) = $k AS dropped_bloom,
+       |  (ex.doc_id IS NOT NULL) AS dropped_exact
+       |FROM documents d
+       |LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |LEFT JOIN ex ON ex.doc_id = d.doc_id""".stripMargin
+  }
 
   /** HLL: rebuild the register table with the engine's exact hash chain and
     * re-derive the raw estimate through the SAME ascending-j IEEE fold of

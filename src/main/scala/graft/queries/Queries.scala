@@ -1631,6 +1631,29 @@ object Queries {
       .orderBy("a", "b", "city", "org")
   }
 
+  /** Portable-Bloom decontamination verdicts ([[graft.sketch.Sketch]]):
+    * blocklist = the doc_id % 11 == 0 slice; m = 256 bits is deliberately
+    * tight (~46 keys x 4 hashes -> high load factor) so FALSE POSITIVES
+    * genuinely occur and both halves of the bloom contract get pinned
+    * per-row: `dropped_exact => dropped_bloom` (no false negative anywhere)
+    * while `dropped_bloom > dropped_exact` on the FP rows. The oracle
+    * rebuilds the identical bit set relationally from the same splitmix64
+    * family — unlike Spark's built-in bloomFilter, whose hashing an
+    * external engine cannot replay (that variant stays spec-pinned in
+    * [[graft.dedup.Dedup.bloomDecontaminate]]).
+    */
+  def bloomDecontamQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bl = d.filter(F.col("doc_id") % 11 === 0).select(F.col("text"))
+    val verdicts = graft.sketch.Sketch.portableBloomVerdict(
+      d.select(F.col("doc_id"), F.col("text")), "text", bl, "text", k = 4, m = 256)
+    val exactHit = bl.distinct().withColumn("dropped_exact", F.lit(true))
+    verdicts.join(exactHit, Seq("text"), "left")
+      .select(F.col("doc_id"), F.col("dropped_bloom"),
+        F.coalesce(F.col("dropped_exact"), F.lit(false)).as("dropped_exact"))
+      .orderBy("doc_id")
+  }
+
   /** HyperLogLog distinct count ([[graft.sketch.Sketch]]): 256 registers
     * over a key stream derived from events (ids collapsed 3:1 so duplicates
     * genuinely exist). The oracle rebuilds the identical register table

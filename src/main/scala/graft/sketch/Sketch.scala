@@ -69,6 +69,49 @@ object Sketch {
   }
 
   // --------------------------------------------------------------------
+  // Portable Bloom filter — engine-exact membership bits
+  // --------------------------------------------------------------------
+
+  /** Seed for the Bloom hash family; the i-th hash re-seeds with
+    * `mix64(BloomSeed + i)` so every position is closed-form replicable.
+    */
+  val BloomSeed = 0xb10f11e5L
+
+  /** The k bit positions of `key` in an m-bit filter (m a power of two).
+    * Unlike Spark's built-in `stat.bloomFilter` (whose internal hashing is
+    * not specified for cross-engine replay), this family is pinned
+    * splitmix64 — an external auditor can rebuild the exact filter.
+    */
+  def bloomPositions(key: String, k: Int, m: Int): Seq[Int] = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val base = Dedup.hashShingle(key, BloomSeed)
+    (0 until k).map(i => (Synth.mix64(base ^ Synth.mix64(BloomSeed + i)) & (m - 1)).toInt)
+  }
+
+  /** Bloom decontamination verdict per corpus row: `dropped_bloom` is true
+    * iff ALL k positions of the row's text are set by the blocklist. The
+    * bit set builds from the blocklist only (distinct positions, <= m, so
+    * the collect is filter-bounded like a real bloom broadcast) and applies
+    * map-side — the corpus never shuffles. One-sided by construction:
+    * a blocklisted text sets its own bits, so false negatives cannot occur;
+    * false positives drop extra rows at the load-factor rate.
+    */
+  def portableBloomVerdict(
+      corpus: DataFrame, textCol: String,
+      blocklist: DataFrame, blockTextCol: String,
+      k: Int, m: Int): DataFrame = {
+    val posUdf = F.udf((t: String) => bloomPositions(t, k, m))
+    val bits: Set[Int] = blocklist
+      .select(F.explode(posUdf(F.col(blockTextCol))).as("pos"))
+      .distinct()
+      .collect() // bounded: <= m bit positions by construction
+      .map(_.getInt(0)).toSet
+    val bc = corpus.sparkSession.sparkContext.broadcast(bits)
+    val verdict = F.udf((t: String) => bloomPositions(t, k, m).forall(bc.value.contains))
+    corpus.withColumn("dropped_bloom", verdict(F.col(textCol)))
+  }
+
+  // --------------------------------------------------------------------
   // HyperLogLog — distinct counting in 256 registers
   // --------------------------------------------------------------------
 

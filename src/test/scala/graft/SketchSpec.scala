@@ -56,6 +56,27 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("portable bloom: no false negative ever, false positives at tight m") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = (0 until 400).map(i => (i.toLong, s"document body $i")).toDF("doc_id", "text")
+    val bl = corpus.filter($"doc_id" % 5 === 0).select("text")
+    val got = Sketch.portableBloomVerdict(corpus, "text", bl, "text", k = 4, m = 128)
+      .select("doc_id", "dropped_bloom").as[(Long, Boolean)].collect().toMap
+    // every blocklisted doc is dropped (one-sided guarantee)
+    (0 until 400 by 5).foreach(i => assert(got(i.toLong), s"false negative at $i"))
+    // 80 keys x 4 hashes in 128 bits: load factor forces false positives
+    assert((0 until 400).count(i => i % 5 != 0 && got(i.toLong)) > 0,
+      "tight filter produced no false positive — hashing is broken")
+  }
+
+  test("portable bloom positions: pinned family, within range, key-sensitive") {
+    val a = Sketch.bloomPositions("alpha", 4, 256)
+    assert(a.length == 4 && a.forall(p => p >= 0 && p < 256))
+    assert(a == Sketch.bloomPositions("alpha", 4, 256))
+    assert(a != Sketch.bloomPositions("alphb", 4, 256))
+  }
+
   test("HLL register rank: leading zeros of the 56-bit suffix, 57 floor") {
     // rank bounds: 1..57 for any key; register index within [0, m)
     (0 until 200).foreach { i =>
