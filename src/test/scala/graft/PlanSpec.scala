@@ -365,6 +365,25 @@ class PlanSpec extends AnyFunSuite {
       s"salted keys missing from the join plan:\n$plan")
   }
 
+  test("hive-partitioned corpus layout prunes partitions at the scan") {
+    import org.apache.spark.sql.{functions => F}
+    // the 100-TB layout: crawl corpora partitioned by coarse keys
+    // (crawl date / language); an equality predicate must prune at
+    // PLANNING time (PartitionFilters), never scan-and-discard
+    val out = SparkSuite.tmpDir("plan-partitioned")
+    Queries.docsPublic(spark, dir)
+      .withColumn("lang_part", F.concat(F.lit("l"), (F.col("doc_id") % 4).cast("string")))
+      .write.partitionBy("lang_part").mode("overwrite").parquet(out)
+    val df = spark.read.parquet(out).filter(F.col("lang_part") === "l1")
+      .select("doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("lang_part"),
+      s"no partition filter at the scan:\n$plan")
+    // the pruned scan must still return exactly the l1 slice
+    assert(df.count() == Queries.docsPublic(spark, dir)
+      .filter(F.col("doc_id") % 4 === 1).count())
+  }
+
   test("BGP: vocabulary-sized distinct legs broadcast, no nested-loop join") {
     val df = Queries.kgBgp(spark, dir)
     df.collect()
