@@ -163,7 +163,16 @@ object SparkEntry {
     "q_html_tables" -> (Queries.htmlTablesQ _),
     "q_table_triples" -> (Queries.tableTriples _),
     "q_hll_distinct" -> (Queries.hllDistinct _),
-    "q_bloom_decontam" -> (Queries.bloomDecontamQ _)
+    "q_bloom_decontam" -> (Queries.bloomDecontamQ _),
+    "q_warc_records" -> (Queries.warcRecords _),
+    "q_cdx_index" -> (Queries.cdxIndex _),
+    "q_compaction_plan" -> (Queries.compactionPlanQ _),
+    "q_zorder_keys" -> (Queries.zorderKeys _),
+    "q_http_parse" -> (Queries.httpParse _),
+    "q_robots" -> (Queries.robotsVerdicts _),
+    "q_html_meta" -> (Queries.htmlMeta _),
+    "q_sitemap" -> (Queries.sitemapParse _),
+    "q_ingest_e2e" -> (Queries.ingestE2e _)
   )
 
   /** DuckDB oracle SQL per query (omitted => rows-only check). */

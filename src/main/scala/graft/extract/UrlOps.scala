@@ -110,6 +110,23 @@ object UrlOps {
       F.when(q =!= "", F.concat(F.lit("?"), q)).otherwise(F.lit("")))
   }
 
+  /** SURT (Sort-friendly URI Reordering Transform) — the key form of the
+    * Common-Crawl/Internet-Archive CDX URL index: scheme dropped, host
+    * labels reversed and comma-joined, then `)` + lowercased path +
+    * canonical query. `com,example,s5)/sec3/item?id=7` sorts all of a
+    * domain's captures (and all of its subdomains') into one contiguous
+    * key range — which is exactly what makes a range-partitioned index
+    * scan one executor's worth of files for a per-domain lookup instead of
+    * the whole index. Pure Column expression (split/reverse/join + the
+    * existing canonicalization pieces), zero shuffle to compute.
+    */
+  def surt(url: Column): Column = {
+    val rev = F.array_join(F.reverse(F.split(host(url), "\\.")), ",")
+    val q = canonicalQuery(url)
+    F.concat(rev, F.lit(")"), F.lower(path(url)),
+      F.when(q =!= "", F.concat(F.lit("?"), F.lower(q))).otherwise(F.lit("")))
+  }
+
   /** Latest-capture dedup over a crawl archive: a Common-Crawl-style corpus
     * holds MANY captures of the same logical page at different `warc_ts`;
     * training/KG pipelines keep exactly one — the newest. One row per key:

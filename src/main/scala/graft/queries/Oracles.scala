@@ -1366,7 +1366,152 @@ object Oracles {
         |         WHERE bp.line IS NULL)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
         |  md5(string_agg(line, chr(10) ORDER BY idx)) AS kept_md5
-        |FROM kept GROUP BY doc_id""".stripMargin
+        |FROM kept GROUP BY doc_id""".stripMargin,
+
+    // WARC container parse: the ENGINE runs the length-delimited byte
+    // parser over the synthesized two-record segment; the oracle
+    // reconstructs every field closed-form from the generation rule —
+    // including the md5 of the payload whose body embeds a literal
+    // "WARC/1.0\r\nContent-Length: 3\r\n\r\n" marker (a resync-based
+    // parser shears there and fails the hash)
+    "q_warc_records" ->
+      """WITH crlf AS (SELECT chr(13) || chr(10) AS c),
+        |b AS (SELECT doc_id,
+        |    'http://w' || (doc_id % 20) || '.example.org/page/' || doc_id AS uri,
+        |    '<html><body>doc ' || doc_id || ' cites WARC/1.0' || c ||
+        |      'Content-Length: 3' || c || c || 'x</body></html>' AS p1,
+        |    'fetchTimeMs: ' || ((doc_id * 37) % 1000) || c AS p2
+        |  FROM documents, crlf)
+        |SELECT doc_id, 0 AS rec_idx, 'response' AS warc_type, uri AS target_uri,
+        |  'text/html' AS content_type, CAST(len(p1) AS BIGINT) AS content_length,
+        |  md5(p1) AS payload_md5 FROM b
+        |UNION ALL
+        |SELECT doc_id, 1, 'metadata', uri, 'application/warc-fields',
+        |  CAST(len(p2) AS BIGINT), md5(p2) FROM b""".stripMargin,
+
+    // CDX crawl-index build: the ENGINE parses the messy capture URL with
+    // the real SURT/canonicalization column logic; the oracle writes the
+    // expected sort key directly from the generation rule (scheme+case
+    // noise gone, www. stripped, default :80 dropped, utm_ param removed)
+    "q_cdx_index" ->
+      """SELECT (CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END) ||
+        |    ',example,s' || (doc_id % 40) || ')/sec' || (doc_id % 7) ||
+        |    '/item?id=' || (doc_id % 97) AS surt,
+        |  1700000000 + (doc_id * 7919) % 31536000 AS ts_unix,
+        |  md5(text) AS digest, doc_id
+        |FROM documents""".stripMargin,
+
+    // compaction binpack plan: per-partition exclusive prefix sum over the
+    // FILE MANIFEST (metadata-sized by construction) + floor-division bin
+    "q_compaction_plan" ->
+      """WITH p AS (SELECT lang, doc_id AS file_id, n_chars AS bytes,
+        |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM documents)
+        |SELECT lang, file_id, bytes, cum_before,
+        |  cum_before // 4000 AS bin FROM p""".stripMargin,
+
+    // Z-order clustering key: the Morton mask-shift cascade replayed
+    // verbatim in integer SQL (masks 0x00ff00ff / 0x0f0f0f0f / 0x33333333 /
+    // 0x55555555 in decimal)
+    "q_zorder_keys" ->
+      """WITH b AS (SELECT doc_id, n_chars % 65536 AS zx,
+        |    (doc_id * 7919) % 65536 AS zy FROM documents),
+        |s1 AS (SELECT *, (zx | (zx << 8)) & 16711935 AS x1,
+        |    (zy | (zy << 8)) & 16711935 AS y1 FROM b),
+        |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |    (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |    (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |s4 AS (SELECT *, (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |    (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3)
+        |SELECT doc_id, zx, zy, CAST(x4 | (y4 << 1) AS BIGINT) AS zval
+        |FROM s4""".stripMargin,
+
+    // HTTP response parse: the ENGINE runs the real message parser
+    // (case-insensitive header names, media-type/charset split); the
+    // oracle reconstructs every field closed-form
+    "q_http_parse" ->
+      """WITH b AS (SELECT doc_id, '{"doc":' || doc_id || '}' AS body FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 301
+        |       WHEN doc_id % 10 = 1 THEN 404 ELSE 200 END AS status,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'Moved Permanently'
+        |       WHEN doc_id % 10 = 1 THEN 'Not Found' ELSE 'OK' END AS reason,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'application/json'
+        |       ELSE 'text/html' END AS content_type,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'utf-8'
+        |       WHEN doc_id % 3 = 1 THEN 'iso-8859-1' ELSE '' END AS charset,
+        |  3 AS n_headers,
+        |  CAST(len(body) AS BIGINT) AS body_len,
+        |  md5(body) AS body_md5
+        |FROM b""".stripMargin,
+
+    // robots.txt: the ENGINE parses the real policy text and applies the
+    // RFC 9309 longest-match rule; the oracle recomputes the verdict
+    // closed-form (named-bot group vs * fallback, the Allow carve-out
+    // winning by length, the empty Disallow ignored)
+    "q_robots" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'GraftBot' ELSE 'crawler-x' END AS agent,
+        |  CASE WHEN doc_id % 5 = 0 THEN '/pub/page' || doc_id
+        |       ELSE '/sec' || (doc_id % 7) || '/item' || (doc_id % 50) END AS path,
+        |  CASE WHEN doc_id % 4 = 0 THEN (doc_id % 5 = 0)
+        |       WHEN doc_id % 5 = 0 THEN TRUE
+        |       WHEN doc_id % 7 = (doc_id % 10) % 7
+        |            AND starts_with(CAST(doc_id % 50 AS VARCHAR),
+        |                            CAST(doc_id % 10 AS VARCHAR)) THEN TRUE
+        |       WHEN doc_id % 7 = (doc_id % 10) % 7 THEN FALSE
+        |       ELSE TRUE END AS allowed,
+        |  CASE WHEN doc_id % 4 = 0 THEN
+        |         (CASE WHEN doc_id % 5 = 0 THEN '/pub' ELSE '/' END)
+        |       WHEN doc_id % 5 = 0 THEN ''
+        |       WHEN doc_id % 7 = (doc_id % 10) % 7
+        |            AND starts_with(CAST(doc_id % 50 AS VARCHAR),
+        |                            CAST(doc_id % 10 AS VARCHAR))
+        |         THEN '/sec' || (doc_id % 7) || '/item' || (doc_id % 10)
+        |       WHEN doc_id % 7 = (doc_id % 10) % 7 THEN '/sec' || (doc_id % 7) || '/'
+        |       ELSE '' END AS matched_rule
+        |FROM documents""".stripMargin,
+
+    // page-metadata harvest: expected field values written directly from
+    // the generation rule (the engine's attr-order/quote-style regexes and
+    // the decoy meta tag are what's under test)
+    "q_html_meta" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || ' of record' AS title,
+        |  'Summary of document ' || doc_id AS description,
+        |  'https://ex.org/canon/' || (doc_id % 100) AS canonical,
+        |  'OG Doc ' || doc_id AS og_title
+        |FROM documents""".stripMargin,
+
+    // sitemap parse: every entry regenerated by a correlated range unnest
+    "q_sitemap" ->
+      """SELECT doc_id, CAST(j AS INT) AS url_idx,
+        |  'https://s' || (doc_id % 40) || '.example.com/p/' || doc_id || '/' || j
+        |    AS loc,
+        |  CASE WHEN j % 2 = 0
+        |       THEN '2024-0' || ((doc_id % 9) + 1) || '-0' || (j + 1)
+        |       ELSE '' END AS lastmod,
+        |  '0.' || ((doc_id + j) % 10) AS priority
+        |FROM documents, UNNEST(range(0, 1 + doc_id % 3)) AS u(j)""".stripMargin,
+
+    // fused ingest chain: expected extracted text reconstructed closed-form;
+    // the SAME digest is pinned for the UTF-8 (even ids) and ISO-8859-1
+    // (odd ids) encodings of the accented body — a chain that ignores the
+    // declared charset produces U+FFFD for latin-1 docs and fails the hash
+    "q_ingest_e2e" ->
+      """WITH t AS (SELECT doc_id,
+        |    'Doc ' || doc_id || chr(10) || 'café Ü value ' || ((doc_id * 31) % 97)
+        |      AS text FROM documents)
+        |SELECT doc_id,
+        |  'http://w' || (doc_id % 20) || '.example.org/page/' || doc_id AS uri,
+        |  200 AS status, 'text/html' AS content_type,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset,
+        |  CAST(len(text) AS BIGINT) AS n_cp,
+        |  md5(text) AS text_md5
+        |FROM t""".stripMargin
   )
 
   /** DuckDB replica of Similarity.kMeansInt: quantize to the same

@@ -1735,6 +1735,268 @@ object Queries {
       .agg(F.count(F.lit(1)).as("n_points"), F.sum("pid").as("sum_pid"))
       .orderBy("iid")
   }
+
+  /** WARC container parsing ([[graft.extract.Warc]]): each doc carries a
+    * synthesized two-record WARC/1.0 segment — a `response` record with
+    * spec-case headers plus an unknown `X-Crawler` header the parser must
+    * tolerate, and a `metadata` record whose headers arrive lowercased and
+    * REORDERED (Content-Length first) to pin case/order insensitivity in
+    * the oracle-checked path. The response payload embeds the literal
+    * bytes `WARC/1.0\r\nContent-Length: 3\r\n\r\n`, so a parser that
+    * resyncs on markers instead of honoring Content-Length shears here.
+    * The ENGINE runs the real length-delimited byte parser; the ORACLE
+    * reconstructs every field (type, URI, content type, length, payload
+    * md5) closed-form from the generation rule. Pure flatMap, zero shuffle.
+    */
+  def warcRecords(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val crlf = "\r\n"
+    val p1 = F.concat(F.lit("<html><body>doc "), id,
+      F.lit(" cites WARC/1.0" + crlf + "Content-Length: 3" + crlf + crlf +
+        "x</body></html>"))
+    val p2 = F.concat(F.lit("fetchTimeMs: "), (id * 37) % 1000, F.lit(crlf))
+    val uri = F.concat(F.lit("http://w"), id % 20, F.lit(".example.org/page/"), id)
+    val rec1 = F.concat(
+      F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf),
+      F.lit("WARC-Record-ID: <urn:uuid:"), id, F.lit("-0>" + crlf),
+      F.lit("WARC-Target-URI: "), uri, F.lit(crlf),
+      F.lit("WARC-Date: 2024-01-01T00:00:00Z" + crlf),
+      F.lit("X-Crawler: graft/1.0" + crlf),
+      F.lit("Content-Type: text/html" + crlf),
+      F.lit("Content-Length: "), F.length(p1), F.lit(crlf + crlf),
+      p1, F.lit(crlf + crlf))
+    val rec2 = F.concat(
+      F.lit("WARC/1.0" + crlf),
+      F.lit("content-length: "), F.length(p2), F.lit(crlf),
+      F.lit("warc-type: Metadata" + crlf),
+      F.lit("content-type: application/warc-fields" + crlf),
+      F.lit("warc-target-uri: "), uri, F.lit(crlf + crlf),
+      p2, F.lit(crlf + crlf))
+    val seg = docs(spark, dir)
+      .select(id, F.concat(rec1, rec2).cast("binary").as("warc"))
+    graft.extract.Warc.records(seg, "doc_id", "warc")
+      .toDF().orderBy("doc_id", "rec_idx")
+  }
+
+  /** CDX-style crawl-index build ([[graft.extract.UrlOps.surt]]): messy
+    * capture URLs (scheme/host case noise, sometimes `WWW.`, sometimes an
+    * explicit default `:80`, a tracking param) collapse to the SURT key,
+    * keyed with a closed-form capture timestamp and the content digest —
+    * the (surt, ts, digest) lines of Common Crawl's URL index. The engine
+    * PARSES the messy URL; the oracle builds the expected key directly
+    * from the generation rule, so any canonicalization drift fails the
+    * hash. Projection-only compute; the index's global (surt, ts) order is
+    * a range exchange — the one shuffle a sorted index costs by definition.
+    */
+  def cdxIndex(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val url = F.concat(
+      F.lit("HTTP://"),
+      F.when(id % 3 === 0, "WWW.").otherwise(""),
+      F.lit("S"), id % 40,
+      F.lit(".Example."), F.when(id % 2 === 0, "COM").otherwise("org"),
+      F.when(id % 5 === 0, ":80").otherwise(""),
+      F.lit("/Sec"), id % 7, F.lit("/Item?id="), id % 97,
+      F.lit("&utm_source=feed"))
+    docs(spark, dir).select(
+        graft.extract.UrlOps.surt(url).as("surt"),
+        (F.lit(1700000000L) + (id * 7919) % 31536000).as("ts_unix"),
+        F.md5(F.col("text")).as("digest"),
+        id.as("doc_id"))
+      .orderBy("surt", "ts_unix", "doc_id")
+  }
+
+  /** Small-file compaction planning ([[graft.layout.Layout]]): documents
+    * stand in as the file manifest (partition key = lang, size = n_chars,
+    * 4 kB target); the oracle recomputes the per-partition exclusive
+    * prefix sum and bin assignment with a plain SQL window.
+    */
+  def compactionPlanQ(spark: SparkSession, dir: String): DataFrame =
+    graft.layout.Layout.compactionPlan(
+        docs(spark, dir).select(F.col("lang"), F.col("doc_id").as("file_id"),
+          F.col("n_chars").as("bytes")),
+        "lang", "file_id", "bytes", targetBytes = 4000L)
+      .orderBy("lang", "file_id")
+
+  /** Z-order clustering key ([[graft.layout.Layout.zValue]]): Morton
+    * interleave of a 16-bit size dimension and a 16-bit hash dimension —
+    * exact integer shift/mask arithmetic, replayed verbatim by the oracle.
+    */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
+    val x = F.pmod(F.col("n_chars"), F.lit(65536L)).cast("long")
+    val y = F.pmod(F.col("doc_id") * 7919, F.lit(65536L)).cast("long")
+    docs(spark, dir).select(F.col("doc_id"), x.as("zx"), y.as("zy"),
+        graft.layout.Layout.zValue(x, y).as("zval"))
+      .orderBy("doc_id")
+  }
+
+  /** HTTP response parsing ([[graft.extract.Http]]): each doc carries a
+    * synthesized HTTP/1.1 message — status family by id, the Content-Type
+    * header name lowercased on odd ids (case-insensitivity in the oracled
+    * path), a charset parameter in two spellings, a JSON body. The ENGINE
+    * runs the real message parser; the ORACLE reconstructs status / media
+    * type / charset / header count / body digest closed-form. Pure flatMap,
+    * zero shuffle; bodies leave as md5+length.
+    */
+  def httpParse(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val crlf = "\r\n"
+    val statusLine = F.when(id % 10 === 0, "301 Moved Permanently")
+      .when(id % 10 === 1, "404 Not Found").otherwise("200 OK")
+    val ctype = F.when(id % 3 === 0, "text/html; charset=UTF-8")
+      .when(id % 3 === 1, "Text/HTML;charset=iso-8859-1")
+      .otherwise("application/json")
+    val body = F.concat(F.lit("{\"doc\":"), id, F.lit("}"))
+    val resp = F.concat(
+      F.lit("HTTP/1.1 "), statusLine, F.lit(crlf),
+      F.lit("Server: graft/1.0" + crlf),
+      F.when(id % 2 === 0, F.concat(F.lit("Content-Type: "), ctype, F.lit(crlf)))
+        .otherwise(F.concat(F.lit("content-type: "), ctype, F.lit(crlf))),
+      F.lit("X-Fetch-Ms: "), (id * 53) % 1000, F.lit(crlf + crlf),
+      body)
+    graft.extract.Http.responses(
+        docs(spark, dir).select(id, resp.cast("binary").as("resp")),
+        "doc_id", "resp")
+      .toDF().orderBy("doc_id")
+  }
+
+  /** robots.txt evaluation ([[graft.extract.Robots]], RFC 9309): per doc, a
+    * two-group policy (a named bot disallowed everywhere except /pub; `*`
+    * disallowed under one section with a longer Allow carve-out and an
+    * empty Disallow that must be ignored) evaluated for an id-derived
+    * (agent, path). The ENGINE parses the real text — comments, blank
+    * lines, case-insensitive keys, the agent-token fallback chain; the
+    * ORACLE recomputes the longest-match verdict closed-form from the
+    * generation rule. Broadcast-shaped per-host policies at scale; the
+    * corpus itself never shuffles.
+    */
+  def robotsVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val hostId = id % 10
+    val h7 = hostId % 7
+    val robots = F.concat(
+      F.lit("# crawl policy\n"),
+      F.lit("User-Agent: graftbot\nDisallow: /\nAllow: /pub\n\n"),
+      F.lit("User-agent: *\n"),
+      F.lit("Disallow: /sec"), h7, F.lit("/\n"),
+      F.lit("Allow: /sec"), h7, F.lit("/item"), hostId, F.lit("\n"),
+      F.lit("Disallow:\n"))
+    val agent = F.when(id % 4 === 0, "GraftBot").otherwise("crawler-x")
+    val path = F.when(id % 5 === 0, F.concat(F.lit("/pub/page"), id))
+      .otherwise(F.concat(F.lit("/sec"), id % 7, F.lit("/item"), id % 50))
+    val in = docs(spark, dir).select(id, robots.as("robots"),
+      agent.as("agent"), path.as("path"))
+    import spark.implicits._
+    in.as[(Long, String, String, String)]
+      .map { case (d, r, a, p) =>
+        val (allowed, rule) = graft.extract.Robots.isAllowed(r, a, p)
+        (d, a, p, allowed, rule)
+      }
+      .toDF("doc_id", "agent", "path", "allowed", "matched_rule")
+      .orderBy("doc_id")
+  }
+
+  /** Page-metadata harvest ([[graft.extract.PageMeta]]): title /
+    * description / canonical / og:title extracted from HTML whose attribute
+    * ORDER and quote STYLE alternate by id (plus a decoy robots meta tag).
+    * Extraction is pure Column regexps — scan → project, zero shuffle; the
+    * oracle writes the expected field values directly from the generation
+    * rule, so any regex drift fails the hash.
+    */
+  def htmlMeta(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val t = F.concat(F.lit("Doc "), id, F.lit(" of record"))
+    val desc = F.concat(F.lit("Summary of document "), id)
+    val canon = F.concat(F.lit("https://ex.org/canon/"), id % 100)
+    val og = F.concat(F.lit("OG Doc "), id)
+    val html = F.concat(
+      F.lit("<html><head>"),
+      F.when(id % 2 === 0, F.concat(F.lit("<TITLE> "), t, F.lit(" </TITLE>")))
+        .otherwise(F.concat(F.lit("<title>"), t, F.lit("</title>"))),
+      F.when(id % 2 === 0,
+          F.concat(F.lit("<meta name=\"description\" content=\""), desc, F.lit("\">")))
+        .otherwise(
+          F.concat(F.lit("<meta content='"), desc, F.lit("' name='description'>"))),
+      F.when(id % 3 === 0,
+          F.concat(F.lit("<link rel=\"canonical\" href=\""), canon, F.lit("\">")))
+        .otherwise(
+          F.concat(F.lit("<link href=\""), canon, F.lit("\" rel='canonical'>"))),
+      F.when(id % 2 === 0,
+          F.concat(F.lit("<meta property=\"og:title\" content=\""), og, F.lit("\"/>")))
+        .otherwise(
+          F.concat(F.lit("<meta content=\""), og, F.lit("\" property=\"og:title\"/>"))),
+      F.lit("<meta name=\"robots\" content=\"noindex\"></head><body>x</body></html>"))
+    docs(spark, dir).select(id, html.as("h"))
+      .select(id,
+        graft.extract.PageMeta.title(F.col("h")).as("title"),
+        graft.extract.PageMeta.metaContent(F.col("h"), "description").as("description"),
+        graft.extract.PageMeta.canonicalLink(F.col("h")).as("canonical"),
+        graft.extract.PageMeta.metaProperty(F.col("h"), "og:title").as("og_title"))
+      .orderBy("doc_id")
+  }
+
+  /** Sitemap-XML parsing ([[graft.extract.PageMeta.parseSitemap]]): per doc
+    * a 1–3 entry urlset (whitespace-padded locs, lastmod only on even
+    * entries) parsed by the real scanner; the oracle regenerates every
+    * entry with a correlated range unnest. Pure flatMap, zero shuffle —
+    * frontier discovery stays co-partitioned with the fetch that found it.
+    */
+  def sitemapParse(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val n = F.lit(1L) + id % 3
+    val entries = F.transform(F.sequence(F.lit(0L), n - 1), j =>
+      F.concat(
+        F.lit("<url><loc> https://s"), id % 40, F.lit(".example.com/p/"), id,
+        F.lit("/"), j, F.lit(" </loc>"),
+        F.when(j % 2 === 0,
+            F.concat(F.lit("<lastmod>2024-0"), (id % 9) + 1, F.lit("-0"), j + 1,
+              F.lit("</lastmod>")))
+          .otherwise(F.lit("")),
+        F.lit("<priority>0."), (id + j) % 10, F.lit("</priority></url>")))
+    val xml = F.concat(
+      F.lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      F.array_join(entries, ""), F.lit("</urlset>"))
+    graft.extract.PageMeta.sitemapEntries(
+        docs(spark, dir).select(id, xml.as("xml")), "doc_id", "xml")
+      .toDF().orderBy("doc_id", "url_idx")
+  }
+
+  /** Fused ingest chain ([[graft.extract.Ingest]]): WARC → HTTP → charset
+    * decode → HTML extract as ONE flatMap. Each doc's segment holds a
+    * response record whose HTTP body is accented HTML encoded as UTF-8 for
+    * even ids and ISO-8859-1 for odd ids (charset declared in the HTTP
+    * header), plus a metadata record the chain must skip. The oracle pins
+    * the SAME text digest for both encodings — a chain that ignores the
+    * declared charset decodes latin-1 bytes to U+FFFD and fails the hash.
+    * One narrow stage; bodies never leave it.
+    */
+  def ingestE2e(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val crlf = "\r\n"
+    val html = F.concat(
+      F.lit("<html><body><h1>Doc "), id,
+      F.lit("</h1><p>café Ü value "), (id * 31) % 97,
+      F.lit("</p></body></html>"))
+    val cs = F.when(id % 2 === 0, "UTF-8").otherwise("ISO-8859-1")
+    val bodyBin = F.when(id % 2 === 0, F.encode(html, "UTF-8"))
+      .otherwise(F.encode(html, "ISO-8859-1"))
+    val payload = F.concat(
+      F.concat(F.lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html; charset="),
+        cs, F.lit(crlf + "Server: graft/1.0" + crlf + crlf)).cast("binary"),
+      bodyBin)
+    val respRec = F.concat(
+      F.concat(F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf),
+        F.lit("WARC-Target-URI: http://w"), id % 20, F.lit(".example.org/page/"), id,
+        F.lit(crlf + "Content-Length: "), F.length(payload), F.lit(crlf + crlf))
+        .cast("binary"),
+      payload, F.lit(crlf + crlf).cast("binary"))
+    val metaRec = F.lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+      "Content-Length: 4" + crlf + crlf + "m: 1" + crlf + crlf).cast("binary")
+    val seg = F.concat(respRec, metaRec)
+    graft.extract.Ingest.ingestSegments(
+        docs(spark, dir).select(id, seg.as("warc")), "doc_id", "warc")
+      .toDF().orderBy("doc_id")
+  }
 }
 
 /** Vis aggregates shared by queries and golden tests. */

@@ -384,6 +384,26 @@ class PlanSpec extends AnyFunSuite {
       .filter(F.col("doc_id") % 4 === 1).count())
   }
 
+  test("ingest layer: WARC parse, fused ingest chain, metadata harvest, CDX " +
+    "build are narrow — zero hash exchanges, one corpus scan each") {
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      ("warc", Queries.warcRecords(spark, dir)),
+      ("ingest", Queries.ingestE2e(spark, dir)),
+      ("meta", Queries.htmlMeta(spark, dir)),
+      ("cdx", Queries.cdxIndex(spark, dir)),
+      ("sitemap", Queries.sitemapParse(spark, dir)),
+      ("robots", Queries.robotsVerdicts(spark, dir)),
+      ("zorder", Queries.zorderKeys(spark, dir))
+    ).foreach { case (name, df) =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles == 0, s"$name shuffles the corpus:\n$plan")
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 1, s"$name: expected one corpus scan, saw $scans:\n$plan")
+    }
+  }
+
   test("BGP: vocabulary-sized distinct legs broadcast, no nested-loop join") {
     val df = Queries.kgBgp(spark, dir)
     df.collect()

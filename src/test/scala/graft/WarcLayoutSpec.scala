@@ -1,0 +1,167 @@
+package graft
+
+import graft.extract.{UrlOps, Warc}
+import graft.layout.Layout
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC container parsing, SURT/CDX keys, and physical-layout operators
+  * (Z-order clustering, compaction binpack planning).
+  */
+class WarcLayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkSuite.spark
+  import spark.implicits._
+
+  private val CRLF = "\r\n"
+
+  private def rec(headers: Seq[(String, String)], payload: String): String =
+    "WARC/1.0" + CRLF +
+      headers.map { case (k, v) => s"$k: $v" }.mkString(CRLF) + CRLF +
+      s"Content-Length: ${payload.getBytes("ISO-8859-1").length}" + CRLF + CRLF +
+      payload + CRLF + CRLF
+
+  // --------------------------------------------------------------------
+  // WARC parser
+  // --------------------------------------------------------------------
+
+  test("warc: length-delimited payload is consumed verbatim — an embedded " +
+    "'WARC/1.0' + Content-Length marker must not resync the scanner") {
+    val trap = "<html>quote: WARC/1.0" + CRLF + "Content-Length: 3" + CRLF + CRLF +
+      "x</html>"
+    val seg = rec(Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "http://a.example/1",
+      "Content-Type" -> "text/html"), trap) +
+      rec(Seq("WARC-Type" -> "metadata",
+        "WARC-Target-URI" -> "http://a.example/1",
+        "Content-Type" -> "application/warc-fields"), "k: v" + CRLF)
+    val out = Warc.parseSegment(7L, seg.getBytes("ISO-8859-1"))
+    assert(out.map(_.warc_type) == Seq("response", "metadata"))
+    assert(out.head.content_length == trap.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wantMd5 = md.digest(trap.getBytes("ISO-8859-1"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(out.head.payload_md5 == wantMd5)
+    assert(out(1).rec_idx == 1 && out(1).content_type == "application/warc-fields")
+  }
+
+  test("warc: header names case-insensitive, order-free, unknown headers and " +
+    "colon-less lines tolerated") {
+    val seg = "WARC/1.0" + CRLF +
+      "content-LENGTH: 5" + CRLF +
+      "X-Unknown-Header: whatever" + CRLF +
+      "a line with no colon at position zero is skipped, not fatal" + CRLF +
+      "WARC-TYPE: Response" + CRLF +
+      "warc-target-uri: http://b.example/2" + CRLF + CRLF +
+      "hello" + CRLF + CRLF
+    val out = Warc.parseSegment(1L, seg.getBytes("ISO-8859-1"))
+    assert(out.size == 1)
+    val r = out.head
+    assert(r.warc_type == "response" && r.target_uri == "http://b.example/2" &&
+      r.content_length == 5L)
+  }
+
+  test("warc: truncated tail / garbage never poisons preceding records") {
+    val good = rec(Seq("WARC-Type" -> "response"), "payload-one")
+    // tail record claims more bytes than remain
+    val bad = "WARC/1.0" + CRLF + "Content-Length: 9999" + CRLF + CRLF + "short"
+    val out = Warc.parseSegment(3L, (good + bad).getBytes("ISO-8859-1"))
+    assert(out.size == 1 && out.head.content_length == "payload-one".length)
+    // missing Content-Length ends the scan truthfully
+    val noLen = good + "WARC/1.0" + CRLF + "WARC-Type: response" + CRLF + CRLF + "x"
+    assert(Warc.parseSegment(3L, noLen.getBytes("ISO-8859-1")).size == 1)
+    // pure garbage -> empty, null-safe through the Dataset path
+    assert(Warc.parseSegment(4L, "not a warc".getBytes("ISO-8859-1")).isEmpty)
+    assert(Warc.parseSegment(5L, Array.emptyByteArray).isEmpty)
+  }
+
+  test("warc: records() Dataset path parses per-row with doc co-partitioning") {
+    val seg1 = rec(Seq("WARC-Type" -> "response"), "aaa")
+    val seg2 = rec(Seq("WARC-Type" -> "response"), "bb") +
+      rec(Seq("WARC-Type" -> "metadata"), "c")
+    val df = Seq((10L, seg1.getBytes("ISO-8859-1")), (11L, seg2.getBytes("ISO-8859-1")))
+      .toDF("doc_id", "warc")
+    val got = Warc.records(df, "doc_id", "warc").collect()
+      .map(r => (r.doc_id, r.rec_idx, r.content_length)).sorted.toSeq
+    assert(got == Seq((10L, 0, 3L), (11L, 0, 2L), (11L, 1, 1L)))
+  }
+
+  // --------------------------------------------------------------------
+  // SURT keys
+  // --------------------------------------------------------------------
+
+  test("surt: scheme/case/www/port/tracking noise collapses; subdomains of a " +
+    "domain sort into one contiguous key range") {
+    val urls = Seq(
+      "HTTP://WWW.S5.Example.COM:80/Sec3/Item?id=7&utm_source=feed",
+      "https://s5.example.com/Sec3/Item?id=7",
+      "http://news.example.com/a",
+      "http://example.com/z",
+      "http://examples.com/a")
+    val got = urls.toDF("u").select(UrlOps.surt(F.col("u")).as("s"))
+      .as[String].collect().toSeq
+    assert(got(0) == "com,example,s5)/sec3/item?id=7")
+    assert(got(0) == got(1)) // both captures collapse to one key
+    // every example.com host shares the 'com,example' prefix; examples.com
+    // does NOT fall inside that range (the ',' separator guarantees it)
+    assert(got(2).startsWith("com,example,news)"))
+    assert(got(3).startsWith("com,example)"))
+    assert(!got(4).startsWith("com,example,") && !got(4).startsWith("com,example)"))
+  }
+
+  // --------------------------------------------------------------------
+  // Z-order
+  // --------------------------------------------------------------------
+
+  private def refZ(x: Long, y: Long): Long = {
+    var z = 0L
+    (0 until 16).foreach { i =>
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("zValue interleaves bits exactly (reference bit-loop parity)") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (0xabcdL, 0x1234L), (40000L, 7L))
+    val got = pts.toDF("x", "y")
+      .select(Layout.zValue(F.col("x"), F.col("y")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == pts.map { case (x, y) => refZ(x, y) })
+    // locality sanity: the curve value of (x,y) and (x+1,y) differ only in
+    // even-position bits — y's bits are untouched
+    val Seq(a, b) = Seq((100L, 200L), (101L, 200L)).map { case (x, y) => refZ(x, y) }
+    assert(((a ^ b) & 0xaaaaaaaaL) == 0L)
+  }
+
+  // --------------------------------------------------------------------
+  // Compaction plan
+  // --------------------------------------------------------------------
+
+  test("compactionPlan: binpack by exclusive prefix sum, per partition; an " +
+    "oversized file claims its bin and pushes the remainder forward") {
+    val files = Seq(
+      ("p1", 1L, 60L), ("p1", 2L, 60L), ("p1", 3L, 250L), ("p1", 4L, 10L),
+      ("p2", 1L, 10L)).toDF("part", "fid", "sz")
+    val got = Layout.compactionPlan(files, "part", "fid", "sz", targetBytes = 100L)
+      .select("part", "fid", "cum_before", "bin")
+      .as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      ("p1", 1L, 0L, 0L),    // starts bin 0
+      ("p1", 2L, 60L, 0L),   // still under 100
+      ("p1", 3L, 120L, 1L),  // crossed -> bin 1 (oversized file owns it)
+      ("p1", 4L, 370L, 3L),  // the 250-byte file pushed the next start to 370
+      ("p2", 1L, 0L, 0L)))   // partitions are independent
+  }
+
+  test("compactionPlan is deterministic/idempotent over the same manifest") {
+    val files = (1L to 50L).map(i => ("p", i, (i * 37) % 90 + 1)).toDF("part", "fid", "sz")
+    val a = Layout.compactionPlan(files, "part", "fid", "sz", 128L)
+      .select("fid", "bin").as[(Long, Long)].collect().sorted.toSeq
+    val b = Layout.compactionPlan(files, "part", "fid", "sz", 128L)
+      .select("fid", "bin").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    // bins are contiguous, starting at 0, non-decreasing in file order
+    assert(a.map(_._2).distinct == (0L to a.map(_._2).max).toSeq)
+  }
+}
