@@ -172,7 +172,8 @@ object SparkEntry {
     "q_robots" -> (Queries.robotsVerdicts _),
     "q_html_meta" -> (Queries.htmlMeta _),
     "q_sitemap" -> (Queries.sitemapParse _),
-    "q_ingest_e2e" -> (Queries.ingestE2e _)
+    "q_ingest_e2e" -> (Queries.ingestE2e _),
+    "q_robots_frontier" -> (Queries.robotsFrontier _)
   )
 
   /** DuckDB oracle SQL per query (omitted => rows-only check). */

@@ -161,4 +161,55 @@ object Robots {
   /** One-call verdict on raw robots.txt text (parse + evaluate). */
   def isAllowed(robotsTxt: String, agent: String, path: String): (Boolean, String) =
     evaluate(parse(robotsTxt), agent, path)
+
+  /** The production frontier gate: verdicts for a URL table against a
+    * per-host policy table, crawling as ONE agent. Each DISTINCT host's
+    * policy is parsed ONCE (the policy relation is host-vocabulary-sized —
+    * ~10^8 rows at a 10^12-page crawl, never corpus-sized) and reduced to
+    * the agent's effective rule list; the corpus then equi-joins on host
+    * (AQE broadcasts a policy table that fits, hash-joins otherwise) and the
+    * longest-match verdict evaluates per row over the joined rule array.
+    * A URL whose host has no policy is allowed (RFC 9309 §2.3.1.4: absent
+    * robots.txt means no restrictions).
+    *
+    * `urls` columns: `idCol` (long), `hostCol`, `pathCol`; `policies`
+    * columns: `hostCol`, `robotsCol`. Output: (id, host, path, allowed,
+    * matched_rule).
+    */
+  def frontierGate(
+      urls: DataFrame,
+      policies: DataFrame,
+      agent: String,
+      idCol: String = "doc_id",
+      hostCol: String = "host",
+      pathCol: String = "path",
+      robotsCol: String = "robots_txt"): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    val a = agent.toLowerCase
+    val ruleTable = policies
+      .select(F.col(hostCol).cast("string"), F.col(robotsCol).cast("string"))
+      .as[(String, String)]
+      .map { case (h, txt) =>
+        val groups = parse(if (txt == null) "" else txt)
+        val rules = groups.getOrElse(a, groups.getOrElse("*", Vector.empty))
+        (h, rules.map(r => (r.allow, r.path)))
+      }
+      .toDF(hostCol, "rules")
+    urls
+      .select(F.col(idCol).cast("long"), F.col(hostCol).cast("string"),
+        F.col(pathCol).cast("string"))
+      .join(ruleTable, Seq(hostCol), "left")
+      .select(F.col(idCol), F.col(hostCol), F.col(pathCol), F.col("rules"))
+      .as[(Long, String, String, Option[Seq[(Boolean, String)]])]
+      .map { case (id, h, p, rules) =>
+        val matching = rules.getOrElse(Seq.empty).filter(r => p.startsWith(r._2))
+        if (matching.isEmpty) (id, h, p, true, "")
+        else {
+          val best = matching.maxBy(r => (r._2.length, r._1))
+          (id, h, p, best._1, best._2)
+        }
+      }
+      .toDF(idCol, hostCol, pathCol, "allowed", "matched_rule")
+  }
 }

@@ -1511,7 +1511,41 @@ object Oracles {
         |  CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset,
         |  CAST(len(text) AS BIGINT) AS n_cp,
         |  md5(text) AS text_md5
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // production robots gate: per-URL longest-match verdict recomputed
+    // closed-form (h = host number, h%5=4 hosts have no policy -> allowed;
+    // h%3=0 hosts carry the named-bot group GraftBot must prefer; others
+    // fall back to *'s Disallow /sec{h%7}/ + longer Allow carve-out)
+    "q_robots_frontier" ->
+      """WITH u AS (SELECT doc_id, doc_id % 25 AS h,
+        |    CASE WHEN doc_id % 6 = 0 THEN '/cgi/bin'
+        |         WHEN doc_id % 6 = 1 THEN '/cgi/ok-page'
+        |         ELSE '/sec' || (doc_id % 7) || '/item' || (doc_id % 50)
+        |    END AS path
+        |  FROM documents)
+        |SELECT doc_id, 'h' || h AS host, path,
+        |  CASE WHEN h % 5 = 4 THEN TRUE
+        |       WHEN h % 3 = 0 THEN (doc_id % 6 <> 0)
+        |       WHEN doc_id % 6 IN (0, 1) THEN TRUE
+        |       WHEN doc_id % 7 = h % 7
+        |            AND starts_with(CAST(doc_id % 50 AS VARCHAR),
+        |                            CAST(h AS VARCHAR)) THEN TRUE
+        |       WHEN doc_id % 7 = h % 7 THEN FALSE
+        |       ELSE TRUE END AS allowed,
+        |  CASE WHEN h % 5 = 4 THEN ''
+        |       WHEN h % 3 = 0 THEN
+        |         (CASE WHEN doc_id % 6 = 0 THEN '/cgi/'
+        |               WHEN doc_id % 6 = 1 THEN '/cgi/ok'
+        |               ELSE '' END)
+        |       WHEN doc_id % 6 IN (0, 1) THEN ''
+        |       WHEN doc_id % 7 = h % 7
+        |            AND starts_with(CAST(doc_id % 50 AS VARCHAR),
+        |                            CAST(h AS VARCHAR))
+        |         THEN '/sec' || (doc_id % 7) || '/item' || h
+        |       WHEN doc_id % 7 = h % 7 THEN '/sec' || (doc_id % 7) || '/'
+        |       ELSE '' END AS matched_rule
+        |FROM u""".stripMargin
   )
 
   /** DuckDB replica of Similarity.kMeansInt: quantize to the same

@@ -1997,6 +1997,36 @@ object Queries {
         docs(spark, dir).select(id, seg.as("warc")), "doc_id", "warc")
       .toDF().orderBy("doc_id")
   }
+
+  /** Production robots gate ([[graft.extract.Robots.frontierGate]]): URLs
+    * against a SEPARATE per-host policy table, crawling as one agent — each
+    * distinct host's policy parsed ONCE (host-vocabulary-sized relation),
+    * the corpus equi-joining on host (broadcast under AQE). One in five
+    * hosts has no policy row (absent robots.txt = allowed); hosts divisible
+    * by 3 carry a named-bot group the GraftBot agent must prefer over `*`.
+    * The oracle recomputes every longest-match verdict closed-form.
+    */
+  def robotsFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val hn = F.col("hn")
+    val hosts = docs(spark, dir).select((id % 25).as("hn")).distinct()
+      .filter(hn % 5 =!= 4)
+    val botGroup = F.when(hn % 3 === 0,
+        F.lit("User-agent: graftbot\nDisallow: /cgi/\nAllow: /cgi/ok\n\n"))
+      .otherwise(F.lit(""))
+    val policies = hosts.select(
+      F.concat(F.lit("h"), hn).as("host"),
+      F.concat(botGroup,
+        F.lit("User-agent: *\nDisallow: /sec"), hn % 7, F.lit("/\n"),
+        F.lit("Allow: /sec"), hn % 7, F.lit("/item"), hn, F.lit("\n")).as("robots_txt"))
+    val path = F.when(id % 6 === 0, "/cgi/bin")
+      .when(id % 6 === 1, "/cgi/ok-page")
+      .otherwise(F.concat(F.lit("/sec"), id % 7, F.lit("/item"), id % 50))
+    val urls = docs(spark, dir).select(id,
+      F.concat(F.lit("h"), id % 25).as("host"), path.as("path"))
+    graft.extract.Robots.frontierGate(urls, policies, "GraftBot")
+      .orderBy("doc_id")
+  }
 }
 
 /** Vis aggregates shared by queries and golden tests. */

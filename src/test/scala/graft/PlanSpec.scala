@@ -404,6 +404,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("robots frontier gate: host-vocabulary policy table broadcasts — the " +
+    "corpus side never sort-merge-shuffles for the policy join") {
+    val df = Queries.robotsFrontier(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"policy join did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled for the policy join:\n$plan")
+  }
+
   test("BGP: vocabulary-sized distinct legs broadcast, no nested-loop join") {
     val df = Queries.kgBgp(spark, dir)
     df.collect()

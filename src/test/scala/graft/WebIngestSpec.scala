@@ -76,6 +76,32 @@ class WebIngestSpec extends AnyFunSuite {
     assert(Robots.isAllowed("# empty file\n", "any", "/x") == (true, ""))
   }
 
+  test("robots frontierGate: one parse per distinct host, agent group " +
+    "preferred over *, absent policy allows, verdicts match isAllowed") {
+    val policies = Seq(
+      ("a.example", "User-agent: graftbot\nDisallow: /x\n\nUser-agent: *\nDisallow: /\n"),
+      ("b.example", "User-agent: *\nDisallow: /priv/\nAllow: /priv/ok\n"))
+      .toDF("host", "robots_txt")
+    val urls = Seq(
+      (1L, "a.example", "/x/1"),    // named group: disallowed by /x
+      (2L, "a.example", "/y"),      // named group: no match -> allowed
+      (3L, "b.example", "/priv/no"),// * group: disallowed
+      (4L, "b.example", "/priv/okay"), // longer Allow wins
+      (5L, "c.example", "/priv/no") // no policy -> allowed
+    ).toDF("doc_id", "host", "path")
+    val got = graft.extract.Robots.frontierGate(urls, policies, "GraftBot")
+      .as[(Long, String, String, Boolean, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._4, r._5)) == Seq(
+      (1L, false, "/x"), (2L, true, ""), (3L, false, "/priv/"),
+      (4L, true, "/priv/ok"), (5L, true, "")))
+    // per-row parity with the single-policy evaluator
+    got.filter(_._2 == "b.example").foreach { r =>
+      val (a, rule) = graft.extract.Robots.isAllowed(
+        "User-agent: *\nDisallow: /priv/\nAllow: /priv/ok\n", "graftbot", r._3)
+      assert((a, rule) == ((r._4, r._5)))
+    }
+  }
+
   // --------------------------------------------------------------------
   // page metadata
   // --------------------------------------------------------------------
