@@ -173,7 +173,9 @@ object SparkEntry {
     "q_html_meta" -> (Queries.htmlMeta _),
     "q_sitemap" -> (Queries.sitemapParse _),
     "q_ingest_e2e" -> (Queries.ingestE2e _),
-    "q_robots_frontier" -> (Queries.robotsFrontier _)
+    "q_robots_frontier" -> (Queries.robotsFrontier _),
+    "q_mix_cube" -> (Queries.mixCube _),
+    "q_lang_source_pivot" -> (Queries.langSourcePivot _)
   )
 
   /** DuckDB oracle SQL per query (omitted => rows-only check). */

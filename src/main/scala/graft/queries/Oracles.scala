@@ -1545,7 +1545,21 @@ object Oracles {
         |         THEN '/sec' || (doc_id % 7) || '/item' || h
         |       WHEN doc_id % 7 = h % 7 THEN '/sec' || (doc_id % 7) || '/'
         |       ELSE '' END AS matched_rule
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    // corpus-mix rollup: all four grouping sets in one statement
+    "q_mix_cube" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
+
+    // lang-by-source matrix: fixed source vocabulary as conditional counts
+    "q_lang_source_pivot" ->
+      ("""SELECT lang, """ +
+        (0 until 20).map(i =>
+          s"CAST(count(*) FILTER (WHERE source = 'src$i') AS BIGINT) AS src$i")
+          .mkString(", ") +
+        " FROM documents GROUP BY lang")
   )
 
   /** DuckDB replica of Similarity.kMeansInt: quantize to the same

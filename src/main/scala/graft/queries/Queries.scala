@@ -2027,6 +2027,36 @@ object Queries {
     graft.extract.Robots.frontierGate(urls, policies, "GraftBot")
       .orderBy("doc_id")
   }
+
+  /** Corpus-mix rollup via CUBE(lang, source) — the every-slice version of
+    * the mix report a dataset card publishes (per language, per source, per
+    * pair, grand total, in one pass). Spark's Expand multiplies each input
+    * row into its 4 grouping sets BEFORE the partial aggregate, so the
+    * shuffle still carries only (grouping-key, partial) rows — 4x the
+    * group-key space, never 4x the corpus.
+    */
+  def mixCube(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .cube("lang", "source")
+      .agg(F.count(F.lit(1)).as("n_docs"), F.sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "source")
+
+  /** Language-by-source document-count pivot (the mix report's matrix
+    * form). The pivot value list is FIXED (the source vocabulary), so the
+    * plan is an ordinary single-pass partial aggregation over 20 conditional
+    * counts — no second scan, no per-value job; absent combinations are 0,
+    * not null, to keep the matrix total-ordered across engines.
+    */
+  def langSourcePivot(spark: SparkSession, dir: String): DataFrame = {
+    val sources = (0 until 20).map(i => s"src$i")
+    val pivoted = docs(spark, dir)
+      .groupBy("lang")
+      .pivot("source", sources)
+      .agg(F.count(F.lit(1)))
+    pivoted.select(F.col("lang") +:
+        sources.map(s => F.coalesce(F.col(s), F.lit(0L)).as(s)): _*)
+      .orderBy("lang")
+  }
 }
 
 /** Vis aggregates shared by queries and golden tests. */

@@ -415,6 +415,20 @@ class PlanSpec extends AnyFunSuite {
       s"corpus shuffled for the policy join:\n$plan")
   }
 
+  test("mix report: CUBE expands before the partial aggregate (shuffle " +
+    "carries grouping-set partials); fixed-list pivot is a single scan") {
+    val cube = Queries.mixCube(spark, dir)
+    cube.collect()
+    val cubePlan = cube.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(cubePlan.contains("Expand"), s"no Expand in cube plan:\n$cubePlan")
+    assert(cubePlan.contains("HashAggregate"), s"no partial agg:\n$cubePlan")
+    val piv = Queries.langSourcePivot(spark, dir)
+    piv.collect()
+    val pivPlan = piv.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = pivPlan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"pivot re-scans the corpus ($scans scans):\n$pivPlan")
+  }
+
   test("BGP: vocabulary-sized distinct legs broadcast, no nested-loop join") {
     val df = Queries.kgBgp(spark, dir)
     df.collect()
