@@ -175,7 +175,8 @@ object SparkEntry {
     "q_ingest_e2e" -> (Queries.ingestE2e _),
     "q_robots_frontier" -> (Queries.robotsFrontier _),
     "q_mix_cube" -> (Queries.mixCube _),
-    "q_lang_source_pivot" -> (Queries.langSourcePivot _)
+    "q_lang_source_pivot" -> (Queries.langSourcePivot _),
+    "q_stream_ingest" -> (Queries.streamIngest _)
   )
 
   /** DuckDB oracle SQL per query (omitted => rows-only check). */

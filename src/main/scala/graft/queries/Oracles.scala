@@ -1547,6 +1547,20 @@ object Oracles {
         |       ELSE '' END AS matched_rule
         |FROM u""".stripMargin,
 
+    // streaming ingest: stateless chain -> drained result must equal the
+    // batch run bit-for-bit; SAME closed-form oracle as q_ingest_e2e
+    "q_stream_ingest" ->
+      """WITH t AS (SELECT doc_id,
+        |    'Doc ' || doc_id || chr(10) || 'café Ü value ' || ((doc_id * 31) % 97)
+        |      AS text FROM documents)
+        |SELECT doc_id,
+        |  'http://w' || (doc_id % 20) || '.example.org/page/' || doc_id AS uri,
+        |  200 AS status, 'text/html' AS content_type,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'utf-8' ELSE 'iso-8859-1' END AS charset,
+        |  CAST(len(text) AS BIGINT) AS n_cp,
+        |  md5(text) AS text_md5
+        |FROM t""".stripMargin,
+
     // corpus-mix rollup: all four grouping sets in one statement
     "q_mix_cube" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -1970,7 +1970,30 @@ object Queries {
     * declared charset decodes latin-1 bytes to U+FFFD and fails the hash.
     * One narrow stage; bodies never leave it.
     */
-  def ingestE2e(spark: SparkSession, dir: String): DataFrame = {
+  def ingestE2e(spark: SparkSession, dir: String): DataFrame =
+    graft.extract.Ingest.ingestSegments(ingestSegmentsDf(spark, dir), "doc_id", "warc")
+      .toDF().orderBy("doc_id")
+
+  /** Streaming form of the fused ingest chain ([[graft.streaming
+    * .IngestStream]]): the same synthesized segments staged as 8 parquet
+    * files and drained `AvailableNow` in 2-file micro-batches. The chain is
+    * stateless, so the drained pages must equal the batch run bit-for-bit —
+    * the SAME closed-form oracle as q_ingest_e2e.
+    */
+  def streamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-warc").toString
+    ingestSegmentsDf(spark, dir).repartition(8).write.mode("overwrite").parquet(stage)
+    val name = "stream_ingest_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.IngestStream.startMemoryIngest(
+      spark, stage, name, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    spark.table(name).orderBy("doc_id")
+  }
+
+  /** The synthesized (doc_id, warc) segment table behind q_ingest_e2e and
+    * q_stream_ingest (see [[ingestE2e]] for the fixture's trap design).
+    */
+  def ingestSegmentsDf(spark: SparkSession, dir: String): DataFrame = {
     val id = F.col("doc_id")
     val crlf = "\r\n"
     val html = F.concat(
@@ -1993,9 +2016,7 @@ object Queries {
     val metaRec = F.lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
       "Content-Length: 4" + crlf + crlf + "m: 1" + crlf + crlf).cast("binary")
     val seg = F.concat(respRec, metaRec)
-    graft.extract.Ingest.ingestSegments(
-        docs(spark, dir).select(id, seg.as("warc")), "doc_id", "warc")
-      .toDF().orderBy("doc_id")
+    docs(spark, dir).select(id, seg.as("warc"))
   }
 
   /** Production robots gate ([[graft.extract.Robots.frontierGate]]): URLs

@@ -146,4 +146,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.nonEmpty)
     assert(sessions.forall(_.getAs[Int]("n_events") > 0))
   }
+
+  test("streaming ingest drains across multiple micro-batches and equals " +
+    "the batch chain bit-for-bit (stateless => batch-equivalent)") {
+    val segs = graft.queries.Queries.ingestSegmentsDf(spark, "/root/testdata/sf0.001")
+    val dir = SparkSuite.tmpDir("ingest-stream")
+    segs.repartition(8).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.IngestStream.startMemoryIngest(
+      spark, dir, "ingest_stream_test", maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length > 1,
+      s"expected multiple micro-batches, got ${batches.length}")
+    val streamed = spark.table("ingest_stream_test").collect()
+      .map(_.toSeq).toSet
+    val batch = graft.extract.Ingest
+      .ingestSegments(segs, "doc_id", "warc").toDF().collect()
+      .map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
 }
