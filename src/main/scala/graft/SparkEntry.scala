@@ -62,6 +62,10 @@ object SparkEntry {
     "q_kg_resource_alloc" -> (Queries.kgResourceAlloc _),
     "q_kg_signatures" -> (Queries.kgSignatures _),
     "q_kg_pred_stats" -> (Queries.kgPredStats _),
+    "q_kg_subclass" -> (Queries.kgSubClassClosure _),
+    "q_kg_rdfs_types" -> (Queries.kgRdfsTypes _),
+    "q_kg_constraints" -> (Queries.kgConstraints _),
+    "q_kg_dangling" -> (Queries.kgDangling _),
     "q_kg_entity_resolve" -> (Queries.kgEntityResolve _),
     "q_kg_canon_triples" -> (Queries.kgCanonTriples _),
     "q_kg_labels" -> (Queries.kgLabels _),

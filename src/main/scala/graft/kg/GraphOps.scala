@@ -830,6 +830,112 @@ object GraphOps {
       .filter(F.col("shared") >= minShared)
   }
 
+  /** Transitive closure of a subsumption relation (`rdfs:subClassOf` /
+    * `rdfs:subPropertyOf`) by pointer squaring: after round r the closure
+    * holds every path of length ≤ 2^r, so a hierarchy of depth d needs
+    * ⌈log2 d⌉ rounds — 20 rounds cover any ontology a crawl will ever see.
+    * Strict closure (no reflexive pairs); DAGs (multiple inheritance,
+    * diamonds) are handled by the distinct.
+    *
+    * Scale shape: this runs over the ONTOLOGY, not the corpus — a schema
+    * graph is vocabulary-sized (10^5-10^6 edges for the largest public
+    * ontologies), so each squaring round is a small self-join; the result
+    * exists to be broadcast against the corpus-sized instance relation
+    * ([[rdfsTypeClosure]]). `localCheckpoint` keeps the doubling lineage
+    * flat.
+    */
+  def subClassClosure(subClass: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    var cl = subClass.select(F.col("sub"), F.col("sup")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val step = cl.as("x").join(cl.as("y"), F.col("x.sup") === F.col("y.sub"))
+        .select(F.col("x.sub").as("sub"), F.col("y.sup").as("sup"))
+      cl = cl.union(step).distinct().localCheckpoint()
+    }
+    cl.filter(F.col("sub") =!= F.col("sup"))
+  }
+
+  /** RDFS type entailment — materialize the inferred `rdf:type` relation:
+    * every subject asserted to be of class C is also of every (strict)
+    * superclass of C. The KG-construction step that makes "find all
+    * Organizations" queries complete without per-query ontology reasoning.
+    * Output `(s, cls, is_inferred)` — one row per entailed (subject, class)
+    * pair; `is_inferred` is false when the pair is directly asserted
+    * (assertion wins when a class is both asserted and derivable).
+    *
+    * Scale shape: the closure runs on the vocabulary-sized ontology
+    * ([[subClassClosure]]) and is explicitly broadcast — the corpus-sized
+    * type relation gets ONE map-side hash join and never shuffles for the
+    * inference itself; the final distinct/min groups on (s, cls), a key
+    * whose per-subject group count is bounded by the ontology depth, and
+    * `min` is algebraic so it partial-aggregates map-side.
+    */
+  def rdfsTypeClosure(
+      types: DataFrame,
+      subClass: DataFrame,
+      rounds: Int
+  ): DataFrame = {
+    val cl = subClassClosure(subClass, rounds)
+    val asserted = types.select(F.col("s"), F.col("cls"),
+      F.lit(false).as("inf"))
+    val inferred = types
+      .join(F.broadcast(cl).withColumnRenamed("sub", "cls"), "cls")
+      .select(F.col("s"), F.col("sup").as("cls"), F.lit(true).as("inf"))
+    asserted.union(inferred)
+      .groupBy("s", "cls")
+      .agg(F.min(F.col("inf").cast("int")).cast("boolean").as("is_inferred"))
+  }
+
+  /** SHACL-lite cardinality validation: subjects exceeding a declared
+    * per-predicate max object cardinality (counting DISTINCT object terms —
+    * re-asserting the same statement on many pages is not a violation).
+    * Output `(s, p, n_objs, max_card)` for violators only — the QA report a
+    * KG build gates a publish on.
+    *
+    * Scale shape: the constraint table is schema-vocabulary-sized and
+    * broadcast; the corpus side pre-dedups (s, p, o) map-side (distinct on
+    * the full key partial-aggregates before the exchange), then one
+    * algebraic count per (s, p). A celebrity subject with 10^6 distinct
+    * values for one predicate is exactly what this op must report, and its
+    * count combines map-side — no single-reducer row concentration.
+    */
+  def constraintViolations(
+      triples: DataFrame,
+      constraints: Seq[(String, Long)]
+  ): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val cons = constraints.toDF("p", "max_card")
+    triples
+      .join(F.broadcast(cons), "p")
+      .select("s", "p", "o", "oKind", "oLang", "oDt", "max_card")
+      .distinct()
+      .groupBy("s", "p", "max_card")
+      .agg(F.count(F.lit(1)).as("n_objs"))
+      .filter(F.col("n_objs") > F.col("max_card"))
+      .select("s", "p", "n_objs", "max_card")
+  }
+
+  /** Dangling-reference QA: IRI object terms never seen as a subject —
+    * references into nothing (unfetched pages, typo'd IRIs, external
+    * entities), with how often each is referenced. The completeness report
+    * that tells a crawl scheduler what to fetch next.
+    *
+    * Scale shape: the object side pre-aggregates to (iri, n_refs) map-side
+    * (algebraic count — a 10^9-reference hub collapses per task); the
+    * subject side pre-dedups the same way; the anti join then runs on two
+    * vocabulary-sized relations, not the corpus.
+    */
+  def danglingRefs(triples: DataFrame): DataFrame = {
+    val refs = triples.filter(F.col("oKind") === 0)
+      .groupBy(F.col("o").as("iri"))
+      .agg(F.count(F.lit(1)).as("n_refs"))
+    val subjects = triples.filter(F.col("sKind").isin(NodeKinds: _*))
+      .select(F.col("s").as("iri")).distinct()
+    refs.join(subjects, Seq("iri"), "left_anti")
+  }
+
   def neighborJaccard(
       triples: DataFrame,
       maxDeg: Long = 64L,

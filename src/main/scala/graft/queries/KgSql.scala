@@ -774,4 +774,63 @@ object KgSql {
        |  CAST(length(text) AS BIGINT) AS n_chars,
        |  TRUE AS matches
        |FROM txt""".stripMargin
+
+  // --- ontology entailment / constraint QA (graft.kg.Ontology) -------------
+
+  private def pairValues(ps: Seq[(String, String)]): String =
+    ps.map { case (a, b) => s"('$a', '$b')" }.mkString(",\n    ")
+
+  private val ontoCtes: String =
+    s"""onto (sub, sup) AS (VALUES ${pairValues(graft.kg.Ontology.subClassEdges)}),
+       |cl AS (SELECT sub, sup FROM onto
+       |       UNION
+       |       SELECT c.sub, o.sup FROM cl c JOIN onto o ON c.sup = o.sub)""".stripMargin
+
+  /** Oracle for Queries.kgSubClassClosure: the engine's pointer-squaring
+    * closure vs a genuinely independent recursive-CTE fixpoint over the same
+    * edge list.
+    */
+  val subClassClosureSql: String =
+    s"WITH RECURSIVE $ontoCtes\nSELECT sub, sup FROM cl WHERE sub <> sup"
+
+  /** Oracle for Queries.kgRdfsTypes: recursive-CTE closure, the same
+    * asserted-class VALUES map, assertion-wins `min` over the union.
+    */
+  val rdfsTypesSql: String =
+    s"WITH RECURSIVE $triplesCtes,\n$ontoCtes,\n" +
+    s"""nodes AS (SELECT DISTINCT s AS iri FROM tr WHERE k_s = 0
+       |          UNION SELECT DISTINCT o FROM tr WHERE k_o = 0),
+       |tm (iri, cls) AS (VALUES ${pairValues(graft.kg.Ontology.assertedClasses)}),
+       |asserted AS (SELECT n.iri AS s, t.cls, FALSE AS inf
+       |             FROM nodes n JOIN tm t USING (iri)),
+       |strict AS (SELECT sub, sup FROM cl WHERE sub <> sup),
+       |inferred AS (SELECT a.s, c.sup AS cls, TRUE AS inf
+       |             FROM asserted a JOIN strict c ON c.sub = a.cls)
+       |SELECT s, cls, CAST(min(CAST(inf AS INT)) AS BOOLEAN) AS is_inferred
+       |FROM (SELECT * FROM asserted UNION ALL SELECT * FROM inferred) u
+       |GROUP BY s, cls""".stripMargin
+
+  /** Oracle for Queries.kgConstraints: distinct object TERMS per (subject,
+    * constrained predicate), violators only.
+    */
+  val constraintsSql: String = {
+    val cons = graft.kg.Ontology.maxCardinality
+      .map { case (p, m) => s"('$p', CAST($m AS BIGINT))" }.mkString(", ")
+    s"WITH $triplesCtes,\n" +
+    s"""cons (p, max_card) AS (VALUES $cons),
+       |dd AS (SELECT DISTINCT t.s, t.p, t.o, t.k_o, t.lang, t.dt, c.max_card
+       |       FROM tr t JOIN cons c USING (p))
+       |SELECT s, p, CAST(count(*) AS BIGINT) AS n_objs, max_card
+       |FROM dd GROUP BY s, p, max_card
+       |HAVING count(*) > max_card""".stripMargin
+  }
+
+  /** Oracle for Queries.kgDangling: IRI objects never seen as a subject. */
+  val danglingSql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""refs AS (SELECT o AS iri, CAST(count(*) AS BIGINT) AS n_refs
+       |         FROM tr WHERE k_o = 0 GROUP BY o),
+       |subs AS (SELECT DISTINCT s AS iri FROM tr WHERE k_s IN (0, 1))
+       |SELECT r.iri, r.n_refs FROM refs r
+       |WHERE r.iri NOT IN (SELECT iri FROM subs)""".stripMargin
 }

@@ -454,6 +454,12 @@ object Oracles {
     "q_kg_resource_alloc" -> KgSql.resourceAllocSql(maxDeg = 64L, minShared = 2L),
     "q_kg_signatures" -> KgSql.signaturesSql,
     "q_kg_pred_stats" -> KgSql.predStatsSql,
+    // ontology entailment / constraint QA: recursive-CTE closure + VALUES
+    // class map in the oracle vs pointer-squaring + broadcast in the engine
+    "q_kg_subclass" -> KgSql.subClassClosureSql,
+    "q_kg_rdfs_types" -> KgSql.rdfsTypesSql,
+    "q_kg_constraints" -> KgSql.constraintsSql,
+    "q_kg_dangling" -> KgSql.danglingSql,
     "q_kg_cooccur" -> KgSql.cooccurSql,
     // sameAs closure + canonical triple table: recursive-CTE transitive
     // closure vs the engine's pointer-jumping CC over the same star edges

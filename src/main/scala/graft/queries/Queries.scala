@@ -609,6 +609,56 @@ object Queries {
     graft.kg.GraphOps.cooccurrence(kgMentions(spark, dir))
       .orderBy("e1", "e2")
 
+  /** Strict transitive closure of the fixed [[graft.kg.Ontology]] subsumption
+    * edges via log-round pointer squaring (3 rounds cover the depth-4 chain;
+    * oracle: DuckDB recursive CTE over the same edges,
+    * [[KgSql.subClassClosureSql]]).
+    */
+  def kgSubClassClosure(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.kg.GraphOps.subClassClosure(
+      graft.kg.Ontology.subClassEdges.toDF("sub", "sup"), rounds = 3)
+      .orderBy("sub", "sup")
+  }
+
+  /** RDFS type entailment over the corpus entities: asserted classes come
+    * from the closed [[graft.kg.Ontology.assertedClasses]] map joined onto
+    * the DISTINCT IRI terms of the triple table; the vocabulary-sized closure
+    * is broadcast against them ([[graft.kg.GraphOps.rdfsTypeClosure]]).
+    * Oracle recomputes the closure with a recursive CTE and the same
+    * assertion-wins `min` ([[KgSql.rdfsTypesSql]]).
+    */
+  def kgRdfsTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = kgTriples(spark, dir)
+    val nodes = t.filter($"sKind" === 0).select($"s".as("iri"))
+      .union(t.filter($"oKind" === 0).select($"o".as("iri")))
+      .distinct()
+    val types = nodes
+      .join(org.apache.spark.sql.functions.broadcast(
+        graft.kg.Ontology.assertedClasses.toDF("iri", "cls")), "iri")
+      .select($"iri".as("s"), $"cls")
+    graft.kg.GraphOps.rdfsTypeClosure(types,
+      graft.kg.Ontology.subClassEdges.toDF("sub", "sup"), rounds = 3)
+      .orderBy("s", "cls")
+  }
+
+  /** Max-cardinality QA report ([[graft.kg.GraphOps.constraintViolations]]
+    * with the fixed [[graft.kg.Ontology.maxCardinality]] constraints; oracle
+    * [[KgSql.constraintsSql]]).
+    */
+  def kgConstraints(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.constraintViolations(
+      kgTriples(spark, dir), graft.kg.Ontology.maxCardinality)
+      .orderBy("s", "p")
+
+  /** Dangling-reference QA ([[graft.kg.GraphOps.danglingRefs]]; oracle
+    * [[KgSql.danglingSql]]).
+    */
+  def kgDangling(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.danglingRefs(kgTriples(spark, dir))
+      .orderBy("iri")
+
   /** Cross-KB identity resolution: `owl:sameAs`-style closure over shared
     * mention labels (see [[graft.kg.GraphOps.resolveByLabel]]); the oracle
     * recomputes the closure with a recursive CTE over the same mention

@@ -494,4 +494,99 @@ class GraphOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(more == got)
   }
+
+  /** Plain-Scala strict transitive closure (BFS fixpoint). */
+  private def refClosure(es: Seq[(String, String)]): Set[(String, String)] = {
+    var cl = es.toSet
+    var grew = true
+    while (grew) {
+      val next = cl ++ (for ((a, b) <- cl; (c, d) <- cl if b == c) yield (a, d))
+      grew = next.size > cl.size
+      cl = next
+    }
+    cl.filter { case (a, b) => a != b }
+  }
+
+  test("subClassClosure: diamond + depth-4 chain, log-round sufficiency") {
+    val es = graft.kg.Ontology.subClassEdges
+    val got = GraphOps.subClassClosure(es.toDF("sub", "sup"), rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == refClosure(es))
+    // depth-4 chain present end-to-end
+    val dbo = graft.extract.Dict.dbo
+    assert(got.contains((dbo + "City", graft.kg.Ontology.owlThing)))
+    // the diamond contributes exactly one (Scientist, Agent) row
+    assert(got.count(_ == (dbo + "Scientist", dbo + "Agent")) == 1)
+    // 1 round (paths <= 2) provably misses the depth-4 pair — the log-round
+    // bound genuinely binds, 2 rounds (paths <= 4) suffice
+    val one = GraphOps.subClassClosure(es.toDF("sub", "sup"), rounds = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!one.contains((dbo + "City", graft.kg.Ontology.owlThing)))
+    val two = GraphOps.subClassClosure(es.toDF("sub", "sup"), rounds = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(two == got)
+  }
+
+  test("rdfsTypeClosure: supers inferred, direct assertion wins") {
+    val dbo = graft.extract.Dict.dbo
+    val onto = graft.kg.Ontology.subClassEdges.toDF("sub", "sup")
+    val types = Seq(
+      ("ada", dbo + "Scientist"),
+      ("ada", dbo + "Person"), // redundant: derivable AND asserted
+      ("london", dbo + "City")
+    ).toDF("s", "cls")
+    val got = GraphOps.rdfsTypeClosure(types, onto, rounds = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    val ref = refClosure(graft.kg.Ontology.subClassEdges)
+    val expect =
+      Map(("ada", dbo + "Scientist") -> false, ("ada", dbo + "Person") -> false,
+        ("london", dbo + "City") -> false) ++
+        (ref.collect { case (s, sup) if s == dbo + "Scientist" => ("ada", sup) -> true } ++
+          ref.collect { case (s, sup) if s == dbo + "City" => ("london", sup) -> true })
+          .filterNot { case ((_, c), _) => c == dbo + "Person" } // asserted wins
+    assert(got == expect.toMap)
+    assert(got(("ada", dbo + "Person")) == false)
+    assert(got(("ada", dbo + "Agent")) == true)
+  }
+
+  test("constraintViolations counts DISTINCT object terms, violators only") {
+    val n = Option.empty[String]
+    val ts = Seq(
+      // s1: 2 distinct birthPlaces across 3 statements (re-assertion ignored)
+      ("s1", 0, "born", "x", 0, n, n),
+      ("s1", 0, "born", "x", 0, n, n),
+      ("s1", 0, "born", "y", 0, n, n),
+      // s2: 1 distinct birthPlace -> no violation
+      ("s2", 0, "born", "x", 0, n, n),
+      // s2: same lexical form as IRI and as literal = 2 distinct TERMS
+      ("s2", 0, "label", "x", 0, n, n),
+      ("s2", 0, "label", "x", 2, n, n),
+      // unconstrained predicate never reported
+      ("s3", 0, "free", "a", 0, n, n),
+      ("s3", 0, "free", "b", 0, n, n)
+    ).toDF("s", "sKind", "p", "o", "oKind", "oLang", "oDt")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p", $"o",
+        $"oKind".cast("byte").as("oKind"), $"oLang", $"oDt")
+    val got = GraphOps.constraintViolations(ts, Seq("born" -> 1L, "label" -> 1L))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("s1", "born") -> ((2L, 1L)),
+      ("s2", "label") -> ((2L, 1L))
+    ))
+  }
+
+  test("danglingRefs: IRI objects never seen as subject, with ref counts") {
+    val got = GraphOps.danglingRefs(triples).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fixture: objects a,b,c all appear as subjects; only b is referenced
+    // twice from a; no node-object is dangling except none — extend with a
+    // dangling ref below
+    assert(got.isEmpty)
+    val ts = triples.union(Seq(("a", 0.toByte, "p5", "ghost", 0.toByte))
+      .toDF("s", "sKind", "p", "o", "oKind"))
+    val got2 = GraphOps.danglingRefs(ts).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == Map("ghost" -> 1L))
+  }
 }
