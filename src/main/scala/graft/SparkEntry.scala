@@ -66,6 +66,10 @@ object SparkEntry {
     "q_kg_rdfs_types" -> (Queries.kgRdfsTypes _),
     "q_kg_constraints" -> (Queries.kgConstraints _),
     "q_kg_dangling" -> (Queries.kgDangling _),
+    "q_kg_type_counts" -> (Queries.kgTypeCounts _),
+    "q_kg_domain_check" -> (Queries.kgDomainCheck _),
+    "q_kg_fuse" -> (Queries.kgFuse _),
+    "q_kg_temporal" -> (Queries.kgTemporal _),
     "q_kg_entity_resolve" -> (Queries.kgEntityResolve _),
     "q_kg_canon_triples" -> (Queries.kgCanonTriples _),
     "q_kg_labels" -> (Queries.kgLabels _),

@@ -936,6 +936,100 @@ object GraphOps {
     refs.join(subjects, Seq("iri"), "left_anti")
   }
 
+  /** Source-count fact fusion (truth discovery, Knowledge-Vault shape): for
+    * each (subject, functional predicate), elect the object value supported
+    * by the most DISTINCT source pages — majority vote over independent web
+    * evidence — plus how contested the slot is (`n_values` distinct
+    * candidates, `n_total` total supporting pages).
+    *
+    * Scale shape: the vote count pre-dedups (s, p, o, srcUrl) map-side and
+    * counts algebraically (never `count_distinct`'s expand plan); the
+    * election is the (-votes, o) struct-min, so a celebrity subject's 10^6
+    * evidence rows collapse to one candidate per map task before the
+    * shuffle. Never a per-slot window.
+    */
+  def fuseFacts(triples: DataFrame, predicates: Seq[String]): DataFrame = {
+    val votes = triples
+      .filter(F.col("p").isin(predicates: _*) && F.col("sKind") === 0)
+      .select("s", "p", "o", "oKind", "srcUrl").distinct()
+      .groupBy("s", "p", "o", "oKind")
+      .agg(F.count(F.lit(1)).as("n_sources"))
+    votes
+      .groupBy("s", "p")
+      .agg(
+        F.min(F.struct((-F.col("n_sources")).as("nn"), F.col("o"),
+          F.col("oKind"))).as("w"),
+        F.count(F.lit(1)).as("n_values"),
+        F.sum(F.col("n_sources")).as("n_total"))
+      .select(F.col("s"), F.col("p"), F.col("w.o").as("o"),
+        (-F.col("w.nn")).as("n_sources"), F.col("n_values"), F.col("n_total"))
+  }
+
+  /** Class-instance statistics over the entailed type relation
+    * ([[rdfsTypeClosure]] output): per class, total entailed instances and
+    * directly-asserted instances — the KG-card table. Input is one row per
+    * (s, cls), so both counts are plain algebraic aggregates.
+    */
+  def typeCounts(entailed: DataFrame): DataFrame =
+    entailed.groupBy("cls").agg(
+      F.count(F.lit(1)).as("n_total"),
+      F.sum(F.when(!F.col("is_inferred"), 1L).otherwise(0L)).as("n_direct"))
+
+  /** Declared-domain QA: IRI subjects using a constrained predicate whose
+    * entailed types do NOT include the declared domain class (subjects with
+    * no type information at all also violate — truthfully unverifiable).
+    * Blank-node subjects are out of scope (no type assertions by
+    * construction).
+    *
+    * Scale shape: the (s, p) usage relation pre-dedups map-side to
+    * entity-vocabulary size before any join; the domain table is broadcast;
+    * the conformance check is a left-anti join against the entailed type
+    * relation on (s, dom_cls) — vocabulary-sized on both sides.
+    */
+  def domainViolations(
+      triples: DataFrame,
+      entailed: DataFrame,
+      domains: Seq[(String, String)]
+  ): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val doms = F.broadcast(domains.toDF("p", "dom_cls"))
+    val usage = triples.filter(F.col("sKind") === 0)
+      .join(doms, "p")
+      .select("s", "p", "dom_cls").distinct()
+    val ok = entailed.select(F.col("s"), F.col("cls").as("dom_cls"))
+    usage.join(ok, Seq("s", "dom_cls"), "left_anti")
+      .select("s", "p", "dom_cls")
+  }
+
+  /** Temporal fact intervals — the fact-currency table a recurring crawl
+    * maintains: per distinct graph fact (s, p, o) with a predicate in
+    * `predicates`, the first/last capture time (epoch millis) and the number
+    * of distinct supporting pages. `pages` is the corpus (url, warc_ts).
+    *
+    * Scale shape: evidence pre-dedups (s, p, o, srcUrl) map-side; the
+    * lineage join runs on `srcUrl = url` — unique per page on the pages
+    * side, bounded by statements-per-page on the triple side, so no hot
+    * key; min/max/count are algebraic, so a celebrity fact's 10^9 capture
+    * rows combine per map task.
+    */
+  def factIntervals(
+      triples: DataFrame,
+      pages: DataFrame,
+      predicates: Seq[String]
+  ): DataFrame = {
+    val ev = triples
+      .filter(F.col("p").isin(predicates: _*) &&
+        F.col("sKind") === 0 && F.col("oKind") === 0)
+      .select("s", "p", "o", "srcUrl").distinct()
+    val ts = pages.select(F.col("url").as("srcUrl"),
+      F.unix_millis(F.col("warc_ts")).as("ts_ms"))
+    ev.join(ts, "srcUrl")
+      .groupBy("s", "p", "o")
+      .agg(F.min("ts_ms").as("first_ms"), F.max("ts_ms").as("last_ms"),
+        F.count(F.lit(1)).as("n_pages"))
+  }
+
   def neighborJaccard(
       triples: DataFrame,
       maxDeg: Long = 64L,

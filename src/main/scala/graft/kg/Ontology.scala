@@ -75,4 +75,27 @@ object Ontology {
     (Dict.schemaNs + "mainEntityOfPage") -> 1L,
     (Dict.relations("knows")) -> 3L
   )
+
+  /** Functional predicates for source-count fact fusion
+    * ([[GraphOps.fuseFacts]]): slots where conflicting web evidence must be
+    * resolved to one value by majority vote.
+    */
+  val functionalPredicates: Seq[String] = Seq(
+    Dict.dbo + "birthPlace",
+    Dict.dbo + "residence"
+  )
+
+  /** Declared rdfs:domain per relation predicate ([[GraphOps
+    * .domainViolations]]). Person-domain predicates genuinely fire on the
+    * synthesized corpus: page topics include devices, cities and the two
+    * Mercury senses, none of which entail Person.
+    */
+  val predicateDomains: Seq[(String, String)] = Seq(
+    (Dict.dbo + "birthPlace") -> (Dict.dbo + "Person"),
+    (Dict.schemaNs + "worksFor") -> (Dict.dbo + "Person"),
+    (Dict.relations("knows")) -> (Dict.dbo + "Person"),
+    (Dict.dbo + "residence") -> (Dict.dbo + "Person"),
+    (Dict.schemaNs + "colleague") -> (Dict.dbo + "Person"),
+    (Dict.dbo + "created") -> (Dict.dbo + "Agent")
+  )
 }

@@ -793,11 +793,11 @@ object KgSql {
   val subClassClosureSql: String =
     s"WITH RECURSIVE $ontoCtes\nSELECT sub, sup FROM cl WHERE sub <> sup"
 
-  /** Oracle for Queries.kgRdfsTypes: recursive-CTE closure, the same
-    * asserted-class VALUES map, assertion-wins `min` over the union.
+  /** Shared entailed-type CTE chain (`etypes`): recursive-CTE closure, the
+    * same asserted-class VALUES map, assertion-wins `min` over the union.
     */
-  val rdfsTypesSql: String =
-    s"WITH RECURSIVE $triplesCtes,\n$ontoCtes,\n" +
+  private val typesCtes: String =
+    s"$triplesCtes,\n$ontoCtes,\n" +
     s"""nodes AS (SELECT DISTINCT s AS iri FROM tr WHERE k_s = 0
        |          UNION SELECT DISTINCT o FROM tr WHERE k_o = 0),
        |tm (iri, cls) AS (VALUES ${pairValues(graft.kg.Ontology.assertedClasses)}),
@@ -805,10 +805,78 @@ object KgSql {
        |             FROM nodes n JOIN tm t USING (iri)),
        |strict AS (SELECT sub, sup FROM cl WHERE sub <> sup),
        |inferred AS (SELECT a.s, c.sup AS cls, TRUE AS inf
-       |             FROM asserted a JOIN strict c ON c.sub = a.cls)
-       |SELECT s, cls, CAST(min(CAST(inf AS INT)) AS BOOLEAN) AS is_inferred
-       |FROM (SELECT * FROM asserted UNION ALL SELECT * FROM inferred) u
-       |GROUP BY s, cls""".stripMargin
+       |             FROM asserted a JOIN strict c ON c.sub = a.cls),
+       |etypes AS (
+       |  SELECT s, cls, CAST(min(CAST(inf AS INT)) AS BOOLEAN) AS is_inferred
+       |  FROM (SELECT * FROM asserted UNION ALL SELECT * FROM inferred) u
+       |  GROUP BY s, cls)""".stripMargin
+
+  /** Oracle for Queries.kgRdfsTypes. */
+  val rdfsTypesSql: String =
+    s"WITH RECURSIVE $typesCtes\nSELECT s, cls, is_inferred FROM etypes"
+
+  /** Oracle for Queries.kgTypeCounts. */
+  val typeCountsSql: String =
+    s"WITH RECURSIVE $typesCtes\n" +
+    s"""SELECT cls, CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(sum(CASE WHEN NOT is_inferred THEN 1 ELSE 0 END) AS BIGINT) AS n_direct
+       |FROM etypes GROUP BY cls""".stripMargin
+
+  /** Oracle for Queries.kgDomainCheck: anti-join against the entailed types
+    * on (subject, declared domain).
+    */
+  val domainCheckSql: String =
+    s"WITH RECURSIVE $typesCtes,\n" +
+    s"""doms (p, dom_cls) AS (VALUES ${pairValues(graft.kg.Ontology.predicateDomains)}),
+       |usage AS (SELECT DISTINCT t.s, t.p, d.dom_cls
+       |          FROM tr t JOIN doms d USING (p) WHERE t.k_s = 0)
+       |SELECT u.s, u.p, u.dom_cls FROM usage u
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM etypes e WHERE e.s = u.s AND e.cls = u.dom_cls)""".stripMargin
+
+  /** Oracle for Queries.kgFuse: the window statement of the engine's
+    * (-votes, o, k_o) struct-min election.
+    */
+  val fuseSql: String = {
+    val fp = graft.kg.Ontology.functionalPredicates
+      .map(p => s"('$p')").mkString(", ")
+    s"WITH $triplesCtes,\n" +
+    s"""fp (p) AS (VALUES $fp),
+       |ev AS (SELECT DISTINCT t.s, t.p, t.o, t.k_o, t.url
+       |       FROM tr t JOIN fp USING (p) WHERE t.k_s = 0),
+       |votes AS (SELECT s, p, o, k_o, count(*) AS n_sources
+       |          FROM ev GROUP BY 1, 2, 3, 4),
+       |r AS (SELECT s, p, o, n_sources,
+       |        sum(n_sources) OVER (PARTITION BY s, p) AS n_total,
+       |        count(*) OVER (PARTITION BY s, p) AS n_values,
+       |        row_number() OVER (PARTITION BY s, p
+       |                           ORDER BY n_sources DESC, o, k_o) AS rn
+       |      FROM votes)
+       |SELECT s, p, o, CAST(n_sources AS BIGINT) AS n_sources,
+       |  CAST(n_values AS BIGINT) AS n_values, CAST(n_total AS BIGINT) AS n_total
+       |FROM r WHERE rn = 1""".stripMargin
+  }
+
+  /** Oracle for Queries.kgTemporal: `warc_ts` regenerated closed-form
+    * (epoch millis = FixedEpochMs + floorMod(h(seed,id,6), 365*24*3600) s),
+    * evidence deduped per page, algebraic min/max/count.
+    */
+  val temporalSql: String = {
+    val h6 = HashSql.mix64(s"((hb + 6) % $Two64)")
+    val subj = iriCase("topic", s"'$planetIri'")
+    val obj = iriCase("obj", s"'$planetIri'")
+    s"WITH $pagesCtes,\n" +
+    s"""tsq AS (SELECT id,
+       |    1700000000000 + CAST(${fm(h6, 365 * 24 * 3600)} AS BIGINT) * 1000 AS ts_ms
+       |  FROM base),
+       |facts AS (
+       |  SELECT DISTINCT $subj AS s, ${predCase("phrase")} AS p, $obj AS o,
+       |    pg.url, q.ts_ms
+       |  FROM rels JOIN pg USING (id) JOIN tsq q USING (id))
+       |SELECT s, p, o, min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
+       |  CAST(count(*) AS BIGINT) AS n_pages
+       |FROM facts GROUP BY 1, 2, 3""".stripMargin
+  }
 
   /** Oracle for Queries.kgConstraints: distinct object TERMS per (subject,
     * constrained predicate), violators only.

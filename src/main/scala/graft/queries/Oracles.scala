@@ -460,6 +460,13 @@ object Oracles {
     "q_kg_rdfs_types" -> KgSql.rdfsTypesSql,
     "q_kg_constraints" -> KgSql.constraintsSql,
     "q_kg_dangling" -> KgSql.danglingSql,
+    "q_kg_type_counts" -> KgSql.typeCountsSql,
+    "q_kg_domain_check" -> KgSql.domainCheckSql,
+    // fact fusion: window election in the oracle vs the engine's algebraic
+    // (-votes, o) struct-min; temporal intervals: warc_ts regenerated
+    // closed-form from the splitmix rule
+    "q_kg_fuse" -> KgSql.fuseSql,
+    "q_kg_temporal" -> KgSql.temporalSql,
     "q_kg_cooccur" -> KgSql.cooccurSql,
     // sameAs closure + canonical triple table: recursive-CTE transitive
     // closure vs the engine's pointer-jumping CC over the same star edges

@@ -628,7 +628,11 @@ object Queries {
     * Oracle recomputes the closure with a recursive CTE and the same
     * assertion-wins `min` ([[KgSql.rdfsTypesSql]]).
     */
-  def kgRdfsTypes(spark: SparkSession, dir: String): DataFrame = {
+  /** Entailed type relation shared by q_kg_rdfs_types / q_kg_type_counts /
+    * q_kg_domain_check: asserted classes over the distinct IRI terms, closed
+    * under the broadcast ontology closure.
+    */
+  private def kgEntailedTypes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = kgTriples(spark, dir)
     val nodes = t.filter($"sKind" === 0).select($"s".as("iri"))
@@ -640,8 +644,47 @@ object Queries {
       .select($"iri".as("s"), $"cls")
     graft.kg.GraphOps.rdfsTypeClosure(types,
       graft.kg.Ontology.subClassEdges.toDF("sub", "sup"), rounds = 3)
-      .orderBy("s", "cls")
   }
+
+  def kgRdfsTypes(spark: SparkSession, dir: String): DataFrame =
+    kgEntailedTypes(spark, dir).orderBy("s", "cls")
+
+  /** Class-instance KG-card statistics over the entailed types
+    * ([[graft.kg.GraphOps.typeCounts]]; oracle [[KgSql.typeCountsSql]]).
+    */
+  def kgTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.typeCounts(kgEntailedTypes(spark, dir))
+      .orderBy("cls")
+
+  /** Declared-domain QA over the entailed types
+    * ([[graft.kg.GraphOps.domainViolations]] with
+    * [[graft.kg.Ontology.predicateDomains]]; oracle
+    * [[KgSql.domainCheckSql]]).
+    */
+  def kgDomainCheck(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.domainViolations(
+      kgTriples(spark, dir), kgEntailedTypes(spark, dir),
+      graft.kg.Ontology.predicateDomains)
+      .orderBy("s", "p")
+
+  /** Source-count fact fusion on the functional predicates
+    * ([[graft.kg.GraphOps.fuseFacts]]; oracle [[KgSql.fuseSql]]).
+    */
+  def kgFuse(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.fuseFacts(
+      kgTriples(spark, dir), graft.kg.Ontology.functionalPredicates)
+      .orderBy("s", "p")
+
+  /** Temporal fact intervals over the relation predicates — triple evidence
+    * joined back to page capture times ([[graft.kg.GraphOps.factIntervals]];
+    * oracle [[KgSql.temporalSql]] regenerates `warc_ts` closed-form).
+    */
+  def kgTemporal(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.factIntervals(
+      kgTriples(spark, dir),
+      graft.extract.Synth.pages(spark, kgPageCount(spark, dir)).toDF(),
+      graft.extract.Dict.relations.values.toSeq)
+      .orderBy("s", "p", "o")
 
   /** Max-cardinality QA report ([[graft.kg.GraphOps.constraintViolations]]
     * with the fixed [[graft.kg.Ontology.maxCardinality]] constraints; oracle

@@ -576,6 +576,81 @@ class GraphOpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("fuseFacts: majority of distinct sources wins, ties by object asc") {
+    val ts = Seq(
+      // slot (s1, born): y supported by 2 pages (one page re-asserts), x by 1
+      ("s1", 0, "born", "x", 0, "u1"),
+      ("s1", 0, "born", "y", 0, "u1"),
+      ("s1", 0, "born", "y", 0, "u1"), // same-page duplicate: not a 2nd source
+      ("s1", 0, "born", "y", 0, "u2"),
+      // slot (s2, born): 1-1 tie -> lexicographically smaller object wins
+      ("s2", 0, "born", "a", 0, "u1"),
+      ("s2", 0, "born", "b", 0, "u2"),
+      // unfused predicate ignored; blank subject ignored
+      ("s1", 0, "free", "z", 0, "u1"),
+      ("_:b", 1, "born", "x", 0, "u1")
+    ).toDF("s", "sKind", "p", "o", "oKind", "srcUrl")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p", $"o",
+        $"oKind".cast("byte").as("oKind"), $"srcUrl")
+    val got = GraphOps.fuseFacts(ts, Seq("born")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      ("s1", "born") -> (("y", 2L, 2L, 3L)),
+      ("s2", "born") -> (("a", 1L, 2L, 2L))
+    ))
+  }
+
+  test("typeCounts: direct vs total per class") {
+    val et = Seq(
+      ("a", "C1", false), ("b", "C1", false), ("c", "C1", true),
+      ("a", "C2", true)
+    ).toDF("s", "cls", "is_inferred")
+    val got = GraphOps.typeCounts(et).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("C1" -> ((3L, 2L)), "C2" -> ((1L, 0L))))
+  }
+
+  test("domainViolations: missing entailed domain flags, blanks out of scope") {
+    val ts = Seq(
+      ("person", 0, "born", "x", 0),
+      ("robot", 0, "born", "y", 0),  // robot is not a Person -> violation
+      ("untyped", 0, "born", "z", 0), // no type info -> violation
+      ("_:b", 1, "born", "x", 0)      // blank subject: out of scope
+    ).toDF("s", "sKind", "p", "o", "oKind")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+        $"o", $"oKind".cast("byte").as("oKind"))
+    val et = Seq(
+      ("person", "Person", false), ("robot", "Machine", false)
+    ).toDF("s", "cls", "is_inferred")
+    val got = GraphOps.domainViolations(ts, et, Seq("born" -> "Person"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("robot", "born", "Person"), ("untyped", "born", "Person")))
+  }
+
+  test("factIntervals: per-page dedup, min/max capture, distinct page count") {
+    val ts = Seq(
+      ("s", 0, "rel", "o", 0, "u1"),
+      ("s", 0, "rel", "o", 0, "u1"), // same-page duplicate collapses
+      ("s", 0, "rel", "o", 0, "u2"),
+      ("s", 0, "rel", "q", 0, "u2"),
+      ("s", 0, "other", "o", 0, "u1") // unselected predicate
+    ).toDF("s", "sKind", "p", "o", "oKind", "srcUrl")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p", $"o",
+        $"oKind".cast("byte").as("oKind"), $"srcUrl")
+    val pages = Seq(
+      ("u1", new java.sql.Timestamp(1000L)),
+      ("u2", new java.sql.Timestamp(5000L))
+    ).toDF("url", "warc_ts")
+    val got = GraphOps.factIntervals(ts, pages, Seq("rel")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      ("s", "rel", "o") -> ((1000L, 5000L, 2L)),
+      ("s", "rel", "q") -> ((5000L, 5000L, 1L))
+    ))
+  }
+
   test("danglingRefs: IRI objects never seen as subject, with ref counts") {
     val got = GraphOps.danglingRefs(triples).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
