@@ -441,4 +441,44 @@ class PlanSpec extends AnyFunSuite {
     val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"legs not deduped before the join:\n$plan")
   }
+
+  test("fact fusion: struct-min election is algebraic, no per-slot window") {
+    val df = Queries.kgFuse(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"),
+      s"fusion election planned as a per-slot window:\n$plan")
+    // evidence pre-dedup + vote count + election: partial phases throughout
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"missing partial aggregation phases:\n$plan")
+  }
+
+  test("rdfs entailment: ontology closure broadcasts against the instance " +
+      "relation") {
+    val df = Queries.kgRdfsTypes(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"closure not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"window in entailment plan:\n$plan")
+  }
+
+  test("domain QA: domain table broadcasts, conformance is an anti join") {
+    val df = Queries.kgDomainCheck(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"domain table not broadcast:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in domain QA plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in domain QA plan:\n$plan")
+  }
+
+  test("temporal intervals: algebraic min/max/count, no window, partial aggs") {
+    val df = Queries.kgTemporal(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"window in temporal plan:\n$plan")
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"no partial aggregation in temporal plan:\n$plan")
+  }
 }
