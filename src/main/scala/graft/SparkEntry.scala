@@ -102,6 +102,7 @@ object SparkEntry {
     "q_sem_dedup" -> (Queries.semanticDedup _),
     "q_embed_quant" -> (Queries.embedQuant _),
     "q_embed_pq" -> (Queries.embedPq _),
+    "q_embed_outliers" -> (Queries.embedOutliers _),
     "q_kmeans" -> (Queries.kmeansAssign _),
     "q_kg_mentions" -> (Queries.kgMentions _),
     "q_el_priors" -> (Queries.elPriors _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_dedup_rep" -> (Queries.dedupKeepBest _),
     "q_contam_report" -> (Queries.contamReport _),
     "q_vocab_topk" -> (Queries.vocabTop _),
+    "q_fuzzy_vocab" -> (Queries.fuzzyVocab _),
     "q_bpe_pairs" -> (Queries.bpePairs _),
     "q_tokenize_ids" -> (Queries.tokenizeIds _),
     "q_vocab_coverage" -> (Queries.vocabCoverage _),

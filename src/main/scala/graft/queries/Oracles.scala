@@ -1341,6 +1341,55 @@ object Oracles {
         |  CAST(sum(dist) AS BIGINT) AS distortion
         |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin,
 
+    // int8-grid embedding outliers: same quantization CTEs as q_embed_quant,
+    // per-dimension BIGINT sums, floor-division centroid via the portable
+    // positive-mod identity (both engines' % truncate), exact integer scores
+    "q_embed_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+        |      'max') AS DOUBLE) / 127 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(greatest(-127.0, least(127.0,
+        |        round(CAST(x AS DOUBLE) / scale, 0))) AS INT) END) AS codes
+        |  FROM q),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |e AS (SELECT UNNEST(range(len(codes))) AS pos,
+        |             UNNEST(codes) AS code FROM c),
+        |sums AS (SELECT pos, CAST(sum(CAST(code AS BIGINT)) AS BIGINT) AS s
+        |         FROM e GROUP BY pos),
+        |cent AS (SELECT pos, (s - ((s % n.n) + n.n) % n.n) // n.n AS m
+        |         FROM sums, n),
+        |cl AS (SELECT list(m ORDER BY pos) AS cm FROM cent)
+        |SELECT vec_id,
+        |  CAST(list_reduce(list_transform(range(1, len(codes) + 1),
+        |    i -> (CAST(codes[CAST(i AS INT)] AS BIGINT) - cm[CAST(i AS INT)])
+        |       * (CAST(codes[CAST(i AS INT)] AS BIGINT) - cm[CAST(i AS INT)])),
+        |    (acc, x) -> acc + x) AS BIGINT) AS score
+        |FROM c, cl
+        |ORDER BY score DESC, vec_id LIMIT 50""".stripMargin,
+
+    // SymSpell fuzzy vocab pairs: on the top-500 vocab the deletion-key
+    // blocking is a COMPLETE cover for levenshtein <= 2 (any alignment with
+    // k edits yields a shared variant of <= k deletions per side; the
+    // maxBucket=1000 cap cannot bind at |V|=500), so the oracle is the
+    // semantic definition — the verified all-pairs edit-distance set
+    "q_fuzzy_vocab" ->
+      """WITH tf AS (
+        |  SELECT UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0)) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS freq FROM tf GROUP BY tok),
+        |v AS (SELECT tok, CAST(freq AS BIGINT) AS freq
+        |      FROM freq ORDER BY freq DESC, tok LIMIT 500)
+        |SELECT a.tok AS a, b.tok AS b,
+        |  CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS dist,
+        |  a.freq AS n_a, b.freq AS n_b
+        |FROM v a JOIN v b ON a.tok < b.tok
+        |WHERE levenshtein(a.tok, b.tok) <= 2""".stripMargin,
+
     // exact discrete quantiles: the window row_number form IS the semantic
     // definition the distributed prefix-sum selection must match; rank =
     // ceil(n*num/den) computed in integer arithmetic on both sides

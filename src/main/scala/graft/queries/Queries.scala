@@ -981,6 +981,24 @@ object Queries {
         F.col("mse"))
       .orderBy("vec_id")
 
+  /** Int8-grid embedding-outlier scan: top-50 by exact-integer squared L2
+    * from the floor-division centroid ([[Similarity.int8Outliers]]; oracle
+    * recomputes the same codes/centroid/scores in SQL).
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame =
+    Similarity.int8Outliers(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      k = 50)
+      .select(F.col("id").as("vec_id"), F.col("score"))
+
+  /** SymSpell fuzzy matching over the SAME top-500 vocab as q_vocab_topk
+    * ([[TextOps.fuzzyVocabPairs]], maxDist = 2).
+    */
+  def fuzzyVocab(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fuzzyVocabPairs(
+      TextOps.buildVocab(docs(spark, dir), "text", vocabSize = 500))
+      .orderBy("a", "b")
+
   /** Engine-exact integer Lloyd k-means over the embeddings (k=4, 2
     * assignment rounds — the IVF coarse-quantizer training step; see
     * [[graft.sim.Similarity.kMeansInt]]; the oracle unrolls the identical

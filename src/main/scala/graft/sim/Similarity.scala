@@ -349,6 +349,48 @@ object Similarity {
         .as("mse"))
   }
 
+  /** Embedding-outlier scan in exact integers: top-k vectors by squared L2
+    * distance from the corpus centroid, computed on the [[quantizeInt8]]
+    * grid. The centroid is the per-dimension floor-division mean of the int8
+    * codes (floorDiv via the portable positive-mod identity — Spark and
+    * DuckDB `%` are both truncated, so `(a - ((a%n)+n)%n) / n` is
+    * engine-exact), making every score a small exact BIGINT: no IEEE
+    * summation order anywhere, valid at any corpus size (codes are int8, so
+    * a score is ≤ d·254² regardless of n). The mislabeled/garbage-embedding
+    * triage step of an embedding-QA pipeline.
+    *
+    * Scale shape: per-dimension sums are algebraic over the exploded
+    * (pos, code) pairs — d groups, map-side combine; the d-row centroid is
+    * collected (bounded by the embedding dimension, same driver-side
+    * discipline as the pinned ANN centroids) and folded back as a literal,
+    * so scoring is a pure projection — the corpus never shuffles; selection
+    * is `orderBy(...).limit(k)` = TakeOrderedAndProject (per-partition
+    * top-k, never a global sort).
+    */
+  def int8Outliers(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = quantizeInt8(df, idCol, vecCol).select("id", "codes")
+    val n = q.count()
+    val sums = q.select(F.posexplode(F.col("codes")).as(Seq("pos", "c")))
+      .groupBy("pos").agg(F.sum(F.col("c").cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    val centroid = sums.map { s =>
+      val pm = ((s % n) + n) % n
+      (s - pm) / n // exact floor division
+    }
+    val score = F.aggregate(
+      F.zip_with(F.col("codes"), F.typedlit(centroid.toSeq),
+        (c, m) => (c.cast("long") - m) * (c.cast("long") - m)),
+      F.lit(0L), (acc, x) => acc + x)
+    q.select(F.col("id"), score.as("score"))
+      .orderBy(F.col("score").desc, F.col("id"))
+      .limit(k)
+  }
+
   /** Engine-exact integer Lloyd k-means over an embedding column — the
     * coarse-quantizer training step an IVF index needs at corpus scale
     * ([[ivfTopK]]'s pinned centroids come from exactly this kind of run) and

@@ -287,6 +287,59 @@ object TextOps {
     spark.createDataFrame(withIds).toDF("token", "token_id", "freq")
   }
 
+  /** SymSpell-style fuzzy vocabulary matching: term pairs within Levenshtein
+    * distance `maxDist` (1 or 2), found by equi-joining on shared DELETION
+    * variants (each term emits its ≤`maxDist`-deletion neighborhood; two
+    * terms within edit distance k share a variant when both delete up to k
+    * chars) and verifying candidates with one exact `levenshtein` call —
+    * never the quadratic all-pairs comparison. The typo/variant-merging step
+    * of entity-label normalization and vocab cleanup.
+    *
+    * Scale shape: the input is the VOCABULARY (10^6-10^8 terms at corpus
+    * scale), not the corpus. The deletion-key join is the blocking; keys
+    * shared by more than `maxBucket` terms are dropped (a too-generic
+    * deletion — the standard SymSpell prune; the cap is part of the
+    * operator's spec and the oracle replicates it). The one neighborhood the
+    * keys cannot cover — pairs where BOTH terms are ≤ `maxDist` chars and
+    * delete to empty — is a closed alphabet^maxDist-bounded slice compared
+    * brute-force. Candidates dedup on the bare pair before verification.
+    */
+  def fuzzyVocabPairs(
+      vocab: org.apache.spark.sql.DataFrame,
+      maxDist: Int = 2,
+      maxBucket: Long = 1000L
+  ): org.apache.spark.sql.DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, "maxDist must be 1 or 2")
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    def del1(t: String): Set[String] =
+      (0 until t.length).map(i => t.substring(0, i) + t.substring(i + 1)).toSet
+    val terms = vocab.select(F.col("token"), F.col("freq")).as[(String, Long)]
+    val keyed = terms.flatMap { case (t, f) =>
+      val d1 = del1(t)
+      val d2 = if (maxDist >= 2) d1.flatMap(del1) else Set.empty[String]
+      (Set(t) ++ d1 ++ d2).filter(_.nonEmpty).map(k => (k, t, f))
+    }.toDF("k", "token", "freq")
+    val kept = keyed.join(
+      keyed.groupBy("k").agg(F.count(F.lit(1)).as("kdf"))
+        .filter(F.col("kdf") <= maxBucket).select("k"),
+      "k")
+    val cand = kept.as("x").join(kept.as("y"),
+        F.col("x.k") === F.col("y.k") && F.col("x.token") < F.col("y.token"))
+      .select(F.col("x.token").as("a"), F.col("y.token").as("b"),
+        F.col("x.freq").as("n_a"), F.col("y.freq").as("n_b"))
+    val short = terms.filter(_._1.length <= maxDist).toDF("token", "freq")
+    val brute = short.as("x").join(short.as("y"),
+        F.col("x.token") < F.col("y.token"))
+      .select(F.col("x.token").as("a"), F.col("y.token").as("b"),
+        F.col("x.freq").as("n_a"), F.col("y.freq").as("n_b"))
+    cand.union(brute).distinct()
+      .filter(F.levenshtein(F.col("a"), F.col("b")) <= maxDist)
+      .select(F.col("a"), F.col("b"),
+        F.levenshtein(F.col("a"), F.col("b")).cast("long").as("dist"),
+        F.col("n_a"), F.col("n_b"))
+  }
+
   /** Encode each document as its vocab token-id sequence (OOV = -1). The
     * vocab (≤V rows) rides a broadcast map and encoding is a per-row pure
     * function over the tokenized array — no join, no shuffle: the corpus

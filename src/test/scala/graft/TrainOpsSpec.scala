@@ -1306,6 +1306,68 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("int8Outliers: matches a straight-line reference incl. negative-sum floor division") {
+    // 3 vectors chosen so a per-dimension code sum is NEGATIVE and not
+    // divisible by n — pins floorDiv (not truncation) centroid semantics
+    val vecs = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Array(-0.9f, 0.3f, 0.1f, 0.2f)),
+      (2L, Array(0.05f, -0.4f, 0.9f, -0.6f)))
+    val d = vecs.toDF("vec_id", "embedding")
+    val codes = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .select("id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    val n = codes.size.toLong
+    val dim = codes.values.head.length
+    val cent = (0 until dim).map { i =>
+      Math.floorDiv(codes.values.map(_(i).toLong).sum, n)
+    }
+    val expScores = codes.map { case (id, cs) =>
+      id -> (0 until dim).map(i => (cs(i) - cent(i)) * (cs(i) - cent(i))).sum
+    }
+    // at least one dimension exercises the negative-floor branch
+    assert((0 until dim).exists(i => codes.values.map(_(i).toLong).sum < 0))
+    val got = Similarity.int8Outliers(d, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expOrder = expScores.toSeq.sortBy { case (id, s) => (-s, id) }.take(2)
+    assert(got.toSeq == expOrder)
+  }
+
+  test("fuzzyVocabPairs: complete and precise vs brute-force levenshtein; bucket cap drops hot keys") {
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val terms = Seq(
+      ("cat", 10L), ("cut", 5L), ("cart", 3L), ("dog", 7L), ("dg", 2L),
+      ("a", 1L), ("xy", 1L), ("zebra", 4L), ("zebras", 2L))
+    val vocab = terms.toDF("token", "freq")
+    val exp = (for {
+      (a, fa) <- terms; (b, fb) <- terms
+      if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b).toLong, fa, fb)).toSet
+    val got = TextOps.fuzzyVocabPairs(vocab, maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == exp)
+    // sanity: the short-pair brute slice genuinely contributes ("a","dg")
+    assert(exp.contains(("a", "dg", 2L, 1L, 2L)))
+    // maxDist=1 subset
+    val got1 = TextOps.fuzzyVocabPairs(vocab, maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got1 == exp.filter(_._3 == 1L).map(t => (t._1, t._2)))
+    // the SymSpell bucket cap: "cat"/"bat"/"rat" share only generic keys held
+    // by all three, so maxBucket=2 silences the block (non-silent cap spec)
+    val hot = Seq(("cat", 1L), ("bat", 1L), ("rat", 1L)).toDF("token", "freq")
+    assert(TextOps.fuzzyVocabPairs(hot, maxDist = 1, maxBucket = 2L).count() == 0L)
+    assert(TextOps.fuzzyVocabPairs(hot, maxDist = 1).count() == 3L)
+  }
+
   test("DSIR: target-like documents score above off-target documents") {
     import graft.textops.Dsir
     val raw = Seq(
