@@ -81,6 +81,10 @@ object SparkEntry {
     "q_kg_communities" -> (Queries.kgCommunities _),
     "q_kg_pred_lift" -> (Queries.kgPredLift _),
     "q_kg_hits" -> (Queries.kgHits _),
+    "q_kg_path_pairs" -> (Queries.kgPathPairs _),
+    "q_kg_export_nt" -> (Queries.kgExportNt _),
+    "q_stream_join" -> (Queries.streamJoin _),
+    "q_bucketed_join" -> (Queries.bucketedJoin _),
     "q_crawl_latest" -> (Queries.crawlLatest _),
     "q_stream_summary" -> (Queries.streamSummary _),
     "q_stream_dedup" -> (Queries.streamDedup _),

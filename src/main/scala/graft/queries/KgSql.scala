@@ -901,4 +901,44 @@ object KgSql {
        |subs AS (SELECT DISTINCT s AS iri FROM tr WHERE k_s IN (0, 1))
        |SELECT r.iri, r.n_refs FROM refs r
        |WHERE r.iri NOT IN (SELECT iri FROM subs)""".stripMargin
+
+  /** Oracle for Queries.kgPathPairs: length-2 predicate-path counts through
+    * hub-capped middle entities — the same distinct-edge / cap / two-level
+    * rollup semantics as [[graft.kg.GraphOps.predPathPairs]].
+    */
+  def pathPairsSql(maxMid: Long, minPaths: Long): String = {
+    val preds = graft.queries.Queries.PathMiningPreds
+      .map(p => s"'$p'").mkString(", ")
+    s"WITH $triplesCtes,\n" +
+    s"""e AS (SELECT DISTINCT s, p, o FROM tr
+       |  WHERE k_s IN (0, 1) AND k_o IN (0, 1) AND s <> o
+       |    AND p IN ($preds)),
+       |outd AS (SELECT s AS m, count(*) AS outd FROM e GROUP BY 1),
+       |ind AS (SELECT o AS m, count(*) AS ind FROM e GROUP BY 1),
+       |mids AS (SELECT m FROM ind JOIN outd USING (m)
+       |  WHERE ind <= $maxMid AND outd <= $maxMid),
+       |pm AS (SELECT x.p AS p1, y.p AS p2, mids.m, count(*) AS n
+       |  FROM e x JOIN mids ON x.o = mids.m JOIN e y ON y.s = mids.m
+       |  GROUP BY 1, 2, 3)
+       |SELECT p1, p2, CAST(sum(n) AS BIGINT) AS n_paths,
+       |  CAST(count(*) AS BIGINT) AS n_mids
+       |FROM pm GROUP BY 1, 2 HAVING sum(n) >= $minPaths""".stripMargin
+  }
+
+  /** Oracle for Queries.kgExportNt: every N-Triples line reconstructed
+    * closed-form from the generation rule (the corpus's terms contain no
+    * character the writer escapes, so the concatenation is exact; the
+    * escaping itself is pinned by RdfSpec round-trips).
+    */
+  val exportNtSql: String =
+    s"WITH $triplesCtes\n" +
+    """SELECT (CASE WHEN k_s = 1 THEN '_:' || s ELSE '<' || s || '>' END)
+      |  || ' <' || p || '> ' ||
+      |  (CASE WHEN k_o = 0 THEN '<' || o || '>'
+      |        WHEN k_o = 1 THEN '_:' || o
+      |        WHEN k_o = 2 THEN '"' || o || '"'
+      |        WHEN k_o = 3 THEN '"' || o || '"@' || lang
+      |        ELSE '"' || o || '"^^<' || dt || '>' END)
+      |  || ' .' AS line
+      |FROM tr""".stripMargin
 }

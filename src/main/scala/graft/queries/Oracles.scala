@@ -284,6 +284,16 @@ object Oracles {
         |  CAST(length(text) AS BIGINT) AS len
         |FROM documents""".stripMargin,
 
+    // watermarked stream-stream join: drained AvailableNow result must equal
+    // the relational attribution join (inclusive 1-hour window, same-user)
+    "q_stream_join" ->
+      """SELECT s.user_id, s.event_id AS signup_event_id,
+        |  p.event_id AS purchase_event_id, p.value AS purchase_value
+        |FROM events s JOIN events p
+        |  ON p.user_id = s.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin,
+
     // n-gram decontamination: text-level shared-5-gram NOT IN (engine probes
     // splitmix shingle hashes — a collision would surface here)
     "q_decontam_ngram" ->
@@ -493,6 +503,10 @@ object Oracles {
     "q_kg_pred_lift" -> KgSql.predPairLiftSql,
     // integer HITS: fixed max-normalized half-rounds unrolled as CTEs
     "q_kg_hits" -> KgSql.hitsSql(rounds = 3),
+    // length-2 predicate paths through hub-capped middle entities
+    "q_kg_path_pairs" -> KgSql.pathPairsSql(maxMid = 64L, minPaths = 2L),
+    // canonical N-Triples export, every line rebuilt closed-form
+    "q_kg_export_nt" -> KgSql.exportNtSql,
     // newest capture per logical page: engine argmax = algebraic struct-max,
     // oracle = per-key window (semantics statement, not the scale plan)
     "q_crawl_latest" -> KgSql.crawlLatestSql,
@@ -1191,6 +1205,13 @@ object Oracles {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1""".stripMargin,
+
+    // bucketed co-located join: values are layout-independent (bucketing
+    // only removes the exchange, which PlanSpec pins), so a plain join
+    "q_bucketed_join" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM documents JOIN embeddings ON vec_id = doc_id""".stripMargin,
 
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer c

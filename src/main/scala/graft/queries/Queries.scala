@@ -963,6 +963,28 @@ object Queries {
       .orderBy("content_md5")
   }
 
+  /** Watermarked stream-stream join surfaced through the driver: the events
+    * table staged as 8 parquet segments, read as TWO independent file-source
+    * streams (signups, purchases), joined with
+    * [[graft.streaming.EventStream.attributionJoin]] and drained
+    * `Trigger.AvailableNow` in 2-file micro-batches. The watermark delay
+    * (4000 days) exceeds the staged span at every sf, so no join state
+    * evicts mid-drain and the drained pairs are exactly the batch join —
+    * which the DuckDB oracle recomputes relationally.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-events").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", F.lit(null).cast("string"))
+      .repartition(8).write.mode("overwrite").parquet(stage)
+    val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStream.startMemoryAttribution(
+      spark, stage, name, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "signup_event_id", "purchase_event_id")
+  }
+
   def simLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     Similarity.lshNeighbors(emb, "vec_id", "embedding", nPlanes = 10, nTables = 4, minSim = 0.3)
@@ -2188,6 +2210,84 @@ object Queries {
     pivoted.select(F.col("lang") +:
         sources.map(s => F.coalesce(F.col(s), F.lit(0L)).as(s)): _*)
       .orderBy("lang")
+  }
+
+  /** Predicate-path mining: length-2 path counts per ordered predicate pair
+    * through hub-capped middle entities ([[graft.kg.GraphOps.predPathPairs]];
+    * value oracle in [[KgSql.pathPairsSql]] mirrors the cap semantics).
+    *
+    * The catalog query mines over the entity-ASSERTION predicates only
+    * (birthPlace/created/residence/worksFor/colleague): provenance links
+    * (mainEntityOfPage — every page contributes a unique URL object, so any
+    * popular entity becomes an unbounded-out-degree hub) and the per-page
+    * blank-node `knows` assertions carry no composition-rule signal and
+    * would only exercise the cap's exclusion path. The whitelist is the
+    * caller's pre-filter — the operator itself is generic over any triple
+    * set.
+    */
+  def kgPathPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.predPathPairs(
+        kgTriples(spark, dir).filter(F.col("p").isin(PathMiningPreds: _*)))
+      .orderBy("p1", "p2")
+
+  /** Entity-assertion predicates mined by q_kg_path_pairs (shared with the
+    * oracle via [[KgSql]]).
+    */
+  val PathMiningPreds: Seq[String] = {
+    val d = graft.extract.Dict
+    Seq(d.dbo + "birthPlace", d.dbo + "created", d.dbo + "residence",
+      d.schemaNs + "worksFor", d.schemaNs + "colleague")
+  }
+
+  /** Bucketed co-located join — the write-once/join-many shuffle eliminator.
+    * Both relations are written as 8-bucket tables hashed AND sorted on the
+    * join key, then sort-merge joined: the bucketing metadata satisfies the
+    * join's distribution requirement on BOTH sides, so the exchange that a
+    * plain parquet join would pay disappears (PlanSpec pins zero Exchange in
+    * the join subplan).
+    *
+    * At 100 TB this is the difference between re-shuffling the corpus on
+    * every downstream join and paying the layout cost once at write time —
+    * the same contract as Iceberg's bucket partition transform; dimension
+    * dictionaries and fact tables bucketed on the shared entity key join
+    * executor-local forever after. The driver-facing query returns the
+    * joined rows (oracle = plain relational join; the VALUES are layout-
+    * independent — bucketing only changes the plan, which the spec pins).
+    */
+  def bucketedJoinRaw(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(F.col("doc_id"), F.length(F.col("text")).cast("long").as("len"))
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(F.col("vec_id"), F.size(F.col("embedding")).cast("long").as("dim"))
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_docs")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_embs")
+    docs.write.format("parquet").bucketBy(8, "doc_id").sortBy("doc_id")
+      .option("path", s"$wh/docs").saveAsTable("graft_bkt_docs")
+    embs.write.format("parquet").bucketBy(8, "vec_id").sortBy("vec_id")
+      .option("path", s"$wh/embs").saveAsTable("graft_bkt_embs")
+    val d = spark.table("graft_bkt_docs")
+    val e = spark.table("graft_bkt_embs")
+    d.hint("merge").join(e, d("doc_id") === e("vec_id"))
+      .select(d("doc_id"), F.col("len"), F.col("dim"))
+  }
+
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame =
+    bucketedJoinRaw(spark, dir).orderBy("doc_id")
+
+  /** Canonical N-Triples export of the materialized triple table — the
+    * interchange leg of KG construction ([[graft.rdf.NtWriter]]; round-trip
+    * through [[graft.rdf.NTriples.parseLine]] pinned in RdfSpec; the oracle
+    * reconstructs every line closed-form from the generation rule, so a
+    * single byte of drift in term rendering fails the compare).
+    */
+  def kgExportNt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Pipeline
+      .extractTriples(graft.extract.Synth.pages(spark, kgPageCount(spark, dir)))
+      .map(graft.rdf.NtWriter.line)
+      .toDF("line")
+      .orderBy("line")
   }
 }
 

@@ -95,6 +95,69 @@ object EventStream {
         })
   }
 
+  /** Watermarked stream-stream INNER join — purchase-to-signup attribution
+    * (the impression/click shape): each purchase joins every signup of the
+    * same user whose timestamp precedes it by at most `window`.
+    *
+    * Production shape: two Kafka topics, both watermarked; the time-range
+    * condition `p.ts BETWEEN s.ts AND s.ts + window` lets Spark derive state
+    * eviction for BOTH sides (a signup is dropped from state once the
+    * purchase-side watermark passes `s.ts + window + delay`), so join state
+    * is bounded by event-time skew, never by stream length. Inner joins
+    * support Append mode: each matching pair is emitted exactly once.
+    *
+    * The same code runs batch (watermarks ignored) — StreamingSpec pins the
+    * drained stream result equal to the batch run, and the driver oracle
+    * (q_stream_join) replays the join relationally in DuckDB.
+    */
+  def attributionJoin(
+      signups: DataFrame,
+      purchases: DataFrame,
+      delay: String = "1 hour",
+      window: String = "1 hour"
+  ): DataFrame = {
+    val s = signups.withWatermark("ts", delay).alias("s")
+    val p = purchases.withWatermark("ts", delay).alias("p")
+    s.join(p,
+        F.col("p.user_id") === F.col("s.user_id") &&
+          F.col("p.ts") >= F.col("s.ts") &&
+          F.col("p.ts") <= F.col("s.ts") + F.expr(s"INTERVAL $window"))
+      .select(
+        F.col("s.user_id").as("user_id"),
+        F.col("s.event_id").as("signup_event_id"),
+        F.col("p.event_id").as("purchase_event_id"),
+        F.col("p.value").as("purchase_value"))
+  }
+
+  /** Drive [[attributionJoin]] as a genuine two-source stream over a staged
+    * parquet directory into a memory sink, `Trigger.AvailableNow` in
+    * `maxFilesPerTrigger`-file micro-batches. The watermark delay is sized
+    * past the staged corpus's event-time span, so no state evicts mid-drain
+    * and the drained result is the complete batch join (which is what the
+    * driver's DuckDB oracle checks).
+    */
+  def startMemoryAttribution(
+      spark: SparkSession,
+      stageDir: String,
+      queryName: String,
+      maxFilesPerTrigger: Int,
+      delay: String = "4000 days"
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stageDir)
+    val joined = attributionJoin(
+      src().filter(F.col("event_type") === "signup"),
+      src().filter(F.col("event_type") === "purchase"),
+      delay = delay)
+    joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Batch-driven smoke: replay the parquet events table through the
     * streaming window aggregation via an in-memory sink.
     */

@@ -664,4 +664,49 @@ class GraphOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got2 == Map("ghost" -> 1L))
   }
+
+  /** Straight-line reference of the path-pair semantics: distinct entity
+    * edges, hub-capped mids, per-pair path + distinct-mid counts.
+    */
+  private def refPathPairs(
+      edges: Seq[(String, String, String)], maxMid: Int, minPaths: Int
+  ): Map[(String, String), (Long, Long)] = {
+    val e = edges.distinct.filter { case (s, _, o) => s != o }
+    val ind = e.groupBy(_._3).map { case (m, es) => m -> es.size }
+    val outd = e.groupBy(_._1).map { case (m, es) => m -> es.size }
+    val mids = (ind.keySet & outd.keySet)
+      .filter(m => ind(m) <= maxMid && outd(m) <= maxMid)
+    val paths = for {
+      (_, p1, m) <- e if mids(m)
+      (m2, p2, _) <- e if m2 == m
+    } yield ((p1, p2), m)
+    paths.groupBy(_._1)
+      .map { case (pp, ms) => pp -> ((ms.size.toLong, ms.map(_._2).distinct.size.toLong)) }
+      .filter(_._2._1 >= minPaths)
+  }
+
+  test("predPathPairs: matches reference; hub cap excludes busy mids") {
+    val edges = Seq(
+      ("a", "p1", "b"), ("a", "p9", "b"), ("a", "p2", "c"),
+      ("b", "p1", "c"), ("c", "p1", "a"), ("_:x", "p4", "a"))
+    for ((maxMid, minPaths) <- Seq((64, 2), (64, 1), (2, 1), (1, 1))) {
+      val got = GraphOps.predPathPairs(triples, maxMid.toLong, minPaths.toLong)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == refPathPairs(edges, maxMid, minPaths),
+        s"maxMid=$maxMid minPaths=$minPaths")
+    }
+    // defaults: only (p1,p1) reaches 3 paths through 3 distinct mids
+    val def0 = GraphOps.predPathPairs(triples).collect()
+    assert(def0.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq(("p1", "p1", 3L, 3L)))
+  }
+
+  test("predPathPairs plan: no window, no cartesian, algebraic rollups") {
+    val plan = GraphOps.predPathPairs(triples).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("Expand"), s"count_distinct expand in plan:\n$plan")
+  }
 }

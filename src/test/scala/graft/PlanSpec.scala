@@ -481,4 +481,17 @@ class PlanSpec extends AnyFunSuite {
     val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"no partial aggregation in temporal plan:\n$plan")
   }
+
+  test("bucketed join: sort-merge with ZERO exchange (bucket layout " +
+    "satisfies the join distribution on both sides)") {
+    val df = Queries.bucketedJoinRaw(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("SortMergeJoin"), s"no sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles — layout metadata not used:\n$plan")
+    // the bucketed scans advertise the bucket count
+    assert(plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount"),
+      s"scan does not read bucket layout:\n$plan")
+  }
 }

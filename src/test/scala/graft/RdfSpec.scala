@@ -286,4 +286,37 @@ class RdfSpec extends AnyFunSuite {
     val (triples, _) = RdfSource.read(spark, Seq(bz.toString))
     assert(triples.count() == 2)
   }
+
+  test("NtWriter: parse(line(t)) == t for every term kind and escape class") {
+    import graft.model.{Kind, Triple}
+    import graft.rdf.NtWriter
+    val cases = Seq(
+      Triple("http://a/s", Kind.IRI, "http://a/p", "http://a/o", Kind.IRI, None, None, ""),
+      Triple("b42_1", Kind.BLANK, "http://a/p", "anon", Kind.BLANK, None, None, ""),
+      Triple("http://a/s", Kind.IRI, "http://a/p", "plain text", Kind.LIT_PLAIN, None, None, ""),
+      Triple("http://a/s", Kind.IRI, "http://a/p", "olá", Kind.LIT_LANG, Some("pt-BR"), None, ""),
+      Triple("http://a/s", Kind.IRI, "http://a/p", "7",
+        Kind.LIT_TYPED, None, Some("http://www.w3.org/2001/XMLSchema#integer"), ""),
+      // the full ECHAR set plus a C0 control and unicode
+      Triple("http://a/s", Kind.IRI, "http://a/p",
+        "q\"uote \\back\nnew\rret\ttab\bbell\fff\u0001ctl é漢", Kind.LIT_PLAIN, None, None, ""),
+      // IRI with characters the IRIREF production excludes
+      Triple("http://a/s p{x}|y^z`w\\v", Kind.IRI, "http://a/p<>", "o", Kind.LIT_PLAIN, None, None, "")
+    )
+    for (t <- cases) {
+      val line = NtWriter.line(t)
+      val back = graft.rdf.NTriples.parseLine(line, "")
+      assert(back.contains(t), s"round-trip drift for $t via: $line")
+    }
+  }
+
+  test("NtWriter: clean terms serialize with zero escaping (oracle contract)") {
+    import graft.model.{Kind, Triple}
+    val t = Triple("http://dbpedia.org/resource/Ada_Lovelace", Kind.IRI,
+      "http://www.w3.org/2000/01/rdf-schema#label", "Ada Lovelace",
+      Kind.LIT_LANG, Some("en"), None, "")
+    assert(graft.rdf.NtWriter.line(t) ==
+      "<http://dbpedia.org/resource/Ada_Lovelace> " +
+      "<http://www.w3.org/2000/01/rdf-schema#label> \"Ada Lovelace\"@en .")
+  }
 }

@@ -165,4 +165,27 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.toSeq).toSet
     assert(streamed == batch)
   }
+
+  test("stream-stream attribution join drains across micro-batches and " +
+    "equals the batch join (no state eviction under the span-sized delay)") {
+    import org.apache.spark.sql.{functions => F}
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", F.lit(null).cast("string"))
+    val dir = SparkSuite.tmpDir("join-stream")
+    events.repartition(8).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventStream.startMemoryAttribution(
+      spark, dir, "join_stream_test", maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length > 1,
+      s"expected multiple micro-batches, got ${batches.length}")
+    val streamed = spark.table("join_stream_test").collect().map(_.toSeq).toSet
+    val batch = graft.streaming.EventStream.attributionJoin(
+        events.filter(F.col("event_type") === "signup"),
+        events.filter(F.col("event_type") === "purchase"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture produced no attribution pairs")
+  }
 }
