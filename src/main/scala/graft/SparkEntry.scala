@@ -85,6 +85,8 @@ object SparkEntry {
     "q_kg_export_nt" -> (Queries.kgExportNt _),
     "q_stream_join" -> (Queries.streamJoin _),
     "q_bucketed_join" -> (Queries.bucketedJoin _),
+    "q_text_sentences" -> (Queries.textSentences _),
+    "q_warc_export" -> (Queries.warcExport _),
     "q_crawl_latest" -> (Queries.crawlLatest _),
     "q_stream_summary" -> (Queries.streamSummary _),
     "q_stream_dedup" -> (Queries.streamDedup _),

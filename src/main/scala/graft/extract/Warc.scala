@@ -148,6 +148,49 @@ object Warc {
     out.toSeq
   }
 
+  /** MD5 of a byte range as lowercase hex (public for the writer round-trip
+    * and segment-digest queries).
+    */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    hex(md.digest(bytes))
+  }
+
+  /** Serialize one record in the exact grammar [[parseSegmentRaw]] consumes:
+    * version line, the four named headers (fixed order), blank line,
+    * `Content-Length` payload bytes VERBATIM, double-CRLF terminator. The
+    * writer is the crawl-archival EXPORT leg: `parseSegment(writeRecord(r))`
+    * returns `r`'s metadata and payload digest byte-for-byte
+    * (WarcLayoutSpec pins the round trip, including payloads that QUOTE
+    * WARC headers — length-delimited framing must not resync).
+    *
+    * Scale shape: pure per-row byte assembly — records serialize inside the
+    * partition that holds their payload, zero shuffle; a segment writer
+    * downstream is a plain binary-file sink.
+    */
+  def writeRecord(
+      warcType: String,
+      targetUri: String,
+      contentType: String,
+      payload: Array[Byte]
+  ): Array[Byte] = {
+    val header = ("WARC/1.0\r\n" +
+      s"WARC-Type: $warcType\r\n" +
+      s"WARC-Target-URI: $targetUri\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+    val out = new Array[Byte](header.length + payload.length + 4)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(payload, 0, out, header.length, payload.length)
+    out(out.length - 4) = CR; out(out.length - 3) = LF
+    out(out.length - 2) = CR; out(out.length - 1) = LF
+    out
+  }
+
+  /** Concatenate records into one segment (the on-disk WARC file body). */
+  def writeSegment(records: Seq[Array[Byte]]): Array[Byte] =
+    records.foldLeft(Array.emptyByteArray)(_ ++ _)
+
   /** Records of every segment in `df` (`idCol` long, `warcCol` binary). */
   def records(df: DataFrame, idCol: String, warcCol: String): Dataset[WarcRec] = {
     val spark = df.sparkSession

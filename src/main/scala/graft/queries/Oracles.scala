@@ -791,6 +791,49 @@ object Oracles {
         |       WHEN n_han >= n_arabic THEN 'han' ELSE 'arabic' END AS dominant
         |FROM c""".stripMargin,
 
+    // WARC export round trip: the oracle rebuilds the record text the writer
+    // must produce (fixed header order, CRLF framing) and hashes it — the
+    // engine's values come from REPARSING its own written bytes
+    "q_warc_export" ->
+      """WITH r AS (SELECT doc_id,
+        |    'http://docs.example.org/' || doc_id AS target_uri, text,
+        |    'WARC/1.0' || chr(13) || chr(10) ||
+        |    'WARC-Type: response' || chr(13) || chr(10) ||
+        |    'WARC-Target-URI: http://docs.example.org/' || doc_id
+        |      || chr(13) || chr(10) ||
+        |    'Content-Type: text/plain' || chr(13) || chr(10) ||
+        |    'Content-Length: ' || length(text) || chr(13) || chr(10)
+        |      || chr(13) || chr(10) ||
+        |    text || chr(13) || chr(10) || chr(13) || chr(10) AS rec
+        |  FROM documents)
+        |SELECT doc_id, target_uri,
+        |  CAST(length(text) AS BIGINT) AS content_length,
+        |  md5(text) AS payload_md5,
+        |  CAST(length(rec) AS BIGINT) AS seg_len,
+        |  md5(rec) AS seg_md5
+        |FROM r""".stripMargin,
+
+    // sentence segmentation: the same complete-partition pattern replayed
+    // relationally — offsets by window prefix sum over raw match lengths
+    "q_text_sentences" ->
+      """WITH a AS (SELECT doc_id,
+        |    'Dr. No!! ' || replace(text, ' data ', '. Data? ')
+        |      || chr(10) || 'Last line has no terminator' AS aug
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    regexp_extract_all(aug, '[^.!?]*[.!?]+\s*|[^.!?]+$') AS parts FROM a),
+        |u AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS sent_idx, parts[u.i] AS part
+        |  FROM m, UNNEST(range(1, len(parts) + 1)) AS u(i)),
+        |w AS (SELECT doc_id, sent_idx,
+        |    CAST(coalesce(sum(length(part)) OVER (PARTITION BY doc_id ORDER BY sent_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+        |    CAST(length(part) AS BIGINT) AS raw_len,
+        |    rtrim(part, ' ' || chr(9) || chr(10) || chr(13)) AS sent
+        |  FROM u)
+        |SELECT doc_id, sent_idx, start, raw_len, md5(sent) AS sent_md5,
+        |  CAST(length(sent) AS BIGINT) AS sent_len
+        |FROM w""".stripMargin,
+
     "q_text_normalize" ->
       s"""WITH a AS (
          |  SELECT doc_id,

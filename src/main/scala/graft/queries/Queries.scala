@@ -2275,6 +2275,58 @@ object Queries {
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame =
     bucketedJoinRaw(spark, dir).orderBy("doc_id")
 
+  /** WARC export round trip surfaced through the driver: each document
+    * serializes to a response record with [[graft.extract.Warc.writeRecord]]
+    * and the ENGINE re-parses its own output with
+    * [[graft.extract.Warc.parseSegment]] — emitted metadata and payload
+    * digest come from the REPARSE, the segment digest from the written
+    * bytes, while the oracle rebuilds the exact record text closed-form and
+    * hashes independently. A single byte of drift in writer OR parser framing
+    * (header order, CRLF discipline, length arithmetic) fails the compare.
+    * Pure per-row projection, zero shuffle.
+    */
+  def warcExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(F.col("doc_id").cast("long"), F.col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val seg = graft.extract.Warc.writeRecord(
+          "response", s"http://docs.example.org/$id", "text/plain", payload)
+        val r = graft.extract.Warc.parseSegment(id, seg).head
+        (id, r.target_uri, r.content_length, r.payload_md5,
+          seg.length.toLong, graft.extract.Warc.md5Hex(seg))
+      }
+      .toDF("doc_id", "target_uri", "content_length", "payload_md5",
+        "seg_len", "seg_md5")
+      .orderBy("doc_id")
+  }
+
+  /** Sentence segmentation with exact char offsets
+    * ([[graft.textops.TextOps.sentences]]); the fixture dirties the corpus
+    * text with multi-terminator runs, a terminator-less tail, and interior
+    * newlines so every alternative of the partition pattern fires. The
+    * compare carries the offset, the raw matched length, and the trimmed
+    * sentence digest — a one-char drift anywhere breaks the prefix-sum
+    * alignment for every later sentence of the document.
+    */
+  def textSentences(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    // literal replace plants mid-text terminators at corpus-dependent
+    // positions (the raw synthetic text has none), so sentence counts and
+    // offsets vary per document
+    val aug = F.concat(
+      F.lit("Dr. No!! "),
+      F.expr("replace(text, ' data ', '. Data? ')"),
+      F.lit("\nLast line has no terminator"))
+    val d = docs(spark, dir).select(id, aug.as("aug"))
+    graft.textops.TextOps.sentences(d, "doc_id", "aug")
+      .select(F.col("doc_id"), F.col("sent_idx"), F.col("start"),
+        F.col("raw_len"), F.md5(F.col("sentence")).as("sent_md5"),
+        F.length(F.col("sentence")).cast("long").as("sent_len"))
+      .orderBy("doc_id", "sent_idx")
+  }
+
   /** Canonical N-Triples export of the materialized triple table — the
     * interchange leg of KG construction ([[graft.rdf.NtWriter]]; round-trip
     * through [[graft.rdf.NTriples.parseLine]] pinned in RdfSpec; the oracle

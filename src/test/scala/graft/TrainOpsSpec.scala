@@ -1485,4 +1485,52 @@ class TrainOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(s1 == got.map { case (k, (a, b)) => (k, a, b) }.toSet)
   }
+
+  test("sentences: hand cases — terminator runs, tail, leading dots, offsets") {
+    val df = Seq(
+      (0L, "One. Two!! Three?"),
+      (1L, "No terminator at all"),
+      (2L, "...leading dots. Then text."),
+      (3L, "Gap.\n\nNext line!  Spaced.  "),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.sentences(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSet
+    assert(got == Set(
+      (0L, 0L, 0L, 5L, "One."), (0L, 1L, 5L, 6L, "Two!!"), (0L, 2L, 11L, 6L, "Three?"),
+      (1L, 0L, 0L, 20L, "No terminator at all"),
+      // leading terminator run forms its own match (alt-1 with an empty
+      // [^.!?]* prefix) — same in RE2, so the oracle agrees
+      (2L, 0L, 0L, 3L, "..."), (2L, 1L, 3L, 14L, "leading dots."),
+      (2L, 2L, 17L, 10L, "Then text."),
+      (3L, 0L, 0L, 6L, "Gap."), (3L, 1L, 6L, 12L, "Next line!"),
+      (3L, 2L, 18L, 9L, "Spaced.")
+    ), s"got $got")
+  }
+
+  test("sentences: complete partition — offsets = prefix sums, substrings match") {
+    val texts = Seq(
+      "Dr. No!! A b c. d\ne f? g  ",
+      "x",
+      "!!!",
+      "a.b.c",
+      "  spaced start. end")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = TextOps.sentences(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val ss = rows.getOrElse(i.toLong, Array.empty)
+      // raw matches tile the text exactly: starts are running sums, total = len
+      var pos = 0L
+      for ((_, _, start, rawLen, sent) <- ss) {
+        assert(start == pos, s"doc $i: gap before offset $start")
+        val raw = t.substring(start.toInt, (start + rawLen).toInt)
+        assert(raw.replaceAll("[ \t\n\r]+$", "") == sent, s"doc $i: substring mismatch")
+        pos += rawLen
+      }
+      assert(pos == t.length.toLong, s"doc $i: partition incomplete ($pos/${t.length})")
+    }
+  }
 }

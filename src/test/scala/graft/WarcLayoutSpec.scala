@@ -164,4 +164,32 @@ class WarcLayoutSpec extends AnyFunSuite {
     // bins are contiguous, starting at 0, non-decreasing in file order
     assert(a.map(_._2).distinct == (0L to a.map(_._2).max).toSeq)
   }
+
+  test("writeRecord round trip: parse(write(r)) == r for text, binary, " +
+    "empty, and header-quoting payloads") {
+    val payloads = Seq(
+      "plain body".getBytes("UTF-8"),
+      Array.emptyByteArray,
+      (0 until 256).map(_.toByte).toArray, // every byte value incl. CR/LF
+      // the resync trap: a payload QUOTING a full WARC header block
+      ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nxyz\r\n\r\n")
+        .getBytes("ISO-8859-1"))
+    val recs = payloads.zipWithIndex.map { case (p, i) =>
+      Warc.writeRecord(
+        if (i % 2 == 0) "response" else "metadata",
+        s"http://w.example.org/p/$i", s"application/x-test-$i", p)
+    }
+    val seg = Warc.writeSegment(recs)
+    val parsed = Warc.parseSegment(7L, seg)
+    assert(parsed.length == payloads.length, s"record count: ${parsed.length}")
+    for ((p, i) <- payloads.zipWithIndex) {
+      val r = parsed(i)
+      assert(r.rec_idx == i && r.doc_id == 7L)
+      assert(r.warc_type == (if (i % 2 == 0) "response" else "metadata"))
+      assert(r.target_uri == s"http://w.example.org/p/$i")
+      assert(r.content_type == s"application/x-test-$i")
+      assert(r.content_length == p.length.toLong)
+      assert(r.payload_md5 == Warc.md5Hex(p), s"payload $i digest drift")
+    }
+  }
 }
