@@ -87,6 +87,7 @@ object SparkEntry {
     "q_bucketed_join" -> (Queries.bucketedJoin _),
     "q_text_sentences" -> (Queries.textSentences _),
     "q_warc_export" -> (Queries.warcExport _),
+    "q_http_body" -> (Queries.httpBody _),
     "q_crawl_latest" -> (Queries.crawlLatest _),
     "q_stream_summary" -> (Queries.streamSummary _),
     "q_stream_dedup" -> (Queries.streamDedup _),

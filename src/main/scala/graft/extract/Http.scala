@@ -76,6 +76,83 @@ object Http {
     Some(Head(code, reason, mediaType, charset, n, off + headEnd + 4))
   }
 
+  /** Lowercased value of header `name` in the head block at
+    * `bytes[off, off+len)`, "" when absent — the probe [[decodeBody]] uses
+    * for `Transfer-Encoding` / `Content-Encoding` without widening the
+    * shared [[Head]] shape.
+    */
+  def headerValue(bytes: Array[Byte], off: Int, len: Int, name: String): String = {
+    val s = new String(bytes, off, len, "ISO-8859-1")
+    val headEnd = s.indexOf("\r\n\r\n")
+    if (headEnd < 0) return ""
+    s.substring(0, headEnd).split("\r\n", -1).iterator.drop(1).map { line =>
+      val colon = line.indexOf(':')
+      if (colon > 0 && line.substring(0, colon).trim.equalsIgnoreCase(name))
+        line.substring(colon + 1).trim.toLowerCase
+      else ""
+    }.find(_.nonEmpty).getOrElse("")
+  }
+
+  /** Undo `Transfer-Encoding: chunked` framing on `bytes[from, to)`:
+    * hex-size line (chunk extensions after ';' ignored per RFC 9112), chunk
+    * bytes, CRLF, ..., terminated by a zero-size chunk. None on malformed
+    * framing (bad hex, truncated chunk, missing CRLF) — truthful failure,
+    * never a partial body.
+    */
+  def dechunk(bytes: Array[Byte], from: Int, to: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = from
+    while (true) {
+      var eol = pos
+      while (eol + 1 < to && !(bytes(eol) == '\r' && bytes(eol + 1) == '\n')) eol += 1
+      if (eol + 1 >= to) return None
+      val sizeLine = new String(bytes, pos, eol - pos, "ISO-8859-1")
+      val hexPart = sizeLine.takeWhile(_ != ';').trim
+      val size = try Integer.parseInt(hexPart, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0) return None
+      pos = eol + 2
+      if (size == 0) return Some(out.toByteArray) // trailer section ignored
+      if (pos + size + 2 > to) return None
+      out.write(bytes, pos, size)
+      pos += size
+      if (!(bytes(pos) == '\r' && bytes(pos + 1) == '\n')) return None
+      pos += 2
+    }
+    None // unreachable
+  }
+
+  /** Undo `Content-Encoding: gzip`. None on corrupt streams. */
+  def gunzip(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+
+  /** Decoded message body of a response at `bytes[off, off+len)` whose head
+    * is `h`: `Transfer-Encoding: chunked` framing is undone first, then
+    * `Content-Encoding: gzip` (RFC order — transfer coding wraps content
+    * coding). Identity encodings pass through. None when either layer is
+    * malformed.
+    *
+    * Scale shape: like every protocol step in the ingest chain this is
+    * per-row byte work inside the stage that holds the payload — callers
+    * emit digests/lengths, not decoded bytes.
+    */
+  def decodeBody(bytes: Array[Byte], off: Int, len: Int, h: Head): Option[Array[Byte]] = {
+    val chunked = headerValue(bytes, off, len, "transfer-encoding").contains("chunked")
+    val gzipped = headerValue(bytes, off, len, "content-encoding").contains("gzip")
+    val end = off + len
+    val framed: Option[Array[Byte]] =
+      if (chunked) dechunk(bytes, h.bodyStart, end)
+      else Some(java.util.Arrays.copyOfRange(bytes, h.bodyStart, end))
+    if (gzipped) framed.flatMap(gunzip) else framed
+  }
+
   /** Parse one full HTTP/1.x response (body reduced to digest + length). */
   def parseResponse(docId: Long, bytes: Array[Byte]): Option[HttpResp] =
     parseHead(bytes, 0, bytes.length).map { h =>

@@ -813,6 +813,17 @@ object Oracles {
         |  md5(rec) AS seg_md5
         |FROM r""".stripMargin,
 
+    // HTTP body decoding: decoded digest/length + parsed encoding flags all
+    // pinned closed-form from the id rule (engine decodes real gzip/chunked)
+    "q_http_body" ->
+      """SELECT doc_id,
+        |  (doc_id % 2 = 1) AS chunked,
+        |  (doc_id % 4 >= 2) AS gzipped,
+        |  md5(text) AS body_md5,
+        |  CAST(length(text) AS BIGINT) AS body_len,
+        |  TRUE AS matches
+        |FROM documents""".stripMargin,
+
     // sentence segmentation: the same complete-partition pattern replayed
     // relationally — offsets by window prefix sum over raw match lengths
     "q_text_sentences" ->

@@ -2302,6 +2302,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** HTTP body decoding — chunked transfer framing and gzip content
+    * encoding, the two codings every crawler must undo before extraction
+    * ([[graft.extract.Http.decodeBody]]; fixture + round trip in
+    * [[HttpBodyFixture]]). The engine builds each message, parses it with
+    * the real head parser, undoes the id-selected encoding stack, and emits
+    * the DECODED digest; the oracle pins digest, length, and the parsed
+    * encoding flags closed-form from the id rule — a decoder that skips a
+    * layer, misorders the layers, or trips on a chunk extension fails.
+    * Pure per-row projection, zero shuffle.
+    */
+  def httpBody(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(F.col("doc_id").cast("long"), F.col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => HttpBodyFixture.row(id, text) }
+      .toDF("doc_id", "chunked", "gzipped", "body_md5", "body_len", "matches")
+      .orderBy("doc_id")
+  }
+
   /** Sentence segmentation with exact char offsets
     * ([[graft.textops.TextOps.sentences]]); the fixture dirties the corpus
     * text with multi-terminator runs, a terminator-less tail, and interior
@@ -2340,6 +2359,68 @@ object Queries {
       .map(graft.rdf.NtWriter.line)
       .toDF("line")
       .orderBy("line")
+  }
+}
+
+/** Per-row fixture builder + round trip for q_http_body (standalone object so
+  * the Spark closure references it statically). Mode = doc_id % 4 selects the
+  * encoding stack: 0 = identity + Content-Length, 1 = chunked, 2 = gzip +
+  * Content-Length, 3 = chunked(gzip(body)) — the RFC layering order. Ids ≡ 1
+  * (mod 8) add a chunk extension (`;x=1`) the decoder must ignore.
+  */
+object HttpBodyFixture extends Serializable {
+
+  def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  def chunkFrame(b: Array[Byte], size: Int, ext: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < b.length) {
+      val n = math.min(size, b.length - i)
+      out.write((Integer.toHexString(n) + (if (ext) ";x=1" else "") + "\r\n")
+        .getBytes("ISO-8859-1"))
+      out.write(b, i, n)
+      out.write('\r'.toInt); out.write('\n'.toInt)
+      i += n
+    }
+    out.write("0\r\n\r\n".getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  /** Build the message for (id, text), parse + decode it with the REAL
+    * engine code, and emit the decoded digest/length plus a `matches` flag
+    * against the original text (the oracle pins all of it closed-form).
+    */
+  def row(id: Long, text: String): (Long, Boolean, Boolean, String, Long, Boolean) = {
+    val mode = (((id % 4) + 4) % 4).toInt
+    val raw = text.getBytes("UTF-8")
+    val content = if (mode >= 2) gzipBytes(raw) else raw
+    val framed =
+      if (mode % 2 == 1) chunkFrame(content, 100, ext = ((id % 8) + 8) % 8 == 1)
+      else content
+    val sb = new StringBuilder("HTTP/1.1 200 OK\r\n")
+    sb ++= "Content-Type: text/plain; charset=utf-8\r\n"
+    if (mode % 2 == 1) sb ++= "Transfer-Encoding: chunked\r\n"
+    else sb ++= s"Content-Length: ${framed.length}\r\n"
+    if (mode >= 2) sb ++= "Content-Encoding: gzip\r\n"
+    sb ++= "\r\n"
+    val head = sb.toString.getBytes("ISO-8859-1")
+    val msg = new Array[Byte](head.length + framed.length)
+    System.arraycopy(head, 0, msg, 0, head.length)
+    System.arraycopy(framed, 0, msg, head.length, framed.length)
+    val h = graft.extract.Http.parseHead(msg, 0, msg.length).get
+    val chunked = graft.extract.Http
+      .headerValue(msg, 0, msg.length, "transfer-encoding").contains("chunked")
+    val gzipped = graft.extract.Http
+      .headerValue(msg, 0, msg.length, "content-encoding").contains("gzip")
+    val body = graft.extract.Http.decodeBody(msg, 0, msg.length, h).get
+    (id, chunked, gzipped, graft.extract.Warc.md5Hex(body), body.length.toLong,
+      new String(body, "UTF-8") == text)
   }
 }
 

@@ -210,4 +210,42 @@ class SkewStressSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(s4 == got)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    // The runtime half of the skew story: salting handles keys we KNOW are
+    // hot (prefix counts, boilerplate joins); AQE's OptimizeSkewedJoin
+    // handles the ones we don't. Pin that the engine config actually
+    // triggers it: a 90%-one-key join must show skew=true in the final
+    // adaptive plan once the hot partition passes the (test-sized)
+    // thresholds.
+    import org.apache.spark.sql.{functions => F}
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 200000, 1, 16)
+        .select(
+          F.when(F.col("id") % 10 =!= 0, F.lit(0L)).otherwise(F.col("id")).as("k"),
+          F.lpad(F.col("id").cast("string"), 64, "x").as("pad"))
+      val right = spark.range(0, 1000, 1, 4).select(F.col("id").as("k"),
+        F.lit(1L).as("w"))
+      val joined = left.join(right, "k").agg(F.count(F.lit(1)))
+      val n = joined.collect()(0).getLong(0)
+      // 180000 hot-key rows + id=0 (also k=0) + 99 spread ids 10..990
+      assert(n == 180100L, s"join row count wrong: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
 }

@@ -200,4 +200,41 @@ class WebIngestSpec extends AnyFunSuite {
       "Content-Length: 5" + CRLF + CRLF + "xxxxx" + CRLF + CRLF).getBytes("ISO-8859-1")
     assert(graft.extract.Ingest.ingestSegment(1L, raw).isEmpty)
   }
+
+  test("dechunk: multi-chunk bodies, chunk extensions, malformed frames") {
+    def dc(s: String): Option[String] = {
+      val b = s.getBytes("ISO-8859-1")
+      Http.dechunk(b, 0, b.length).map(new String(_, "ISO-8859-1"))
+    }
+    assert(dc("5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n").contains("hello world"))
+    assert(dc("5;x=1\r\nhello\r\n0\r\n\r\n").contains("hello")) // extension ignored
+    assert(dc("0\r\n\r\n").contains("")) // empty body
+    assert(dc("A\r\n0123456789\r\n0\r\n\r\n").contains("0123456789")) // hex size
+    assert(dc("zz\r\nhello\r\n0\r\n\r\n").isEmpty) // bad hex
+    assert(dc("9\r\nhello\r\n0\r\n\r\n").isEmpty) // size overruns CRLF position
+    assert(dc("5\r\nhell").isEmpty) // truncated chunk
+    assert(dc("5\r\nhello").isEmpty) // missing chunk CRLF
+    assert(dc("5\r\nhelloXX0\r\n\r\n").isEmpty) // corrupt inter-chunk CRLF
+  }
+
+  test("decodeBody: layering order chunked(gzip(body)), identity passthrough") {
+    val text = "compressed crawl body " * 20
+    val gz = graft.queries.HttpBodyFixture.gzipBytes(text.getBytes("UTF-8"))
+    val framed = graft.queries.HttpBodyFixture.chunkFrame(gz, 64, ext = false)
+    val msg = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+      "Content-Encoding: gzip\r\n\r\n").getBytes("ISO-8859-1") ++ framed
+    val h = Http.parseHead(msg, 0, msg.length).get
+    val body = Http.decodeBody(msg, 0, msg.length, h).get
+    assert(new String(body, "UTF-8") == text)
+    // identity: body bytes pass through verbatim
+    val plain = ("HTTP/1.1 200 OK\r\nContent-Length: 3\r\n\r\nabc").getBytes("ISO-8859-1")
+    val hp = Http.parseHead(plain, 0, plain.length).get
+    assert(Http.decodeBody(plain, 0, plain.length, hp)
+      .map(new String(_, "UTF-8")).contains("abc"))
+    // corrupt gzip stream -> truthful None
+    val bad = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip")
+      .getBytes("ISO-8859-1")
+    val hb = Http.parseHead(bad, 0, bad.length).get
+    assert(Http.decodeBody(bad, 0, bad.length, hb).isEmpty)
+  }
 }
