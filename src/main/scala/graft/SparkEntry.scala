@@ -88,6 +88,8 @@ object SparkEntry {
     "q_text_sentences" -> (Queries.textSentences _),
     "q_warc_export" -> (Queries.warcExport _),
     "q_http_body" -> (Queries.httpBody _),
+    "q_kg_skolem" -> (Queries.kgSkolem _),
+    "q_kg_void" -> (Queries.kgVoid _),
     "q_crawl_latest" -> (Queries.crawlLatest _),
     "q_stream_summary" -> (Queries.streamSummary _),
     "q_stream_dedup" -> (Queries.streamDedup _),

@@ -1104,4 +1104,56 @@ object GraphOps {
       .agg(F.sum("n").as("n_paths"), F.count(F.lit(1)).as("n_mids"))
       .filter(F.col("n_paths") >= minPaths)
   }
+
+  /** Skolemization (RDF 1.1 §3.5): every blank node becomes a globally
+    * unique `/.well-known/genid/` IRI so the graph can merge with other
+    * datasets without label capture. Blank labels are DOCUMENT-scoped, so
+    * the Skolem id hashes (srcUrl, label) — the same label in two documents
+    * gets two IRIs, while every occurrence within one document maps to one
+    * (spec-pinned). Output rows carry kind IRI for skolemized positions.
+    *
+    * Scale shape: a pure column projection (md5 concat inside whole-stage
+    * codegen) — zero shuffle at any corpus size.
+    */
+  def skolemize(triples: DataFrame, authority: String): DataFrame = {
+    val base = s"https://$authority/.well-known/genid/"
+    def sk(term: org.apache.spark.sql.Column, kind: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      F.when(kind === F.lit(graft.model.Kind.BLANK),
+        F.concat(F.lit(base),
+          F.md5(F.concat(F.col("srcUrl"), F.lit("|"), term))))
+        .otherwise(term)
+    def skKind(kind: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      F.when(kind === F.lit(graft.model.Kind.BLANK),
+        F.lit(graft.model.Kind.IRI)).otherwise(kind)
+    triples.select(
+      sk(F.col("s"), F.col("sKind")).as("s"),
+      skKind(F.col("sKind")).as("sKind"),
+      F.col("p"),
+      sk(F.col("o"), F.col("oKind")).as("o"),
+      skKind(F.col("oKind")).as("oKind"),
+      F.col("oLang"), F.col("oDt"), F.col("srcUrl"))
+  }
+
+  /** VoID dataset statistics — the one-row dataset card (void:triples,
+    * void:distinctSubjects, void:properties, void:distinctObjects split by
+    * node vs literal) a published KG dump ships with its description.
+    *
+    * Scale shape: each distinct is its own map-side-combining dedup followed
+    * by a single-row count — never one aggregate with multiple
+    * count(DISTINCT ...) (whose Expand plan multiplies the corpus by the
+    * number of distinct clauses); the final assembly cross-joins five
+    * one-row relations.
+    */
+  def voidStats(triples: DataFrame): DataFrame = {
+    def c1(df: DataFrame, name: String): DataFrame =
+      df.select(F.count(F.lit(1)).as(name))
+    val nT = c1(triples, "n_triples")
+    val nS = c1(triples.select("s").distinct(), "n_subjects")
+    val nP = c1(triples.select("p").distinct(), "n_predicates")
+    val nO = c1(triples.filter(F.col("oKind").isin(NodeKinds: _*))
+      .select("o").distinct(), "n_node_objects")
+    val nL = c1(triples.filter(!F.col("oKind").isin(NodeKinds: _*))
+      .select("o", "oKind", "oLang", "oDt").distinct(), "n_literals")
+    nT.crossJoin(nS).crossJoin(nP).crossJoin(nO).crossJoin(nL)
+  }
 }

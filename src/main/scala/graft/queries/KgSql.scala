@@ -925,6 +925,38 @@ object KgSql {
        |FROM pm GROUP BY 1, 2 HAVING sum(n) >= $minPaths""".stripMargin
   }
 
+  /** Oracle for Queries.kgSkolem: Skolem IRIs rebuilt closed-form —
+    * `genid/md5(url || '|' || label)` under the fixed authority, kinds
+    * rewritten to IRI, every non-blank position untouched.
+    */
+  val skolemSql: String = {
+    val base = "https://graft.invalid/.well-known/genid/"
+    s"WITH $triplesCtes\n" +
+    s"""SELECT
+       |  CASE WHEN k_s = 1 THEN '$base' || md5(url || '|' || s) ELSE s END AS s,
+       |  CAST(CASE WHEN k_s = 1 THEN 0 ELSE k_s END AS TINYINT) AS "sKind",
+       |  p,
+       |  CASE WHEN k_o = 1 THEN '$base' || md5(url || '|' || o) ELSE o END AS o,
+       |  CAST(CASE WHEN k_o = 1 THEN 0 ELSE k_o END AS TINYINT) AS "oKind",
+       |  lang AS "oLang", dt AS "oDt"
+       |FROM tr""".stripMargin
+  }
+
+  /** Oracle for Queries.kgVoid: the five dataset-card counts as scalar
+    * subqueries over the regenerated triple relation.
+    */
+  val voidSql: String =
+    s"WITH $triplesCtes\n" +
+    """SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_triples,
+      |  (SELECT CAST(count(DISTINCT s) AS BIGINT) FROM tr) AS n_subjects,
+      |  (SELECT CAST(count(DISTINCT p) AS BIGINT) FROM tr) AS n_predicates,
+      |  (SELECT CAST(count(DISTINCT o) AS BIGINT) FROM tr WHERE k_o IN (0, 1))
+      |    AS n_node_objects,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM
+      |    (SELECT DISTINCT o, k_o, lang, dt FROM tr WHERE k_o NOT IN (0, 1)))
+      |    AS n_literals""".stripMargin
+
   /** Oracle for Queries.kgExportNt: every N-Triples line reconstructed
     * closed-form from the generation rule (the corpus's terms contain no
     * character the writer escapes, so the concatenation is exact; the

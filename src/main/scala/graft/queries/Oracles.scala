@@ -507,6 +507,10 @@ object Oracles {
     "q_kg_path_pairs" -> KgSql.pathPairsSql(maxMid = 64L, minPaths = 2L),
     // canonical N-Triples export, every line rebuilt closed-form
     "q_kg_export_nt" -> KgSql.exportNtSql,
+    // skolemization: genid IRIs rebuilt closed-form from (url, label)
+    "q_kg_skolem" -> KgSql.skolemSql,
+    // VoID dataset card: five counts, each a pre-deduped single-row relation
+    "q_kg_void" -> KgSql.voidSql,
     // newest capture per logical page: engine argmax = algebraic struct-max,
     // oracle = per-key window (semantics statement, not the scale plan)
     "q_crawl_latest" -> KgSql.crawlLatestSql,

@@ -2346,6 +2346,23 @@ object Queries {
       .orderBy("doc_id", "sent_idx")
   }
 
+  /** Skolemization of the materialized triple table (RDF 1.1 §3.5) — blank
+    * nodes become deterministic `/.well-known/genid/` IRIs hashed from
+    * (srcUrl, label), so document-scoped labels stay distinct across
+    * documents ([[graft.kg.GraphOps.skolemize]]; oracle
+    * [[KgSql.skolemSql]] rebuilds every Skolem IRI closed-form).
+    */
+  def kgSkolem(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.skolemize(kgTriples(spark, dir), "graft.invalid")
+      .select("s", "sKind", "p", "o", "oKind", "oLang", "oDt")
+      .orderBy("s", "p", "o")
+
+  /** VoID dataset card over the materialized triples
+    * ([[graft.kg.GraphOps.voidStats]]; oracle [[KgSql.voidSql]]).
+    */
+  def kgVoid(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.voidStats(kgTriples(spark, dir))
+
   /** Canonical N-Triples export of the materialized triple table — the
     * interchange leg of KG construction ([[graft.rdf.NtWriter]]; round-trip
     * through [[graft.rdf.NTriples.parseLine]] pinned in RdfSpec; the oracle

@@ -703,6 +703,53 @@ class GraphOpsSpec extends AnyFunSuite {
       .toSeq == Seq(("p1", "p1", 3L, 3L)))
   }
 
+  test("skolemize: per-document genid, cross-document distinctness, " +
+    "non-blank positions untouched") {
+    val ts = Seq(
+      ("_:x", 1, "p", "a", 0, Option.empty[String], Option.empty[String], "http://d1"),
+      ("_:x", 1, "q", "lit", 2, Option.empty[String], Option.empty[String], "http://d1"), // same doc+label
+      ("_:x", 1, "p", "a", 0, Option.empty[String], Option.empty[String], "http://d2"),   // other doc, same label
+      ("a", 0, "p", "_:x", 1, Option.empty[String], Option.empty[String], "http://d1"),   // blank OBJECT, same doc+label
+      ("a", 0, "r", "hi", 3, Option[String]("en"), Option.empty[String], "http://d1")
+    ).toDF("s", "sKind", "p", "o", "oKind", "oLang", "oDt", "srcUrl")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p", $"o",
+        $"oKind".cast("byte").as("oKind"), $"oLang", $"oDt", $"srcUrl")
+    val got = GraphOps.skolemize(ts, "graft.invalid").collect()
+    val bySrc = got.map(r => (r.getString(7), r.getString(2), r.getString(0),
+      r.getByte(1), r.getString(3), r.getByte(4)))
+    val skD1 = bySrc.collect { case ("http://d1", "p", s, _, _, _) => s }.head
+    val skD2 = bySrc.collect { case ("http://d2", "p", s, _, _, _) => s }.head
+    val skQ = bySrc.collect { case (_, "q", s, _, _, _) => s }.head
+    val skObj = bySrc.collect { case (_, "p", "a", _, o, _) => o }.head
+    assert(skD1.startsWith("https://graft.invalid/.well-known/genid/"))
+    assert(skD1 == skQ, "same (doc, label) must map to one Skolem IRI")
+    assert(skD1 == skObj, "subject and object occurrences must agree")
+    assert(skD1 != skD2, "same label in different documents must differ")
+    assert(got.forall(_.getByte(1) == 0) && got.forall(r => r.getByte(4) != 1),
+      "blank kinds must rewrite to IRI")
+    // non-blank terms byte-identical
+    assert(bySrc.exists { case (_, "r", s, _, o, k) => s == "a" && o == "hi" && k == 3; case _ => false })
+  }
+
+  test("voidStats: five counts match hand enumeration; no Expand in plan") {
+    val ts = Seq(
+      ("a", 0, "p1", "b", 0, Option.empty[String], Option.empty[String], "u"),
+      ("a", 0, "p1", "b", 0, Option.empty[String], Option.empty[String], "u"), // duplicate triple still counts
+      ("a", 0, "p2", "lit", 2, Option.empty[String], Option.empty[String], "u"),
+      ("b", 0, "p2", "lit", 3, Option[String]("en"), Option.empty[String], "u"), // same lexical, other kind
+      ("_:z", 1, "p3", "7", 4, Option.empty[String], Option[String]("xsd:int"), "u")
+    ).toDF("s", "sKind", "p", "o", "oKind", "oLang", "oDt", "srcUrl")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p", $"o",
+        $"oKind".cast("byte").as("oKind"), $"oLang", $"oDt", $"srcUrl")
+    val df = GraphOps.voidStats(ts)
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 3L, 3L, 1L, 3L)),
+      s"got ${r.toSeq}") // subjects a,b,_:z; preds p1,p2,p3; node objs {b}; lits 3 distinct
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"count_distinct Expand in plan:\n$plan")
+  }
+
   test("predPathPairs plan: no window, no cartesian, algebraic rollups") {
     val plan = GraphOps.predPathPairs(triples).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window in plan:\n$plan")
