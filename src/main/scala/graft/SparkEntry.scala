@@ -89,6 +89,7 @@ object SparkEntry {
     "q_warc_export" -> (Queries.warcExport _),
     "q_http_body" -> (Queries.httpBody _),
     "q_kg_skolem" -> (Queries.kgSkolem _),
+    "q_kg_export_nq" -> (Queries.kgExportNq _),
     "q_kg_void" -> (Queries.kgVoid _),
     "q_crawl_latest" -> (Queries.crawlLatest _),
     "q_stream_summary" -> (Queries.streamSummary _),

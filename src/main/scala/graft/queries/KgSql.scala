@@ -973,4 +973,19 @@ object KgSql {
       |        ELSE '"' || o || '"^^<' || dt || '>' END)
       |  || ' .' AS line
       |FROM tr""".stripMargin
+
+  /** Oracle for Queries.kgExportNq: the N-Triples line with the lineage URL
+    * as graph term before the terminator.
+    */
+  val exportNqSql: String =
+    s"WITH $triplesCtes\n" +
+    """SELECT (CASE WHEN k_s = 1 THEN '_:' || s ELSE '<' || s || '>' END)
+      |  || ' <' || p || '> ' ||
+      |  (CASE WHEN k_o = 0 THEN '<' || o || '>'
+      |        WHEN k_o = 1 THEN '_:' || o
+      |        WHEN k_o = 2 THEN '"' || o || '"'
+      |        WHEN k_o = 3 THEN '"' || o || '"@' || lang
+      |        ELSE '"' || o || '"^^<' || dt || '>' END)
+      |  || ' <' || url || '> .' AS line
+      |FROM tr""".stripMargin
 }

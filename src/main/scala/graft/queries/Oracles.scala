@@ -507,6 +507,8 @@ object Oracles {
     "q_kg_path_pairs" -> KgSql.pathPairsSql(maxMid = 64L, minPaths = 2L),
     // canonical N-Triples export, every line rebuilt closed-form
     "q_kg_export_nt" -> KgSql.exportNtSql,
+    // provenance-preserving N-Quads export (graph term = lineage URL)
+    "q_kg_export_nq" -> KgSql.exportNqSql,
     // skolemization: genid IRIs rebuilt closed-form from (url, label)
     "q_kg_skolem" -> KgSql.skolemSql,
     // VoID dataset card: five counts, each a pre-deduped single-row relation

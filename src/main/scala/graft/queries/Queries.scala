@@ -2377,6 +2377,19 @@ object Queries {
       .toDF("line")
       .orderBy("line")
   }
+
+  /** Provenance-preserving N-Quads export — graph term = lineage URL
+    * ([[graft.rdf.NtWriter.quadLine]]; same closed-form oracle discipline
+    * as [[kgExportNt]]).
+    */
+  def kgExportNq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Pipeline
+      .extractTriples(graft.extract.Synth.pages(spark, kgPageCount(spark, dir)))
+      .map(graft.rdf.NtWriter.quadLine)
+      .toDF("line")
+      .orderBy("line")
+  }
 }
 
 /** Per-row fixture builder + round trip for q_http_body (standalone object so

@@ -71,4 +71,13 @@ object NtWriter {
   def line(t: Triple): String =
     term(t.s, t.sKind, None, None) + " <" + escapeIri(t.p) + "> " +
       term(t.o, t.oKind, t.oLang, t.oDt) + " ."
+
+  /** One N-Quads line with the triple's lineage URL as the graph term — the
+    * provenance-preserving dump (the parser reads quads and projects the
+    * graph term away, so `parseLine(quadLine(t)) == t.copy(srcUrl = "")`
+    * round-trips modulo lineage, pinned in RdfSpec).
+    */
+  def quadLine(t: Triple): String =
+    term(t.s, t.sKind, None, None) + " <" + escapeIri(t.p) + "> " +
+      term(t.o, t.oKind, t.oLang, t.oDt) + " <" + escapeIri(t.srcUrl) + "> ."
 }

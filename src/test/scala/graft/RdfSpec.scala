@@ -310,6 +310,15 @@ class RdfSpec extends AnyFunSuite {
     }
   }
 
+  test("NtWriter: quadLine round-trips modulo lineage (graph term projected away)") {
+    import graft.model.{Kind, Triple}
+    val t = Triple("http://a/s", Kind.IRI, "http://a/p", "val",
+      Kind.LIT_LANG, Some("en"), None, "https://pages.example.com/wiki/X/9")
+    val q = graft.rdf.NtWriter.quadLine(t)
+    assert(q.endsWith("<https://pages.example.com/wiki/X/9> ."))
+    assert(graft.rdf.NTriples.parseLine(q, "").contains(t.copy(srcUrl = "")))
+  }
+
   test("NtWriter: clean terms serialize with zero escaping (oracle contract)") {
     import graft.model.{Kind, Triple}
     val t = Triple("http://dbpedia.org/resource/Ada_Lovelace", Kind.IRI,
