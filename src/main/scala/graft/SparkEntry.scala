@@ -82,10 +82,13 @@ object SparkEntry {
     "q_kg_pred_lift" -> (Queries.kgPredLift _),
     "q_kg_hits" -> (Queries.kgHits _),
     "q_kg_path_pairs" -> (Queries.kgPathPairs _),
+    "q_kg_anf" -> (Queries.kgAnf _),
+    "q_kg_anf_curve" -> (Queries.kgAnfCurve _),
     "q_kg_export_nt" -> (Queries.kgExportNt _),
     "q_stream_join" -> (Queries.streamJoin _),
     "q_bucketed_join" -> (Queries.bucketedJoin _),
     "q_text_sentences" -> (Queries.textSentences _),
+    "q_bitext_pairs" -> (Queries.bitextPairs _),
     "q_warc_export" -> (Queries.warcExport _),
     "q_http_body" -> (Queries.httpBody _),
     "q_kg_skolem" -> (Queries.kgSkolem _),
@@ -175,6 +178,8 @@ object SparkEntry {
     "q_topk_events" -> (Queries.topkEvents _),
     "q_set_ops" -> (Queries.setOpsEvents _),
     "q_sessionize" -> (Queries.sessionizeEvents _),
+    "q_session_window" -> (Queries.sessionWindowEvents _),
+    "q_dedup_paras" -> (Queries.dedupParas _),
     "q_asof_join" -> (Queries.asofEvents _),
     "q_range_join" -> (Queries.rangeJoinQ _),
     "q_kg_jsonld" -> (Queries.kgJsonLd _),

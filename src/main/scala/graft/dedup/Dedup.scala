@@ -66,6 +66,35 @@ object Dedup {
       .select("id", "idx", "line"))
   }
 
+  /** INTRA-document paragraph dedup — the cleaning pass that runs BEFORE
+    * any corpus-level dedup: scraped pages repeat their own blocks (nav
+    * rendered twice, pagination re-printing the lead paragraph, template
+    * double-injection), and corpus-level line/doc dedup cannot touch those
+    * because the duplicate lives inside one row. Each document keeps the
+    * FIRST occurrence of every distinct (trimmed) paragraph in original
+    * order; later repeats drop.
+    *
+    * Scale shape: a pure per-row projection of codegen'd array HOFs
+    * (split / transform / filter with `array_position` as the
+    * first-occurrence test) — ZERO shuffle at any corpus size, the text
+    * never leaves its scan partition, and no state exists beyond one row.
+    * Contrast [[dedupLines]], which is corpus-global and must shuffle.
+    *
+    * Emits (id, n_paras, n_kept, clean_len, clean_md5) — the digest pins
+    * the reconstructed text without carrying bodies through the compare.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(F.col(idCol).cast("long").as("id"),
+        F.split(F.col(textCol), "\n\n").as("ps"))
+      .withColumn("tr", F.transform(F.col("ps"), p => F.trim(p)))
+      .withColumn("kept", F.expr(
+        "filter(ps, (p, i) -> array_position(tr, trim(p)) = i + 1)"))
+      .select(F.col("id"),
+        F.size(F.col("ps")).cast("long").as("n_paras"),
+        F.size(F.col("kept")).cast("long").as("n_kept"),
+        F.length(F.concat_ws("\n\n", F.col("kept"))).cast("long").as("clean_len"),
+        F.md5(F.concat_ws("\n\n", F.col("kept"))).as("clean_md5"))
+
   /** (id, idx, line, h=xxhash64(line)) — one row per line instance. */
   private def lineInstances(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(F.col(idCol).cast("long").as("id"),

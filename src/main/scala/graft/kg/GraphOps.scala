@@ -1144,6 +1144,191 @@ object GraphOps {
     * number of distinct clauses); the final assembly cross-joins five
     * one-row relations.
     */
+  /** Elementwise max over packed HLL register arrays — the HyperANF merge.
+    * Algebraic (commutative + associative + idempotent), so Spark plans it
+    * as a partial aggregation: every map task collapses its slice of a
+    * node's incoming sketches to ONE 256-byte array before the shuffle —
+    * a hub with 10^9 in-edges contributes one array per task, never 10^9
+    * rows, to its reducer. `reduce` mutates the buffer in place (the
+    * standard Aggregator contract); `zero` allocates fresh per buffer.
+    */
+  final class RegMaxAgg extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.spark.sql.Encoders
+    private def mergeInto(b: Array[Byte], a: Array[Byte]): Array[Byte] = {
+      var j = 0
+      while (j < b.length) {
+        if ((a(j) & 0xff) > (b(j) & 0xff)) b(j) = a(j)
+        j += 1
+      }
+      b
+    }
+    override def zero: Array[Byte] = new Array[Byte](graft.sketch.Sketch.HllM)
+    override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = mergeInto(b, a)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = mergeInto(a, b)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** HyperANF (Boldi–Vigna, WWW 2011): the per-node neighborhood function
+    * N(v, t) — how many nodes lie within <= t hops of v — estimated with one
+    * 256-register HLL sketch per node ([[graft.sketch.Sketch]] hash chain:
+    * splitmix64 shingle fold, low 8 bits route, 56-bit suffix rank). Round
+    * 0 seeds each node's sketch with itself; every round unions each node's
+    * sketch with its neighbors' via [[RegMaxAgg]]; after `rounds` rounds the
+    * sketch describes exactly the radius-`rounds` ball. This is the
+    * canonical way centralities (harmonic, closeness, effective diameter)
+    * are computed on web-scale graphs, where exact per-node BFS is
+    * Sum(|ball(v)|) rows — quadratic on hubby crawl graphs.
+    *
+    * Scale shape: state is #nodes x 256 B, the per-round shuffle carries at
+    * most one register array per (node, map task) — the elementwise max is
+    * algebraic, so map-side combine absorbs hubs — and NO ball is ever
+    * materialized on either side of the plan. Contrast [[neighborhood]]
+    * (exact, per-seed-set) — HyperANF is the all-nodes variant that stays
+    * linear in edges per round.
+    *
+    * Emitted per node, all derived from the final registers and exactly
+    * replicable cross-engine with zero transcendentals:
+    *  - `v_zero`: count of untouched registers (the linear-counting input);
+    *  - `harm_num`: the EXACT integer 2^57 * Sum_j 2^-rho_j (register
+    *    reciprocal mass; order-independent integer sum, no IEEE fold);
+    *  - `regs_md5`: digest of the ascending-j "j:rho" register dump;
+    *  - `ball_est`: the raw HLL estimate alpha_m * m^2 / harm, where harm
+    *    folds ascending-j in a DEFINED IEEE order of exact power-of-two
+    *    reciprocals (the [[graft.sketch.Sketch.hllSummary]] technique — the
+    *    oracle replays the identical addition sequence, so the double is
+    *    bit-identical). Raw estimate, no small-range correction: the
+    *    correction's `m ln(m/V)` is a cross-engine transcendental; callers
+    *    in that regime have `v_zero` right here (GraphOpsSpec applies it
+    *    and pins accuracy against exact ball sizes).
+    */
+  /** One HyperANF round: each node's sketch absorbs its neighbors' via the
+    * algebraic [[RegMaxAgg]]. Package-visible so the plan spec can pin the
+    * round's aggregation shape directly (the driving loop localCheckpoints
+    * each round, which truncates the visible plan).
+    */
+  private[graft] def anfRound(state: DataFrame, edges: DataFrame): DataFrame = {
+    val regMax = F.udaf(new RegMaxAgg())
+    val prop = state.join(edges, state("node") === edges("src"))
+      .select(F.col("dst").as("node"), F.col("regs"))
+    state.select("node", "regs").union(prop)
+      .groupBy("node").agg(regMax(F.col("regs")).as("regs"))
+  }
+
+  def hyperAnf(triples: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val m = graft.sketch.Sketch.HllM
+    val dir0 = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*) && F.col("s") =!= F.col("o"))
+      .select("s", "o")
+    val edges = dir0.union(dir0.select(F.col("o"), F.col("s")))
+      .toDF("src", "dst").distinct().localCheckpoint()
+
+    val initUdf = F.udf((n: String) => {
+      val a = new Array[Byte](m)
+      val (j, rho) = graft.sketch.Sketch.hllRegisterOf(n)
+      a(j) = rho.toByte
+      a
+    })
+    var state = edges.select(F.col("src").as("node")).distinct()
+      .withColumn("regs", initUdf(F.col("node"))).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      state = anfRound(state, edges).localCheckpoint()
+    }
+
+    val finishUdf = F.udf((regs: Array[Byte]) => {
+      var vZero = 0
+      var harmNum = java.math.BigInteger.ZERO
+      var harm = 0.0
+      val dump = new StringBuilder
+      var j = 0
+      while (j < m) {
+        val rho = regs(j) & 0xff
+        if (rho == 0) vZero += 1
+        else {
+          if (dump.nonEmpty) dump.append(',')
+          dump.append(j).append(':').append(rho)
+        }
+        harmNum = harmNum.add(java.math.BigInteger.ONE.shiftLeft(57 - rho))
+        harm += 1.0 / (1L << rho).toDouble
+        j += 1
+      }
+      val est = graft.sketch.Sketch.HllAlpha * (m.toDouble * m.toDouble) / harm
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(dump.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (vZero, harmNum.toString, md5, est)
+    })
+    state
+      .withColumn("fin", finishUdf(F.col("regs")))
+      .select(F.col("node"), F.col("fin._1").as("v_zero"),
+        F.col("fin._2").as("harm_num"), F.col("fin._3").as("regs_md5"),
+        F.col("fin._4").as("ball_est"))
+  }
+
+  /** The ANF deliverable [[hyperAnf]] exists for: the neighborhood-function
+    * growth curve N(t) — one row per radius t = 0..rounds summarizing every
+    * node's sketch at that radius. The curve's saturation point is the
+    * graph's effective diameter; its growth rate separates expander-like
+    * crawl cores from chain-like link farms. All four statistics are
+    * order-free integer aggregates (node count, Sum v_zero, Sum rho, and
+    * Sum of the exact register mass mod 2^31-1), so the rollup is ONE
+    * algebraic hash aggregation per round over sketch-sized rows — no
+    * sort, no single-reducer digest, no float — and any register anywhere
+    * changing at any radius moves rho_sum and mass_mod_sum.
+    */
+  def anfCurve(triples: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be non-negative")
+    val m = graft.sketch.Sketch.HllM
+    val dir0 = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*) && F.col("s") =!= F.col("o"))
+      .select("s", "o")
+    val edges = dir0.union(dir0.select(F.col("o"), F.col("s")))
+      .toDF("src", "dst").distinct().localCheckpoint()
+    val initUdf = F.udf((n: String) => {
+      val a = new Array[Byte](m)
+      val (j, rho) = graft.sketch.Sketch.hllRegisterOf(n)
+      a(j) = rho.toByte
+      a
+    })
+    val modP = 2147483647L
+    val statUdf = F.udf((regs: Array[Byte]) => {
+      var vZero = 0L
+      var rhoSum = 0L
+      var mass = java.math.BigInteger.ZERO
+      var j = 0
+      while (j < m) {
+        val rho = regs(j) & 0xff
+        if (rho == 0) vZero += 1L else rhoSum += rho.toLong
+        mass = mass.add(java.math.BigInteger.ONE.shiftLeft(57 - rho))
+        j += 1
+      }
+      (vZero, rhoSum, mass.mod(java.math.BigInteger.valueOf(modP)).longValue)
+    })
+    def summarize(state: DataFrame, t: Int): DataFrame =
+      state.withColumn("st", statUdf(F.col("regs")))
+        .agg(F.count(F.lit(1)).as("n_nodes"),
+          F.sum("st._1").as("v_zero_sum"),
+          F.sum("st._2").as("rho_sum"),
+          F.sum("st._3").as("mass_mod_sum"))
+        .select(F.lit(t).cast("int").as("t"), F.col("n_nodes"),
+          F.col("v_zero_sum"), F.col("rho_sum"), F.col("mass_mod_sum"))
+    var state = edges.select(F.col("src").as("node")).distinct()
+      .withColumn("regs", initUdf(F.col("node"))).localCheckpoint()
+    var out = summarize(state, 0)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      state = anfRound(state, edges).localCheckpoint()
+      out = out.union(summarize(state, r))
+    }
+    out
+  }
+
   def voidStats(triples: DataFrame): DataFrame = {
     def c1(df: DataFrame, name: String): DataFrame =
       df.select(F.count(F.lit(1)).as(name))

@@ -561,6 +561,109 @@ object KgSql {
        |UNION ALL SELECT node, 1 AS dist FROM d1
        |UNION ALL SELECT node, 2 AS dist FROM d2""".stripMargin
 
+  /** Oracle for Queries.kgAnf (GraphOps.hyperAnf): the oracle can afford
+    * what the engine never materializes — EXACT radius-`rounds` balls per
+    * node, unrolled hop by hop over the whitelisted undirected entity edge
+    * set — and then rebuilds the per-node HLL registers with the engine's
+    * exact hash chain (splitmix64 shingle fold, low-8-bit route, 56-bit
+    * suffix rank), digests them, sums the exact integer reciprocal mass
+    * `2^57 * Sum 2^-rho_j` (order-independent), and re-derives the raw
+    * estimate through the SAME ascending-j IEEE fold of exact power-of-two
+    * reciprocals as Sketch.hllSummary — every emitted value bit-identical.
+    */
+  /** Shared CTE chain for the ANF oracles: whitelisted undirected entity
+    * edges, node set, and exact balls b0..b`rounds` unrolled hop by hop.
+    */
+  private def anfBallCtes(rounds: Int, preds: Seq[String]): String = {
+    val predList = preds.map(p => s"'$p'").mkString(", ")
+    val balls = (1 to rounds).map { i =>
+      val prev = s"b${i - 1}"
+      s"""b$i AS (SELECT node, member FROM $prev
+         |       UNION
+         |       SELECT p.node, e.dst AS member FROM $prev p JOIN ed e ON e.src = p.member)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sep = if (rounds > 0) ",\n" else ""
+    s"""ed0 AS (SELECT DISTINCT s AS src, o AS dst FROM tr
+       |        WHERE k_s IN (0, 1) AND k_o IN (0, 1) AND s <> o
+       |          AND p IN ($predList)),
+       |ed AS (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed),
+       |b0 AS (SELECT node, node AS member FROM nodes),
+       |$balls$sep""".stripMargin
+  }
+
+  def hyperAnfSql(rounds: Int, preds: Seq[String]): String = {
+    val m = graft.sketch.Sketch.HllM
+    val alpha = s"CAST('${graft.sketch.Sketch.HllAlpha.toString}' AS DOUBLE)"
+    s"WITH $triplesCtes,\n" +
+    anfBallCtes(rounds, preds) + "\n" +
+    s"""hb AS (SELECT node, ${HashSql.hashShingleSql("member", graft.sketch.Sketch.HllSeed)} AS h
+       |       FROM b$rounds),
+       |jr AS (SELECT node, CAST(h % $m AS INT) AS j,
+       |         CASE WHEN h // $m = 0 THEN 57
+       |              ELSE 57 - length(format('{:b}', CAST(h // $m AS BIGINT))) END AS rho
+       |       FROM hb),
+       |regs AS (SELECT node, j, max(rho) AS m_j FROM jr GROUP BY 1, 2),
+       |fullr AS (SELECT n.node, CAST(r.r AS INT) AS j, coalesce(g.m_j, 0) AS mj
+       |          FROM nodes n CROSS JOIN (SELECT UNNEST(range(0, $m)) AS r) r
+       |          LEFT JOIN regs g ON g.node = n.node AND g.j = r.r),
+       |s AS (SELECT node,
+       |        CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS INT) AS v_zero,
+       |        CAST(sum(CAST(1 AS BIGINT) << (57 - mj)) AS VARCHAR) AS harm_num,
+       |        list_reduce(
+       |          list_prepend(CAST(0.0 AS DOUBLE),
+       |            list(1.0 / CAST((CAST(1 AS BIGINT) << mj) AS DOUBLE) ORDER BY j)),
+       |          (a, b) -> a + b) AS harm
+       |      FROM fullr GROUP BY node),
+       |dig AS (SELECT node, md5(string_agg(j || ':' || m_j, ',' ORDER BY j)) AS regs_md5
+       |        FROM regs GROUP BY node)
+       |SELECT s.node, s.v_zero, s.harm_num, dig.regs_md5,
+       |  $alpha * ${m.toDouble * m.toDouble} / s.harm AS ball_est
+       |FROM s JOIN dig ON dig.node = s.node""".stripMargin
+  }
+
+  /** Oracle for Queries.kgAnfCurve (GraphOps.anfCurve): first-appearance
+    * radius per exact (node, member) pair (min over the tagged unrolled
+    * balls), registers at every radius t from pairs with first_t <= t,
+    * then the same four order-free integer aggregates — the per-node
+    * register mass folds the absent-register 2^57 terms in closed form
+    * (`(m - n_present) * 2^57`), so no 256-way expansion is needed.
+    */
+  def anfCurveSql(rounds: Int, preds: Seq[String]): String = {
+    val m = graft.sketch.Sketch.HllM
+    val tagged = (0 to rounds)
+      .map(t => s"SELECT node, member, $t AS t FROM b$t").mkString("\n  UNION ALL\n  ")
+    s"WITH $triplesCtes,\n" +
+    anfBallCtes(rounds, preds) + "\n" +
+    s"""tagged AS (
+       |  $tagged),
+       |minr AS (SELECT node, member, min(t) AS first_t FROM tagged GROUP BY 1, 2),
+       |hb AS (SELECT node, first_t,
+       |         ${HashSql.hashShingleSql("member", graft.sketch.Sketch.HllSeed)} AS h
+       |       FROM minr),
+       |jr AS (SELECT node, first_t, CAST(h % $m AS INT) AS j,
+       |         CASE WHEN h // $m = 0 THEN 57
+       |              ELSE 57 - length(format('{:b}', CAST(h // $m AS BIGINT))) END AS rho
+       |       FROM hb),
+       |rt AS (SELECT tt.t, jr.node, jr.j, max(jr.rho) AS m_j
+       |       FROM jr JOIN (SELECT UNNEST(range(0, ${rounds + 1})) AS t) tt
+       |         ON jr.first_t <= tt.t
+       |       GROUP BY 1, 2, 3),
+       |pern AS (SELECT t, node, count(*) AS n_present,
+       |           CAST(sum(m_j) AS BIGINT) AS rho_s,
+       |           CAST((sum(CAST((CAST(1 AS BIGINT) << (57 - m_j)) AS HUGEINT))
+       |             + CAST($m - count(*) AS HUGEINT)
+       |               * CAST((CAST(1 AS BIGINT) << 57) AS HUGEINT))
+       |             % 2147483647 AS BIGINT) AS mass_mod
+       |         FROM rt GROUP BY 1, 2)
+       |SELECT CAST(t AS INT) AS t, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum($m - n_present) AS BIGINT) AS v_zero_sum,
+       |  CAST(sum(rho_s) AS BIGINT) AS rho_sum,
+       |  CAST(sum(mass_mod) AS BIGINT) AS mass_mod_sum
+       |FROM pern GROUP BY t""".stripMargin
+  }
+
   /** Oracle for Queries.kgCanonTriples: triples rewritten through the sameAs
     * closure (IRI terms only), distinct with occurrence counts.
     */

@@ -505,6 +505,8 @@ object Oracles {
     "q_kg_hits" -> KgSql.hitsSql(rounds = 3),
     // length-2 predicate paths through hub-capped middle entities
     "q_kg_path_pairs" -> KgSql.pathPairsSql(maxMid = 64L, minPaths = 2L),
+    "q_kg_anf" -> KgSql.hyperAnfSql(rounds = 2, preds = Queries.PathMiningPreds),
+    "q_kg_anf_curve" -> KgSql.anfCurveSql(rounds = 3, preds = Queries.PathMiningPreds),
     // canonical N-Triples export, every line rebuilt closed-form
     "q_kg_export_nt" -> KgSql.exportNtSql,
     // provenance-preserving N-Quads export (graph term = lineage URL)
@@ -850,6 +852,24 @@ object Oracles {
         |SELECT doc_id, sent_idx, start, raw_len, md5(sent) AS sent_md5,
         |  CAST(length(sent) AS BIGINT) AS sent_len
         |FROM w""".stripMargin,
+
+    // bitext URL-pattern mining: normalize away the language segment, drop
+    // ambiguous (slug, lang) slots, pair distinct-language survivors under
+    // the integer length-ratio band
+    "q_bitext_pairs" ->
+      """WITH p AS (SELECT
+        |    'mirror.example.org/page' || CAST(doc_id // 8 AS VARCHAR) AS key,
+        |    lang,
+        |    'https://mirror.example.org/' || lang || '/page'
+        |      || CAST(doc_id // 8 AS VARCHAR) AS url,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |u AS (SELECT key, lang, min(url) AS url, min(len) AS len
+        |  FROM p GROUP BY key, lang HAVING count(*) = 1)
+        |SELECT a.key, a.lang AS lang_a, a.url AS url_a, a.len AS len_a,
+        |  b.lang AS lang_b, b.url AS url_b, b.len AS len_b
+        |FROM u a JOIN u b ON a.key = b.key AND a.lang < b.lang
+        |WHERE 2 * a.len >= b.len AND 2 * b.len >= a.len""".stripMargin,
 
     "q_text_normalize" ->
       s"""WITH a AS (
@@ -1316,6 +1336,51 @@ object Oracles {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  round(sum(value), 4) AS session_value
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // intra-doc paragraph dedup: first occurrence per trimmed paragraph in
+    // original order, reconstructed text digested
+    "q_dedup_paras" ->
+      """WITH a AS (SELECT doc_id,
+        |    substr(text, 1, 40) || chr(10) || chr(10)
+        |      || substr(text, 41, 40) || chr(10) || chr(10) || '  '
+        |      || substr(text, 1, 40) || ' ' || chr(10) || chr(10)
+        |      || 'Subscribe now' || chr(10) || chr(10) || 'Subscribe now' AS aug
+        |  FROM documents),
+        |p AS (SELECT doc_id, str_split(aug, chr(10) || chr(10)) AS ps FROM a),
+        |u AS (SELECT doc_id, CAST(t.i AS BIGINT) AS idx, ps[t.i] AS para,
+        |        trim(ps[t.i]) AS tp, len(ps) AS np
+        |      FROM p, UNNEST(range(1, len(ps) + 1)) AS t(i)),
+        |f AS (SELECT doc_id, idx, para, np,
+        |        min(idx) OVER (PARTITION BY doc_id, tp) AS first_idx FROM u),
+        |k AS (SELECT doc_id, any_value(np) AS np, count(*) AS n_kept,
+        |        string_agg(para, chr(10) || chr(10) ORDER BY idx) AS clean
+        |      FROM f WHERE idx = first_idx GROUP BY doc_id)
+        |SELECT doc_id AS id, CAST(np AS BIGINT) AS n_paras,
+        |  CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(length(clean) AS BIGINT) AS clean_len, md5(clean) AS clean_md5
+        |FROM k""".stripMargin,
+
+    // native session_window semantics: strict-overlap merge (a gap of
+    // EXACTLY 30 min breaks, unlike q_sessionize's > 1800), end = last
+    // event + gap; micro-unit value sum is order-free integer arithmetic
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // WebTables harvest: all nine expected cells per doc closed-form
     "q_html_tables" ->

@@ -1591,6 +1591,51 @@ object Queries {
       .orderBy("user_id", "session_id")
   }
 
+  /** Intra-document paragraph dedup ([[graft.dedup.Dedup.dedupParagraphs]]):
+    * the fixture rebuilds each document as five paragraphs — two corpus
+    * slices, a whitespace-padded repeat of the first slice (exercises the
+    * trim-normalized match while the ORIGINAL first form is what survives),
+    * and a twice-injected boilerplate block. Zero-shuffle codegen'd HOF
+    * projection; oracle replays the first-occurrence rule relationally
+    * (min-idx window per trimmed paragraph + ordered string_agg).
+    */
+  def dedupParas(spark: SparkSession, dir: String): DataFrame = {
+    val p1 = F.substring(F.col("text"), 1, 40)
+    val aug = F.concat(
+      p1, F.lit("\n\n"),
+      F.substring(F.col("text"), 41, 40), F.lit("\n\n  "),
+      p1, F.lit(" \n\nSubscribe now\n\nSubscribe now"))
+    graft.dedup.Dedup.dedupParagraphs(
+        docs(spark, dir).select(F.col("doc_id"), aug.as("aug")), "doc_id", "aug")
+      .orderBy("id")
+  }
+
+  /** Spark's NATIVE `session_window` groupBy (the built-in merging session
+    * aggregation batch and streaming share) — deliberately distinct from
+    * [[sessionizeEvents]]'s hand-rolled lag/cumsum form, and with the
+    * built-in's own boundary semantics: windows are `[ts, ts+gap)`, events
+    * merge iff they OVERLAP, so a gap of exactly 30 minutes starts a NEW
+    * session (strict `<`), where the lag form's `> 1800` keeps it. The
+    * session end is `last event + gap`, not the last event. Session
+    * membership, bounds, counts and the exact integer micro-unit value sum
+    * are all order-free, so no tiebreak column is needed.
+    *
+    * Scale shape: one hash-partition-by-user exchange, then Spark's
+    * session-merge aggregation — per-user state is session-bounded, never
+    * corpus-bounded; the value sum is algebraic in integers (no IEEE
+    * order sensitivity cross-engine).
+    */
+  def sessionWindowEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum(F.round(F.col("value") * 1e6).cast("long")).as("value_micro"))
+      .select(F.col("user_id"),
+        F.col("session_window.start").as("session_start"),
+        F.col("session_window.end").as("session_end"),
+        F.col("n_events"), F.col("value_micro"))
+      .orderBy("user_id", "session_start")
+
   /** DSIR importance weights: raw = the full documents table, target = the
     * deterministic doc_id % 7 == 0 subset (stands in for a curated/
     * eval-adjacent corpus — both engines derive it identically). n_feats and
@@ -2230,6 +2275,39 @@ object Queries {
         kgTriples(spark, dir).filter(F.col("p").isin(PathMiningPreds: _*)))
       .orderBy("p1", "p2")
 
+  /** HyperANF neighborhood function at radius 2 over the entity-assertion
+    * subgraph ([[graft.kg.GraphOps.hyperAnf]]): one 256-register HLL sketch
+    * per node, merged per round with an algebraic elementwise-max
+    * aggregation — the all-nodes centrality primitive that stays linear in
+    * edges per round where exact per-node BFS is quadratic on hubby crawl
+    * graphs. Same [[PathMiningPreds]] pre-filter as q_kg_path_pairs, and
+    * for the same reason: the ORACLE materializes exact balls (recursive
+    * expansion in [[KgSql.hyperAnfSql]]), so the provenance hubs
+    * (mainEntityOfPage) must stay out of the ball domain; the ENGINE side
+    * never materializes a ball at any scale. Every emitted value (v_zero,
+    * exact integer register mass, register digest, defined-fold raw HLL
+    * estimate) is bit-identical cross-engine — no transcendental anywhere.
+    */
+  def kgAnf(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.hyperAnf(
+        kgTriples(spark, dir).filter(F.col("p").isin(PathMiningPreds: _*)),
+        rounds = 2)
+      .orderBy("node")
+
+  /** Neighborhood-function growth curve N(t) for t = 0..3
+    * ([[graft.kg.GraphOps.anfCurve]]) — the ANF application surface: the
+    * radius where the four integer register statistics stop moving IS the
+    * effective diameter of the assertion subgraph. One order-free integer
+    * rollup per radius (no float, no sort, no digest reducer); oracle
+    * [[KgSql.anfCurveSql]] re-derives every radius from first-appearance
+    * hops over exact balls.
+    */
+  def kgAnfCurve(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.anfCurve(
+        kgTriples(spark, dir).filter(F.col("p").isin(PathMiningPreds: _*)),
+        rounds = 3)
+      .orderBy("t")
+
   /** Entity-assertion predicates mined by q_kg_path_pairs (shared with the
     * oracle via [[KgSql]]).
     */
@@ -2344,6 +2422,25 @@ object Queries {
         F.col("raw_len"), F.md5(F.col("sentence")).as("sent_md5"),
         F.length(F.col("sentence")).cast("long").as("sent_len"))
       .orderBy("doc_id", "sent_idx")
+  }
+
+  /** Bitext candidate mining by URL structure
+    * ([[graft.textops.TextOps.bitextCandidates]] — the WikiMatrix/CCAligned
+    * first-stage heuristic): the fixture gives every document a
+    * language-segmented mirror URL (`https://mirror.example.org/<lang>/
+    * page<doc_id div 8>`), so slug slots hold a corpus-dependent mix of
+    * languages — repeated (slug, lang) slots exercise the ambiguity gate,
+    * real `length(text)` variance exercises the integer length-ratio band,
+    * and the engine parses the language back OUT of the URL (regexp path,
+    * not the metadata column). Oracle: the same normalize-gate-join
+    * replayed relationally.
+    */
+  def bitextPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("url",
+      F.concat(F.lit("https://mirror.example.org/"), F.col("lang"),
+        F.lit("/page"), F.floor(F.col("doc_id") / 8).cast("long").cast("string")))
+    graft.textops.TextOps.bitextCandidates(d, "url", "text")
+      .orderBy("key", "lang_a", "lang_b")
   }
 
   /** Skolemization of the materialized triple table (RDF 1.1 §3.5) — blank

@@ -1395,4 +1395,56 @@ object TextOps {
       }
       .toDF("doc_id", "sent_idx", "start", "raw_len", "sentence")
   }
+
+  /** Bitext candidate mining by URL structure (the WikiMatrix/CCAligned
+    * first-stage heuristic): pages of one site whose URLs differ ONLY by a
+    * language path segment are translation candidates. A URL matching
+    * `scheme://host/<ll>/rest` (two-letter first path segment) normalizes to
+    * the language-free key `host/rest`; pages sharing a key with different
+    * language segments pair up. The language is taken from the URL segment
+    * — the miner's ground truth — not from page metadata.
+    *
+    * Two production gates, both deterministic and value-observable:
+    *  - ambiguous slugs drop: a (key, lang) slot holding more than one page
+    *    identifies nothing and is excluded (count == 1 gate), which also
+    *    bounds the join fan-out per key at C(#langs, 2) — language
+    *    vocabulary, not corpus, sized;
+    *  - length-ratio gate in integer arithmetic (`2*len_a >= len_b` both
+    *    ways, the classic 0.5..2.0 band with no float anywhere): true
+    *    translations have comparable lengths, cross-topic collisions do not.
+    *
+    * Scale shape: one algebraic (key, lang) count aggregation + one
+    * equi-join on the normalized key whose per-key fan-out is capped by the
+    * uniqueness gate — no window, no skew risk (a hot slug is exactly what
+    * the count gate removes). Emits (key, lang_a, lang_b, url_a, url_b,
+    * len_a, len_b) with lang_a < lang_b.
+    */
+  def bitextCandidates(
+      pages: org.apache.spark.sql.DataFrame,
+      urlCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val pat = "^https?://([^/]+)/([a-z][a-z])/(.*)$"
+    val parsed = pages
+      .withColumn("bt_key", F.regexp_extract(F.col(urlCol), pat, 1))
+      .withColumn("bt_rest", F.regexp_extract(F.col(urlCol), pat, 3))
+      .withColumn("bt_lang", F.regexp_extract(F.col(urlCol), pat, 2))
+      .filter(F.col("bt_lang") =!= "")
+      .select(
+        F.concat(F.col("bt_key"), F.lit("/"), F.col("bt_rest")).as("key"),
+        F.col("bt_lang").as("lang"),
+        F.col(urlCol).as("url"),
+        F.length(F.col(textCol)).cast("long").as("len"))
+    val unique = parsed
+      .groupBy("key", "lang")
+      .agg(F.count(F.lit(1)).as("n"), F.min("url").as("url"), F.min("len").as("len"))
+      .filter(F.col("n") === 1L)
+      .drop("n")
+    val a = unique.select(F.col("key"), F.col("lang").as("lang_a"),
+      F.col("url").as("url_a"), F.col("len").as("len_a"))
+    val b = unique.select(F.col("key"), F.col("lang").as("lang_b"),
+      F.col("url").as("url_b"), F.col("len").as("len_b"))
+    a.join(b, Seq("key"))
+      .filter(F.col("lang_a") < F.col("lang_b"))
+      .filter(F.col("len_a") * 2 >= F.col("len_b") &&
+        F.col("len_b") * 2 >= F.col("len_a"))
+  }
 }

@@ -756,4 +756,146 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
     assert(!plan.contains("Expand"), s"count_distinct expand in plan:\n$plan")
   }
+
+  /** Exact radius-`rounds` balls (incl. self) over the undirected edge set. */
+  private def refBalls(edges: Seq[(String, String)], rounds: Int): Map[String, Set[String]] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    nodes.map { n =>
+      var ball = Set(n)
+      for (_ <- 1 to rounds) ball = ball ++ ball.flatMap(v => und.getOrElse(v, Set.empty[String]))
+      n -> ball
+    }.toMap
+  }
+
+  /** (v_zero, harm_num, regs_md5, ball_est) from an exact member set via the
+    * SAME hash/register/fold formulas GraphOps.hyperAnf documents.
+    */
+  private def refAnfRow(ball: Set[String]): (Int, String, String, Double) = {
+    val m = graft.sketch.Sketch.HllM
+    val regs = new Array[Int](m)
+    ball.foreach { k =>
+      val (j, r) = graft.sketch.Sketch.hllRegisterOf(k)
+      if (r > regs(j)) regs(j) = r
+    }
+    val vZero = regs.count(_ == 0)
+    val harmNum = regs.foldLeft(java.math.BigInteger.ZERO)((acc, rho) =>
+      acc.add(java.math.BigInteger.ONE.shiftLeft(57 - rho)))
+    val harm = regs.foldLeft(0.0)((acc, rho) => acc + 1.0 / (1L << rho).toDouble)
+    val est = graft.sketch.Sketch.HllAlpha * (m.toDouble * m.toDouble) / harm
+    val dump = regs.zipWithIndex.collect { case (r, j) if r > 0 => s"$j:$r" }.mkString(",")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dump.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (vZero, harmNum.toString, md5, est)
+  }
+
+  private def edgeDf(edges: Seq[(String, String)]) =
+    edges.toDF("s", "o")
+      .select($"s", F.lit(0).cast("byte").as("sKind"), F.lit("p").as("p"),
+        $"o", F.lit(0).cast("byte").as("oKind"),
+        F.lit(null).cast("string").as("oLang"), F.lit(null).cast("string").as("oDt"))
+
+  test("hyperAnf: registers equal a rebuild from exact balls at every radius") {
+    // two components + a cycle so balls differ per node and per radius:
+    // chain s-a-b-c with shortcut s-b, triangle x-y-z, literal edge ignored
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("s", "b"),
+      ("x", "y"), ("y", "z"), ("z", "x"))
+    val ts = edgeDf(edges)
+    for (rounds <- 0 to 3) {
+      val balls = refBalls(edges, rounds)
+      val got = GraphOps.hyperAnf(ts, rounds).collect()
+        .map(r => r.getString(0) ->
+          ((r.getInt(1), r.getString(2), r.getString(3), r.getDouble(4)))).toMap
+      assert(got.keySet == balls.keySet, s"rounds=$rounds node sets differ")
+      for ((n, ball) <- balls) {
+        assert(got(n) == refAnfRow(ball), s"rounds=$rounds node=$n ball=$ball")
+      }
+    }
+    // radius 0 sanity: exactly one register set
+    val r0 = GraphOps.hyperAnf(ts, 0).collect()
+    assert(r0.forall(_.getInt(1) == graft.sketch.Sketch.HllM - 1))
+  }
+
+  test("hyperAnf: linear-counting-corrected estimate tracks exact ball size " +
+    "on a 300-leaf star") {
+    val m = graft.sketch.Sketch.HllM
+    val edges = (1 to 300).map(i => ("hub", s"leaf$i"))
+    val got = GraphOps.hyperAnf(edgeDf(edges), 2).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(4)))).toMap
+    // every node's radius-2 ball is the whole star (301 nodes)
+    for ((n, (vZero, rawEst)) <- got) {
+      val est =
+        if (vZero > 0 && rawEst < 2.5 * m) m * math.log(m.toDouble / vZero)
+        else rawEst
+      assert(math.abs(est - 301.0) / 301.0 < 0.15,
+        s"node=$n corrected=$est raw=$rawEst vZero=$vZero")
+    }
+    // all sketches converged to the same registers -> same digest
+    val digests = GraphOps.hyperAnf(edgeDf(edges), 2).collect()
+      .map(_.getString(3)).toSet
+    assert(digests.size == 1)
+  }
+
+  test("anfCurve: per-radius integer stats equal a rebuild from exact balls; " +
+    "curve saturates at the component diameter") {
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("s", "b"),
+      ("x", "y"), ("y", "z"), ("z", "x"))
+    val rounds = 3
+    val modP = java.math.BigInteger.valueOf(2147483647L)
+    def expectedRow(t: Int): (Long, Long, Long, Long) = {
+      val balls = refBalls(edges, t)
+      var vZero = 0L; var rhoSum = 0L; var massMod = 0L
+      for ((_, ball) <- balls) {
+        val regs = new Array[Int](graft.sketch.Sketch.HllM)
+        ball.foreach { k =>
+          val (j, r) = graft.sketch.Sketch.hllRegisterOf(k)
+          if (r > regs(j)) regs(j) = r
+        }
+        vZero += regs.count(_ == 0).toLong
+        rhoSum += regs.filter(_ > 0).map(_.toLong).sum
+        val mass = regs.foldLeft(java.math.BigInteger.ZERO)((acc, rho) =>
+          acc.add(java.math.BigInteger.ONE.shiftLeft(57 - rho)))
+        massMod += mass.mod(modP).longValue
+      }
+      (balls.size.toLong, vZero, rhoSum, massMod)
+    }
+    val got = GraphOps.anfCurve(edgeDf(edges), rounds).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == (0 to rounds).toSet)
+    for (t <- 0 to rounds) assert(got(t) == expectedRow(t), s"t=$t")
+    // diameters: chain component saturates at t=2 (s-b shortcut), triangle
+    // at t=1 — so the curve must still move 1->2 and freeze 2->3
+    assert(got(1) != got(2), "curve frozen before the chain diameter")
+    assert(got(2) == got(3), "curve must saturate at the graph diameter")
+  }
+
+  test("hyperAnf round plan: algebraic partial aggregation before the " +
+    "shuffle, no window, no cartesian") {
+    // plan one un-checkpointed round directly (the driver loop truncates
+    // lineage per round)
+    val edges0 = Seq(("s", "a"), ("a", "b"))
+    val dir = edgeDf(edges0).select($"s".as("src"), $"o".as("dst"))
+    val edges = dir.union(dir.select($"dst", $"src")).distinct()
+    val initUdf = F.udf((n: String) => {
+      val a = new Array[Byte](graft.sketch.Sketch.HllM)
+      val (j, rho) = graft.sketch.Sketch.hllRegisterOf(n)
+      a(j) = rho.toByte
+      a
+    })
+    val state = edges.select($"src".as("node")).distinct()
+      .withColumn("regs", initUdf($"node"))
+    val df = GraphOps.anfRound(state, edges)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+    // the register merge must be a two-phase (partial -> final) object hash
+    // aggregation: map-side combine collapses a hub's incoming sketches to
+    // one array per task BEFORE the exchange
+    assert(plan.contains("ObjectHashAggregate"), s"no object hash agg:\n$plan")
+    val partialIdx = plan.indexOf("ObjectHashAggregate")
+    assert(plan.indexOf("ObjectHashAggregate", partialIdx + 1) > 0,
+      s"single-phase aggregate (no partial):\n$plan")
+  }
 }

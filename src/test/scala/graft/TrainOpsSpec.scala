@@ -1533,4 +1533,75 @@ class TrainOpsSpec extends AnyFunSuite {
       assert(pos == t.length.toLong, s"doc $i: partition incomplete ($pos/${t.length})")
     }
   }
+
+  test("bitextCandidates: lang parsed from URL, ambiguity gate, length band, " +
+    "non-language URLs excluded") {
+    import spark.implicits._
+    val pages = Seq(
+      // clean en/fr pair, comparable lengths
+      ("https://m.org/en/alpha", "x" * 100),
+      ("https://m.org/fr/alpha", "y" * 160),
+      // de version exists but fails the 0.5..2.0 band vs both
+      ("https://m.org/de/alpha", "z" * 400),
+      // ambiguous slot: two en pages on slug beta -> en side dropped,
+      // so beta yields nothing even though fr exists
+      ("https://m.org/en/beta", "a" * 50),
+      ("https://m.org/en/beta", "b" * 55),
+      ("https://m.org/fr/beta", "c" * 50),
+      // same slug on ANOTHER host: independent key, pairs fine
+      ("https://n.org/en/beta", "d" * 80),
+      ("https://n.org/zh/beta", "e" * 41),
+      // first segment not a 2-letter code -> excluded entirely
+      ("https://m.org/wiki/alpha", "f" * 100),
+      ("ftp://m.org/en/alpha", "g" * 100)
+    ).toDF("url", "text")
+    val got = graft.textops.TextOps.bitextCandidates(pages, "url", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(4),
+        r.getLong(3), r.getLong(6)))
+      .toSet
+    assert(got == Set(
+      ("m.org/alpha", "en", "fr", 100L, 160L),
+      ("n.org/beta", "en", "zh", 80L, 41L)))
+    // band boundary is inclusive: 41*2 >= 80 passes; de(400) vs fr(160)
+    // fails 160*2 >= 400, and vs en(100) fails 100*2 >= 400
+    val langs = got.map(t => (t._2, t._3))
+    assert(!langs.exists { case (a, b) => a == "de" || b == "de" })
+  }
+
+  test("dedupParagraphs: first occurrence survives in original form, " +
+    "trim-normalized matching, zero shuffle") {
+    import spark.implicits._
+    val docs = Seq(
+      // p3 is p1 whitespace-padded (drops, p1's ORIGINAL form kept);
+      // p4 repeats p2 verbatim (drops); p5 unique
+      (1L, "alpha one\n\nbeta two\n\n  alpha one \n\nbeta two\n\ngamma"),
+      // all distinct
+      (2L, "a\n\nb"),
+      // single paragraph, no separator at all
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) == ((5L, 3L, "alpha one\n\nbeta two\n\ngamma".length.toLong,
+      md5("alpha one\n\nbeta two\n\ngamma"))))
+    assert(got(2L) == ((2L, 2L, 4L, md5("a\n\nb"))))
+    assert(got(3L) == ((1L, 1L, 4L, md5("solo"))))
+    // pure projection: no exchange anywhere in the plan
+    val plan = graft.dedup.Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in plan:\n$plan")
+  }
+
+  test("bitextCandidates plan: no window, no cartesian") {
+    import spark.implicits._
+    val pages = Seq(("https://m.org/en/a", "t")).toDF("url", "text")
+    val plan = graft.textops.TextOps.bitextCandidates(pages, "url", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+  }
 }
