@@ -1329,6 +1329,86 @@ object GraphOps {
     out
   }
 
+  /** Per-predicate edge reciprocity over the distinct directed entity graph
+    * — the KG-QA signal separating symmetric relations (colleague, knows)
+    * from functional/asymmetric ones (birthPlace): for each predicate, the
+    * distinct (s, o) edge count, how many of those edges have their exact
+    * reverse (o, s) present under the SAME predicate, and the ratio in
+    * integer parts-per-million (`n_recip * 10^6 div n_edges` — positive
+    * operands, so Spark `div` ≡ DuckDB `//`; no IEEE op on either side).
+    *
+    * Scale shape: edges pre-dedup to the distinct (p, s, o) relation
+    * (vocabulary-pair-bounded, never statement-multiplicity-sized); the
+    * reverse check is ONE self equi-join on the full (p, s, o) key — unique
+    * on both sides, so no key is ever hot regardless of hub degree — and
+    * the per-predicate rollup is algebraic.
+    */
+  def reciprocity(triples: DataFrame): DataFrame = {
+    val e = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*) && F.col("s") =!= F.col("o"))
+      .select("p", "s", "o").distinct()
+    val rev = e.select(F.col("p"), F.col("o").as("s"), F.col("s").as("o"),
+      F.lit(1).as("hit"))
+    e.join(rev, Seq("p", "s", "o"), "left")
+      .groupBy("p")
+      .agg(F.count(F.lit(1)).as("n_edges"),
+        F.sum(F.when(F.col("hit").isNotNull, 1L).otherwise(0L)).as("n_recip"))
+      .withColumn("recip_ppm",
+        F.expr("n_recip * 1000000L div n_edges"))
+  }
+
+  /** Log2-bucketed total-degree histogram — the KG-card shape statistic
+    * (web-graph degree distributions are judged on their log-log slope,
+    * and the histogram is the artifact that shows it). Total degree =
+    * out + in statements per node ([[entityDegrees]] semantics); bucket =
+    * floor(log2(deg)) computed EXACTLY as `length(bin(deg)) - 1` — integer
+    * bit-length arithmetic, never a transcendental log between engines.
+    *
+    * Scale shape: the degree aggregation is algebraic (hubs combine
+    * map-side); the histogram re-aggregates the node-sized relation into
+    * ~64 buckets — nothing is ever sorted, no reducer sees a full group.
+    */
+  def degreeDistribution(triples: DataFrame): DataFrame =
+    entityDegrees(triples)
+      .select((F.col("out_deg") + F.col("in_deg")).as("deg"))
+      .withColumn("bucket", (F.length(F.bin(F.col("deg"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(F.count(F.lit(1)).as("n_nodes"),
+        F.min("deg").as("min_deg"),
+        F.max("deg").as("max_deg"),
+        F.sum("deg").as("sum_deg"))
+
+  /** Degree-assortativity moment sums over the distinct directed entity
+    * graph: for every edge (s, o), x = total degree of s, y = total degree
+    * of o; emits ONE row of exact BIGINT sums (n_edges, Σx, Σy, Σxy, Σx²,
+    * Σy²) — the sufficient statistics of the Pearson degree correlation.
+    * The coefficient itself is one IEEE formula away on the consumer side;
+    * keeping the emitted values integer makes the result bit-identical
+    * across engines and summation orders (the repo's engine-exactness
+    * contract — a float correlation could never promise that).
+    *
+    * Scale shape: the degree table is node-vocabulary-sized and joins the
+    * edge relation on each endpoint (AQE broadcasts it when it fits; a
+    * hub's fan-out streams through the 1:N join); the final fold is one
+    * algebraic aggregation into a single row.
+    */
+  def assortativitySums(triples: DataFrame): DataFrame = {
+    val deg = entityDegrees(triples)
+      .select(F.col("node"), (F.col("out_deg") + F.col("in_deg")).as("deg"))
+    val e = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*) && F.col("s") =!= F.col("o"))
+      .select("s", "o").distinct()
+    e.join(deg.select(F.col("node").as("s"), F.col("deg").as("dx")), "s")
+      .join(deg.select(F.col("node").as("o"), F.col("deg").as("dy")), "o")
+      .agg(F.count(F.lit(1)).as("n_edges"),
+        F.sum("dx").as("sum_x"), F.sum("dy").as("sum_y"),
+        F.sum(F.col("dx") * F.col("dy")).as("sum_xy"),
+        F.sum(F.col("dx") * F.col("dx")).as("sum_x2"),
+        F.sum(F.col("dy") * F.col("dy")).as("sum_y2"))
+  }
+
   def voidStats(triples: DataFrame): DataFrame = {
     def c1(df: DataFrame, name: String): DataFrame =
       df.select(F.count(F.lit(1)).as(name))

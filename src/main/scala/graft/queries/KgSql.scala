@@ -274,6 +274,65 @@ object KgSql {
        |  CAST(count(DISTINCT p) AS BIGINT) AS n_preds
        |FROM dn GROUP BY 1""".stripMargin
 
+  /** Oracle for Queries.kgReciprocity: distinct (p, s, o) entity edges,
+    * same-predicate reverse-edge existence via self left join on the full
+    * key, ppm ratio in pure integer arithmetic (`//` ≡ Spark `div` on
+    * positive operands).
+    */
+  val reciprocitySql: String =
+    s"WITH $triplesCtes,\n" +
+    """e AS (SELECT DISTINCT p, s, o FROM tr
+      |      WHERE k_s IN (0, 1) AND k_o IN (0, 1) AND s <> o)
+      |SELECT e.p, CAST(count(*) AS BIGINT) AS n_edges,
+      |  CAST(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_recip,
+      |  (CAST(sum(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000) // CAST(count(*) AS BIGINT) AS recip_ppm
+      |FROM e LEFT JOIN e r ON e.p = r.p AND e.s = r.o AND e.o = r.s
+      |GROUP BY e.p""".stripMargin
+
+  /** Oracle for Queries.kgDegreeDist: total degree per node (entityDegrees
+    * semantics), bucket = exact integer floor(log2(deg)) via bit length
+    * (`length(bin(deg)) - 1` on both engines — no transcendental log).
+    */
+  val degreeDistSql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""dn AS (
+       |  SELECT s AS node, 1 AS outc, 0 AS inc FROM tr WHERE k_s IN (0, 1)
+       |  UNION ALL
+       |  SELECT o, 0, 1 FROM tr WHERE k_o IN (0, 1)),
+       |dg AS (SELECT node, CAST(sum(outc) + sum(inc) AS BIGINT) AS deg
+       |       FROM dn GROUP BY 1)
+       |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(min(deg) AS BIGINT) AS min_deg,
+       |  CAST(max(deg) AS BIGINT) AS max_deg,
+       |  CAST(sum(deg) AS BIGINT) AS sum_deg
+       |FROM dg GROUP BY 1""".stripMargin
+
+  /** Oracle for Queries.kgAssortativity: exact BIGINT moment sums of
+    * endpoint total degrees over the distinct directed entity edge set.
+    */
+  val assortativitySql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""dn AS (
+       |  SELECT s AS node, 1 AS outc, 0 AS inc FROM tr WHERE k_s IN (0, 1)
+       |  UNION ALL
+       |  SELECT o, 0, 1 FROM tr WHERE k_o IN (0, 1)),
+       |dg AS (SELECT node, CAST(sum(outc) + sum(inc) AS BIGINT) AS deg
+       |       FROM dn GROUP BY 1),
+       |e0 AS (SELECT DISTINCT s, o FROM tr
+       |       WHERE k_s IN (0, 1) AND k_o IN (0, 1) AND s <> o)
+       |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |  CAST(sum(dx.deg) AS BIGINT) AS sum_x,
+       |  CAST(sum(dy.deg) AS BIGINT) AS sum_y,
+       |  CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sum_xy,
+       |  CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sum_x2,
+       |  CAST(sum(dy.deg * dy.deg) AS BIGINT) AS sum_y2
+       |FROM e0
+       |JOIN dg dx ON dx.node = e0.s
+       |JOIN dg dy ON dy.node = e0.o""".stripMargin
+
   /** Oracle for Queries.kgPageRank: the 5 fixed-point integer iterations of
     * graft.kg.GraphOps.pageRank unrolled as CTEs. `//` (DuckDB floor
     * division) ≡ Spark `div` (truncation) because every operand is positive;

@@ -457,6 +457,9 @@ object Oracles {
     "q_kg_summary" -> KgSql.summarySql,
     "q_kg_domain_range" -> KgSql.domainRangeSql,
     "q_kg_degrees" -> KgSql.degreesSql,
+    "q_kg_reciprocity" -> KgSql.reciprocitySql,
+    "q_kg_degree_dist" -> KgSql.degreeDistSql,
+    "q_kg_assortativity" -> KgSql.assortativitySql,
     "q_kg_pagerank" -> KgSql.pageRankSql,
     "q_kg_ppr" -> KgSql.pprSql,
     "q_kg_triangles" -> KgSql.trianglesSql,

@@ -570,6 +570,26 @@ object Queries {
   /** Same-page entity co-occurrence pairs (value oracle in
     * [[KgSql.cooccurSql]]).
     */
+  /** Per-predicate edge reciprocity — symmetric-relation QA (value oracle
+    * in [[KgSql.reciprocitySql]]; exact-integer ppm ratio).
+    */
+  def kgReciprocity(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.reciprocity(kgTriples(spark, dir))
+      .orderBy("p")
+
+  /** Log2-bucketed total-degree histogram — exact bit-length buckets, no
+    * transcendental log (value oracle in [[KgSql.degreeDistSql]]).
+    */
+  def kgDegreeDist(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.degreeDistribution(kgTriples(spark, dir))
+      .orderBy("bucket")
+
+  /** Degree-assortativity moment sums — one row of exact BIGINTs (value
+    * oracle in [[KgSql.assortativitySql]]).
+    */
+  def kgAssortativity(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.assortativitySums(kgTriples(spark, dir))
+
   /** Per-predicate cardinality / functionality profile. */
   def kgPredStats(spark: SparkSession, dir: String): DataFrame =
     graft.kg.GraphOps.predicateStats(kgTriples(spark, dir))

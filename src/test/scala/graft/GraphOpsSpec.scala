@@ -35,6 +35,58 @@ class GraphOpsSpec extends AnyFunSuite {
     ))
   }
 
+  test("reciprocity: same-predicate reverse only; ppm exact; blanks count") {
+    // graph edges: a-p1->b, a-p9->b, a-p2->c, b-p1->c, c-p1->a, _:x-p4->a
+    // reverses present: none under the same predicate in the base fixture;
+    // add b-p1->a (reciprocal of a... wait a->b is p1? a-p1->b yes) and
+    // c-p2->a (reciprocal of a-p2->c under p2)
+    val extra = Seq(
+      ("b", 0, "p1", "a", 0), // makes a-p1->b reciprocal (and itself)
+      ("c", 0, "p2", "a", 0) // makes a-p2->c reciprocal (and itself)
+    ).toDF("s", "sKind", "p", "o", "oKind")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+        $"o", $"oKind".cast("byte").as("oKind"))
+    val got = GraphOps.reciprocity(triples.unionByName(extra)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // p1 edges: a->b, b->c, c->a, b->a => recips: a->b and b->a (2 of 4)
+    assert(got("p1") == ((4L, 2L, 500000L)))
+    // p2 edges: a->c, c->a => both reciprocal
+    assert(got("p2") == ((2L, 2L, 1000000L)))
+    // p9: a->b with no p9 reverse (the p1 b->a does NOT count)
+    assert(got("p9") == ((1L, 0L, 0L)))
+    // blank-subject edge has no reverse
+    assert(got("p4") == ((1L, 0L, 0L)))
+    // literal attribute predicates never appear
+    assert(!got.contains("p3"))
+  }
+
+  test("degreeDistribution: exact bit-length buckets over total degree") {
+    val got = GraphOps.degreeDistribution(triples).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // total degrees: a=5, b=3, c=3, d=1, _:x=1
+    // buckets: floor(log2): 1->0, 3->1, 5->2
+    assert(got == Map(
+      0L -> ((2L, 1L, 1L, 2L)),
+      1L -> ((2L, 3L, 3L, 6L)),
+      2L -> ((1L, 5L, 5L, 5L))
+    ))
+  }
+
+  test("assortativitySums: exact endpoint-degree moments over distinct edges") {
+    val row = GraphOps.assortativitySums(triples).collect()(0)
+    // distinct graph edges: (a,b) (a,c) (b,c) (c,a) (_:x,a)
+    // degrees: a=5 b=3 c=3 _:x=1
+    val xs = Seq(5L -> 3L, 5L -> 3L, 3L -> 3L, 3L -> 5L, 1L -> 5L)
+    assert(row.getLong(0) == xs.length.toLong)
+    assert(row.getLong(1) == xs.map(_._1).sum)
+    assert(row.getLong(2) == xs.map(_._2).sum)
+    assert(row.getLong(3) == xs.map(p => p._1 * p._2).sum)
+    assert(row.getLong(4) == xs.map(p => p._1 * p._1).sum)
+    assert(row.getLong(5) == xs.map(p => p._2 * p._2).sum)
+  }
+
   /** Straight-line reference of the same integer recurrence. */
   private def refPageRank(
       edges: Seq[(String, String)], nodes: Set[String], iters: Int
