@@ -62,4 +62,26 @@ object BoundedRank {
         F.col("col.id").as("id"),
         (F.col("pos") + 1).cast("int").as("rank")): _*)
   }
+
+  /** [[bottomKPerKey]] also emitting the rank-key value as `rkName` — for
+    * callers whose order key IS the deliverable (an ADC distance, a score),
+    * saving the re-join the id-only form would force.
+    */
+  def bottomKPerKeyWithValue(
+      df: DataFrame,
+      keyCols: Seq[String],
+      rkCol: Column,
+      idCol: Column,
+      k: Int,
+      rkName: String
+  ): DataFrame = {
+    val agg = F.udaf(new BottomKAgg(k), Encoders.product[RankedId])
+    df.groupBy(keyCols.map(F.col): _*)
+      .agg(agg(rkCol, idCol).as("top"))
+      .select(keyCols.map(F.col) :+ F.posexplode(F.col("top.items")): _*)
+      .select(keyCols.map(F.col) ++ Seq(
+        F.col("col.id").as("id"),
+        F.col("col.rk").as(rkName),
+        (F.col("pos") + 1).cast("int").as("rank")): _*)
+  }
 }

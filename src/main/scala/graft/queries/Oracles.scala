@@ -1490,6 +1490,42 @@ object Oracles {
         |  CAST(sum(dist) AS BIGINT) AS distortion
         |FROM best WHERE rn = 1 GROUP BY vec_id""".stripMargin,
 
+    // PQ asymmetric-distance top-k: the q_embed_pq code CTEs, the query LUT
+    // from the same dist relation (a query's LUT entry IS its slice-to-
+    // centroid distance), dist = sum over subspaces of LUT[code], rank by
+    // (dist, vec_id) — exact integers everywhere
+    "q_embed_adc" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1024) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT vec_id, s.s, j.j, d.d,
+        |    q[CAST(s.s * 16 + d.d + 1 AS INT)] AS qd
+        |  FROM q,
+        |    (SELECT UNNEST(range(0, 4)) AS s) s,
+        |    (SELECT UNNEST(range(0, 16)) AS j) j,
+        |    (SELECT UNNEST(range(0, 16)) AS d) d),
+        |dist AS (SELECT vec_id, s, j,
+        |    sum((qd - (24 + (211 * j + 97 * d + 59 * s) % 2001))
+        |      * (qd - (24 + (211 * j + 97 * d + 59 * s) % 2001))) AS dist
+        |  FROM dims GROUP BY 1, 2, 3),
+        |best AS (SELECT vec_id, s, j, dist,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+        |  FROM dist),
+        |codes AS (SELECT vec_id, s, j AS code FROM best WHERE rn = 1),
+        |qlut AS (SELECT vec_id AS query_id, s, j, dist FROM dist
+        |         WHERE vec_id < 8),
+        |adc AS (SELECT l.query_id, c.vec_id,
+        |    CAST(sum(l.dist) AS BIGINT) AS adc_dist
+        |  FROM codes c JOIN qlut l ON l.s = c.s AND l.j = c.code
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT query_id, vec_id, adc_dist,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dist, vec_id) AS rn
+        |  FROM adc)
+        |SELECT query_id, vec_id, adc_dist, CAST(rn AS INT) AS rank
+        |FROM rk WHERE rn <= 5""".stripMargin,
+
     // int8-grid embedding outliers: same quantization CTEs as q_embed_quant,
     // per-dimension BIGINT sums, floor-division centroid via the portable
     // positive-mod identity (both engines' % truncate), exact integer scores

@@ -1689,6 +1689,18 @@ object Queries {
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
       .orderBy("vec_id")
 
+  /** PQ asymmetric-distance top-5 search for 8 query vectors against the
+    * whole embeddings table — the query-time half of the IVF-PQ index
+    * beside [[embedPq]] (the codes) and [[kmeansAssign]]'s coarse training.
+    * Exact integer LUT distances end to end; the oracle re-derives codes,
+    * LUTs and the (dist, vec_id) ranking relationally.
+    */
+  def embedAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    Similarity.pqAdcTopK(emb, emb.filter(F.col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** Winnowing-keyed candidate pairs: docs sharing >= 30 distinct
     * fingerprint values under the df-capped inverted-index join
     * (capBuckets 100). The synthetic corpus draws from a small vocabulary,

@@ -480,6 +480,12 @@ object Similarity {
     * array arithmetic; a 10^12-vector corpus encodes in one map pass and
     * shrinks 256-byte float vectors to m-byte codes.
     */
+  /** The pinned closed-form PQ sub-codebook entry (see [[pqEncode]]):
+    * centroid `j` of subspace `s`, on the kMeansInt micro-unit grid.
+    */
+  private def pqCent(s: Int, j: Int, subDim: Int): Seq[Long] =
+    Seq.tabulate(subDim)(d => 24L + (211L * j + 97L * d + 59L * s) % 2001L)
+
   def pqEncode(
       df: DataFrame,
       idCol: String,
@@ -489,8 +495,7 @@ object Similarity {
       kSub: Int = 16
   ): DataFrame = {
     require(m >= 1 && subDim >= 1 && kSub >= 1, "m, subDim, kSub must be >= 1")
-    def cent(s: Int, j: Int): Seq[Long] =
-      Seq.tabulate(subDim)(d => 24L + (211L * j + 97L * d + 59L * s) % 2001L)
+    def cent(s: Int, j: Int): Seq[Long] = pqCent(s, j, subDim)
     val q = F.transform(F.col(vecCol), x =>
       (F.floor(x.cast("double") * 1000) + 1024L).cast("long"))
     val qv = df.select(F.col(idCol).cast("long").as("vec_id"), q.as("q"))
@@ -507,6 +512,89 @@ object Similarity {
     qv.select(F.col("vec_id"),
       F.concat_ws(",", perSub.map(_._1.cast("string")): _*).as("codes_csv"),
       perSub.map(_._2).reduce(_ + _).as("distortion"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — the query-time half of the
+    * IVF-PQ index ([[kMeansInt]] trains the coarse quantizer, [[pqEncode]]
+    * writes the codes; this answers queries against the codes WITHOUT ever
+    * touching a corpus vector again). Per query: precompute the m×kSub
+    * lookup table of exact integer L2 distances between each query
+    * sub-slice and each sub-centroid (the Jégou ADC trick — 64 longs per
+    * query here), then every candidate's distance is `Σ_s LUT[s][code_s]` —
+    * m array lookups and adds per (query, candidate) pair, no per-dimension
+    * work. All arithmetic is exact integers on the kMeansInt micro-unit
+    * grid, so distances, ranks and tie-breaks ((dist asc, vec_id asc)) are
+    * bit-identical across engines and row orders.
+    *
+    * Scale shape: the corpus side is the pure-projection encode (zero
+    * shuffle — at production scale the stored codes table, m bytes/vector);
+    * the LUT table is (#queries × m × kSub) longs and rides a broadcast;
+    * top-k selection is the bounded per-key bottom-k partial aggregation
+    * ([[graft.operators.BoundedRank]]) — each map task reduces its slice to
+    * ≤ k rows per query BEFORE the shuffle, never a per-query window.
+    */
+  def pqAdcTopK(
+      df: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 4,
+      subDim: Int = 16,
+      kSub: Int = 16
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = F.transform(F.col(vecCol), x =>
+      (F.floor(x.cast("double") * 1000) + 1024L).cast("long"))
+    val codes = df.select(F.col(idCol).cast("long").as("vec_id"), q.as("q"))
+      .select(F.col("vec_id"), F.array((0 until m).map { s =>
+        val slice = F.slice(F.col("q"), s * subDim + 1, subDim)
+        val dists = F.array((0 until kSub).map { j =>
+          F.aggregate(
+            F.zip_with(slice, F.typedlit(pqCent(s, j, subDim)),
+              (a, b) => (a - b) * (a - b)),
+            F.lit(0L), (acc, x) => acc + x)
+        }: _*)
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+      }: _*).as("codes"))
+    // query LUTs: driver-side over the (caller-bounded) query set; the
+    // quantization replays the Spark expression bit-for-bit (exact float->
+    // double widening, one IEEE multiply, floor)
+    val qrows = queries
+      .select(F.col(idCol).cast("long"), F.col(vecCol).cast("array<double>"))
+      .collect()
+    val luts: Seq[(Long, Seq[Seq[Long]])] = qrows.toSeq.map { r =>
+      val qid = r.getLong(0)
+      val vec = r.getSeq[Double](1)
+        .map(x => math.floor(x * 1000).toLong + 1024L)
+      val lut = (0 until m).map { s =>
+        (0 until kSub).map { j =>
+          val c = pqCent(s, j, subDim)
+          var acc = 0L
+          var d = 0
+          while (d < subDim) {
+            val diff = vec(s * subDim + d) - c(d)
+            acc += diff * diff
+            d += 1
+          }
+          acc
+        }
+      }
+      (qid, lut)
+    }
+    val lutDf = luts.toDF("query_id", "luts")
+    val dist = F.aggregate(
+      F.zip_with(F.col("codes"), F.col("luts"),
+        (c, l) => F.element_at(l, c + 1)),
+      F.lit(0L), (acc, x) => acc + x)
+    val scored = codes.crossJoin(F.broadcast(lutDf))
+      .select(F.col("query_id"), dist.as("rk"), F.col("vec_id").as("id"))
+    graft.operators.BoundedRank.bottomKPerKeyWithValue(
+        scored, Seq("query_id"), F.col("rk"), F.col("id"), k, "adc_dist")
+      .select(F.col("query_id"), F.col("id").as("vec_id"),
+        F.col("adc_dist"), F.col("rank"))
   }
 
   private def assignToCentroids(qv: DataFrame, cents: Array[Seq[Long]]): DataFrame = {

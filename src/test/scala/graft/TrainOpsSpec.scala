@@ -1433,6 +1433,48 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pqAdcTopK: LUT distance equals code-table distance; (dist, id) ranks; k binds") {
+    val m = 4; val subDim = 16; val kSub = 16
+    def cent(s: Int, j: Int): Seq[Long] =
+      Seq.tabulate(subDim)(d => 24L + (211L * j + 97L * d + 59L * s) % 2001L)
+    val vecs = Seq.tabulate(30)(i =>
+      (i.toLong, Array.tabulate(64)(d => ((i * 31 + d * 7) % 2000 - 1000) / 1000.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqAdcTopK(df, df.filter($"vec_id" < 3),
+        "vec_id", "embedding", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // straight-line reference: codes via exact argmin, ADC dist via LUT
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000).toLong + 1024L)
+    def codesOf(v: Array[Float]): Seq[Int] = {
+      val q = quant(v)
+      (0 until m).map { s =>
+        val slice = q.slice(s * subDim, (s + 1) * subDim)
+        (0 until kSub).minBy { j =>
+          (slice.zip(cent(s, j)).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+        }
+      }
+    }
+    for (qid <- 0L until 3L) {
+      val qv = quant(vecs(qid.toInt)._2)
+      def lut(s: Int, j: Int): Long =
+        qv.slice(s * subDim, (s + 1) * subDim)
+          .zip(cent(s, j)).map { case (a, b) => (a - b) * (a - b) }.sum
+      val expect = vecs.map { case (id, v) =>
+        val dist = codesOf(v).zipWithIndex.map { case (c, s) => lut(s, c) }.sum
+        (dist, id)
+      }.sorted.take(5)
+      expect.zipWithIndex.foreach { case ((dist, id), i) =>
+        assert(got((qid, i + 1)) == ((id, dist)),
+          s"query $qid rank ${i + 1}: ${got((qid, i + 1))} vs ($id, $dist)")
+      }
+    }
+    // exactly k rows per query
+    assert(got.size == 15)
+  }
+
   test("winnowCandidates: dup/near-dup pairs surface, unrelated docs don't; cap silences mega-buckets") {
     val got = graft.dedup.Dedup.winnowCandidates(docs, "doc_id", "text",
         minShared = 3L, maxBucket = 100)
