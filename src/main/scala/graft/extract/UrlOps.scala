@@ -152,6 +152,36 @@ object UrlOps {
       .select(keyCols.map(F.col) ++ (orderCols ++ payload).map(c => F.col(s"w.$c")): _*)
   }
 
+  /** SCD2 capture history — the temporal-table complement of
+    * [[latestCapture]]: instead of keeping only the newest capture, emit
+    * every capture with its validity interval `[valid_from, valid_to)` —
+    * `valid_to` is the NEXT capture's timestamp (ties broken by `idCol`,
+    * so intervals are total-ordered and engine-independent) and NULL on the
+    * current version (`is_current`). The slowly-changing-dimension shape
+    * lakehouse pipelines materialize to answer "what did this page say at
+    * time T" with one interval predicate.
+    *
+    * Scale shape: the lead window partitions on the LOGICAL PAGE key, whose
+    * group size is that page's capture count — bounded by crawl revisit
+    * policy × history length (dozens to thousands), never by corpus size;
+    * the same naturally-bounded-group argument as the per-document top-k
+    * windows, and categorically different from the hot-key corpus windows
+    * this repo eliminated (capPerDomain/dedupLines).
+    */
+  def scd2History(
+      df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      idCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(F.col): _*)
+      .orderBy(F.col(tsCol).asc, F.col(idCol).asc)
+    df.withColumn("valid_from", F.col(tsCol))
+      .withColumn("valid_to", F.lead(F.col(tsCol), 1).over(w))
+      .withColumn("is_current", F.col("valid_to").isNull)
+  }
+
   /** Per-registrable-domain corpus mix report — the "what is this corpus
     * made of" table every web-scale dataset publishes: document count,
     * distinct host count, and total character/token volume per registrable

@@ -53,6 +53,44 @@ object Layout {
     * manifest snapshot is idempotent, which is what makes the compaction
     * job itself resumable.
     */
+  /** Snapshot-expiry plan — the Iceberg `expireSnapshots` maintenance step
+    * beside [[compactionPlan]]: per table, KEEP the `keepLast` most recent
+    * snapshots (rank by (ts desc, snapshot id desc) — total-ordered, so the
+    * plan is deterministic) plus every snapshot within `retainMs` of that
+    * table's NEWEST snapshot (retention anchored to the table's own head,
+    * the way a periodically-run expiry job behaves); everything else
+    * expires. Emits every snapshot with its rank, verdict and reason
+    * (`recent_n` / `in_window` / `expire` — rank wins when both apply), so
+    * the plan is an auditable table, not a side effect.
+    *
+    * Scale shape: input rows are SNAPSHOTS — table metadata, thousands per
+    * table at worst — so the per-table window is manifest-bounded, never
+    * corpus-bounded (the [[compactionPlan]] argument). Determinism in
+    * (table, ts, snapshot id) makes the expiry job idempotent/resumable.
+    */
+  def snapshotExpiryPlan(
+      snapshots: DataFrame,
+      tableCol: String,
+      snapCol: String,
+      tsCol: String,
+      keepLast: Int,
+      retainMs: Long): DataFrame = {
+    require(keepLast >= 1 && retainMs >= 0, "keepLast >= 1, retainMs >= 0")
+    val part = Window.partitionBy(tableCol)
+    val w = part.orderBy(F.col(tsCol).desc, F.col(snapCol).desc)
+    snapshots
+      .select(F.col(tableCol), F.col(snapCol),
+        F.col(tsCol).cast("long").as(tsCol))
+      .withColumn("rank_desc", F.row_number().over(w).cast("long"))
+      .withColumn("head_ts", F.max(tsCol).over(part))
+      .withColumn("reason",
+        F.when(F.col("rank_desc") <= keepLast, "recent_n")
+          .when(F.col(tsCol) >= F.col("head_ts") - retainMs, "in_window")
+          .otherwise("expire"))
+      .withColumn("keep", F.col("reason") =!= "expire")
+      .drop("head_ts")
+  }
+
   def compactionPlan(
       files: DataFrame,
       partCol: String,

@@ -548,6 +548,25 @@ object KgSql {
        |FROM sel WHERE rn = 1""".stripMargin
   }
 
+  /** Oracle for Queries.scd2HistoryQ: the same closed-form capture relation
+    * as [[crawlLatestSql]], validity intervals as a lead window over
+    * (ts_ms, id) per slug.
+    */
+  val scd2Sql: String = {
+    val h6 = HashSql.mix64(s"((hb + 6) % $Two64)")
+    s"WITH $pagesCtes,\n" +
+    s"""caps AS (SELECT p.id, replace(p.topic, ' ', '_') AS slug,
+       |  1700000000000 + CAST(${fm(h6, 31536000)} AS BIGINT) * 1000 AS ts_ms
+       |  FROM pg p JOIN base USING (id))
+       |SELECT slug, CAST(id AS BIGINT) AS id,
+       |  CAST(ts_ms AS BIGINT) AS valid_from,
+       |  CAST(lead(ts_ms) OVER (PARTITION BY slug ORDER BY ts_ms, id)
+       |    AS BIGINT) AS valid_to,
+       |  lead(ts_ms) OVER (PARTITION BY slug ORDER BY ts_ms, id) IS NULL
+       |    AS is_current
+       |FROM caps""".stripMargin
+  }
+
   /** Oracle for Queries.kgEntityResolve. */
   val entityResolveSql: String =
     s"WITH RECURSIVE $sameAsCtes\nSELECT entity, canon FROM canon"

@@ -521,6 +521,7 @@ object Oracles {
     // newest capture per logical page: engine argmax = algebraic struct-max,
     // oracle = per-key window (semantics statement, not the scale plan)
     "q_crawl_latest" -> KgSql.crawlLatestSql,
+    "q_scd2_history" -> KgSql.scd2Sql,
     // streaming path over the same corpus MUST reproduce the batch summary
     "q_stream_summary" -> KgSql.summarySql,
 
@@ -1650,6 +1651,27 @@ object Oracles {
 
     // compaction binpack plan: per-partition exclusive prefix sum over the
     // FILE MANIFEST (metadata-sized by construction) + floor-division bin
+    // snapshot-expiry plan: rank/window/head anchored per table, rank wins
+    // over the retention window, ts ties broken by snapshot id desc
+    "q_snapshot_expiry" ->
+      """WITH s AS (SELECT 't' || CAST(doc_id % 5 AS VARCHAR) AS table_id,
+        |    doc_id AS snapshot_id,
+        |    1700000000000 + (doc_id * 3600000) % 7776000000 AS ts_ms
+        |  FROM documents),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY table_id
+        |      ORDER BY ts_ms DESC, snapshot_id DESC) AS BIGINT) AS rank_desc,
+        |    max(ts_ms) OVER (PARTITION BY table_id) AS head_ts
+        |  FROM s),
+        |v AS (SELECT *,
+        |    CASE WHEN rank_desc <= 3 THEN 'recent_n'
+        |         WHEN ts_ms >= head_ts - 604800000 THEN 'in_window'
+        |         ELSE 'expire' END AS reason
+        |  FROM r)
+        |SELECT table_id, snapshot_id, CAST(ts_ms AS BIGINT) AS ts_ms,
+        |  rank_desc, reason, reason <> 'expire' AS keep
+        |FROM v""".stripMargin,
+
     "q_compaction_plan" ->
       """WITH p AS (SELECT lang, doc_id AS file_id, n_chars AS bytes,
         |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id

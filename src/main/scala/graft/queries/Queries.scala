@@ -846,6 +846,40 @@ object Queries {
       .orderBy("slug")
   }
 
+  /** SCD2 capture-history intervals per logical wiki page — the temporal
+    * complement of [[crawlLatest]]: every capture with its
+    * `[valid_from, valid_to)` interval and `is_current` flag
+    * ([[graft.extract.UrlOps.scd2History]]; oracle [[KgSql.scd2Sql]]
+    * replays the lead window over the closed-form warc_ts rule).
+    */
+  def scd2HistoryQ(spark: SparkSession, dir: String): DataFrame = {
+    val caps = graft.extract.Synth.pages(spark, kgPageCount(spark, dir)).toDF()
+      .select(
+        F.regexp_extract(F.col("url"), "/wiki/([^/]+)/", 1).as("slug"),
+        F.unix_millis(F.col("warc_ts")).as("ts_ms"),
+        F.regexp_extract(F.col("url"), "/([0-9]+)$", 1).cast("long").as("id"))
+    graft.extract.UrlOps.scd2History(caps, Seq("slug"), "ts_ms", "id")
+      .select("slug", "id", "valid_from", "valid_to", "is_current")
+      .orderBy("slug", "valid_from", "id")
+  }
+
+  /** Snapshot-expiry plan over a synthesized snapshot manifest (5 tables,
+    * snapshot timestamps wrapping a 90-day span so ts TIES genuinely
+    * exercise the snapshot-id tiebreak at sf >= 0.01): keep the newest 3
+    * per table plus a 7-day window anchored to each table's head
+    * ([[graft.layout.Layout.snapshotExpiryPlan]]).
+    */
+  def snapshotExpiryQ(spark: SparkSession, dir: String): DataFrame =
+    graft.layout.Layout.snapshotExpiryPlan(
+        docs(spark, dir).select(
+          F.concat(F.lit("t"), (F.col("doc_id") % 5).cast("string")).as("table_id"),
+          F.col("doc_id").as("snapshot_id"),
+          (F.lit(1700000000000L) +
+            (F.col("doc_id") * 3600000L) % F.lit(7776000000L)).as("ts_ms")),
+        "table_id", "snapshot_id", "ts_ms",
+        keepLast = 3, retainMs = 604800000L)
+      .orderBy("table_id", "rank_desc")
+
   /** Per-registrable-domain corpus mix over a synthesized URL fixture:
     * hosts `sub{id%3}.site{id%20}.co.uk` (id%4=0) or `.org` roll up to
     * their registrable domains through the REAL longest-suffix logic

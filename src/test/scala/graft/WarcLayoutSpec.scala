@@ -165,6 +165,51 @@ class WarcLayoutSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct == (0L to a.map(_._2).max).toSeq)
   }
 
+  test("snapshotExpiryPlan: keepLast ranks win, window anchors to the table " +
+    "head, ties break on snapshot id desc, tables independent") {
+    val snaps = Seq(
+      // t1: head at ts 1000; window = 200 back => >= 800
+      ("t1", 1L, 100L), ("t1", 2L, 500L), ("t1", 3L, 850L),
+      ("t1", 4L, 900L), ("t1", 5L, 1000L), ("t1", 6L, 500L), // tie with 2
+      // t2: everything recent_n (only 2 snapshots)
+      ("t2", 1L, 10L), ("t2", 2L, 20L)
+    ).toDF("tbl", "snap", "ts")
+    val got = Layout.snapshotExpiryPlan(snaps, "tbl", "snap", "ts",
+        keepLast = 3, retainMs = 200L)
+      .select("tbl", "snap", "rank_desc", "reason", "keep")
+      .as[(String, Long, Long, String, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("t1", 5L)) == ((1L, "recent_n", true)))
+    assert(got(("t1", 4L)) == ((2L, "recent_n", true)))
+    assert(got(("t1", 3L)) == ((3L, "recent_n", true)))
+    // rank 4 but inside the 200ms window anchored at 1000
+    assert(got(("t1", 2L))._2 == "expire" && !got(("t1", 2L))._3)
+    // ts tie 500/500: snap 6 ranks BEFORE snap 2 (id desc)
+    assert(got(("t1", 6L))._1 < got(("t1", 2L))._1)
+    assert(got(("t1", 1L)) == ((6L, "expire", false)))
+    // t2: both kept by rank regardless of window
+    assert(got(("t2", 2L)) == ((1L, "recent_n", true)))
+    assert(got(("t2", 1L)) == ((2L, "recent_n", true)))
+  }
+
+  test("scd2History: intervals tile each key's timeline; current row open; " +
+    "ties ordered by id") {
+    val caps = Seq(
+      ("u1", 1L, 100L), ("u1", 2L, 300L), ("u1", 3L, 200L),
+      ("u1", 4L, 200L), // ts tie with 3 -> id order
+      ("u2", 9L, 50L)
+    ).toDF("key", "id", "ts")
+    val got = graft.extract.UrlOps.scd2History(caps, Seq("key"), "ts", "id")
+      .select("key", "id", "valid_from", "valid_to", "is_current")
+      .as[(String, Long, Long, Option[Long], Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("u1", 1L)) == ((100L, Some(200L), false)))
+    assert(got(("u1", 3L)) == ((200L, Some(200L), false))) // zero-length, id 3 < 4
+    assert(got(("u1", 4L)) == ((200L, Some(300L), false)))
+    assert(got(("u1", 2L)) == ((300L, None, true)))
+    assert(got(("u2", 9L)) == ((50L, None, true)))
+  }
+
   test("writeRecord round trip: parse(write(r)) == r for text, binary, " +
     "empty, and header-quoting payloads") {
     val payloads = Seq(
