@@ -101,6 +101,29 @@ object Oracles {
       .map { case ((st, p, ns), i) => s"  ($i, ${sqlStr(st)}, ${sqlStr(p)}, ${sqlStr(ns)})" }
       .mkString(",\n")
 
+  /** Native session_window semantics relationally (strict-overlap merge,
+    * window end = last event + gap) — shared by the batch (q_session_window)
+    * and streaming-drain (q_stream_sessions) checks.
+    */
+  val sessionWindowSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   val sqls: Map[String, String] = Map(
     "q_p4_resolve_ns" ->
       s"""WITH $derivedTriplesCte
@@ -1367,24 +1390,11 @@ object Oracles {
     // native session_window semantics: strict-overlap merge (a gap of
     // EXACTLY 30 min breaks, unlike q_sessionize's > 1800), end = last
     // event + gap; micro-unit value sum is order-free integer arithmetic
-    "q_session_window" ->
-      """WITH g AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (
-        |  SELECT user_id, ts, value,
-        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
-        |  FROM g)
-        |SELECT user_id, min(ts) AS session_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
-        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_session_window" -> sessionWindowSql,
+
+    // the streaming drain must merge cross-micro-batch sessions through the
+    // state store into EXACTLY the batch session set — same oracle
+    "q_stream_sessions" -> sessionWindowSql,
 
     // WebTables harvest: all nine expected cells per doc closed-form
     "q_html_tables" ->

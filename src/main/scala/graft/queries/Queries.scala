@@ -1690,6 +1690,34 @@ object Queries {
         F.col("n_events"), F.col("value_micro"))
       .orderBy("user_id", "session_start")
 
+  /** Native `session_window` aggregation drained as a genuine STREAM
+    * ([[graft.streaming.EventStream.startMemorySessionWindows]]): the events
+    * table staged as 8 parquet segments, 2-file micro-batches, Complete
+    * mode — sessions spanning micro-batch boundaries must merge through the
+    * state store to match the batch result, which the SAME oracle SQL as
+    * [[sessionWindowEvents]] checks.
+    */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-sess").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", F.lit(null).cast("string"))
+      .repartition(8).write.mode("overwrite").parquet(stage)
+    val name = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStream.startMemorySessionWindows(
+      spark, stage, name, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    // the file-stream schema types ts as TIMESTAMP; the batch table is NTZ.
+    // Session TZ is pinned UTC, so the cast is value-preserving and aligns
+    // the dump's parquet schema with q_session_window's.
+    spark.table(name)
+      .select(F.col("user_id"),
+        F.col("session_start").cast("timestamp_ntz").as("session_start"),
+        F.col("session_end").cast("timestamp_ntz").as("session_end"),
+        F.col("n_events"), F.col("value_micro"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** DSIR importance weights: raw = the full documents table, target = the
     * deterministic doc_id % 7 == 0 subset (stands in for a curated/
     * eval-adjacent corpus — both engines derive it identically). n_feats and

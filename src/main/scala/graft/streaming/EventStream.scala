@@ -158,6 +158,42 @@ object EventStream {
       .start()
   }
 
+  /** Drive Spark's NATIVE `session_window` merging aggregation as a genuine
+    * stream over a staged parquet directory into a memory sink — the
+    * stateful-aggregation surface [[sessionize]]'s hand-rolled state machine
+    * does not exercise (built-in session merge, state-store-backed, the
+    * exact code a Kafka-sourced production job runs). Complete output mode:
+    * every micro-batch re-emits the merged-so-far sessions, so the drained
+    * table is the final merged session set with NO watermark dependency —
+    * sessions spanning micro-batch boundaries MUST merge through the state
+    * store or the result diverges from the batch run (which is what the
+    * driver's oracle — the same SQL as q_session_window — checks).
+    */
+  def startMemorySessionWindows(
+      spark: SparkSession,
+      stageDir: String,
+      queryName: String,
+      maxFilesPerTrigger: Int
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stageDir)
+    src
+      .groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum(F.round(F.col("value") * 1e6).cast("long")).as("value_micro"))
+      .select(F.col("user_id"),
+        F.col("session_window.start").as("session_start"),
+        F.col("session_window.end").as("session_end"),
+        F.col("n_events"), F.col("value_micro"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Batch-driven smoke: replay the parquet events table through the
     * streaming window aggregation via an in-memory sink.
     */

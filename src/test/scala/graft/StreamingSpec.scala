@@ -166,6 +166,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("native session_window streaming drain merges cross-batch sessions " +
+    "through the state store and equals the batch aggregation") {
+    import org.apache.spark.sql.{functions => F}
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", F.lit(null).cast("string"))
+    val dir = SparkSuite.tmpDir("sess-stream")
+    events.repartition(8).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventStream.startMemorySessionWindows(
+      spark, dir, "sess_stream_test", maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length > 1,
+      s"expected multiple micro-batches, got ${batches.length}")
+    // normalize timestamps to epoch micros: the memory sink and a batch
+    // collect surface different external JVM types for the same values
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(F.col("user_id"),
+          F.col("session_start").cast("string").as("s"),
+          F.col("session_end").cast("string").as("e"),
+          F.col("n_events"), F.col("value_micro"))
+        .collect().map(_.toSeq).toSet
+    val streamed = norm(spark.table("sess_stream_test"))
+    val batch = norm(graft.queries.Queries
+      .sessionWindowEvents(spark, "/root/testdata/sf0.001"))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture produced no sessions")
+  }
+
   test("stream-stream attribution join drains across micro-batches and " +
     "equals the batch join (no state eviction under the span-sized delay)") {
     import org.apache.spark.sql.{functions => F}
