@@ -1390,6 +1390,32 @@ object Oracles {
     // native session_window semantics: strict-overlap merge (a gap of
     // EXACTLY 30 min breaks, unlike q_sessionize's > 1800), end = last
     // event + gap; micro-unit value sum is order-free integer arithmetic
+    // code-vs-prose detection: reconstruct the augmented text closed-form,
+    // replay every regex count and the integer per-mille score
+    "q_code_detect" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0
+        |      THEN chr(10) || 'function f' || doc_id || '(x) {' || chr(10)
+        |        || '  let y = x + ' || (doc_id % 7) || ';' || chr(10)
+        |        || '  return y;' || chr(10) || '}'
+        |      ELSE '' END AS aug
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(string_split(aug, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(aug, chr(10)),
+        |      l -> regexp_matches(l, '[;{}]$'))) AS BIGINT) AS n_punct_lines,
+        |    CAST(len(list_filter(string_split(aug, chr(10)),
+        |      l -> regexp_matches(l, '^[ \t]{2}'))) AS BIGINT) AS n_indent_lines,
+        |    CAST(len(regexp_extract_all(aug,
+        |      '\b(function|return|import|class|const|var|let)\b'))
+        |      AS BIGINT) AS n_kw
+        |  FROM a)
+        |SELECT doc_id, n_lines, n_punct_lines, n_indent_lines, n_kw,
+        |  (n_punct_lines + n_indent_lines) * 1000 // n_lines AS code_pm,
+        |  ((n_punct_lines + n_indent_lines) * 1000 // n_lines) >= 250
+        |    OR n_kw >= 3 AS is_code
+        |FROM m""".stripMargin,
+
     "q_session_window" -> sessionWindowSql,
 
     // the streaming drain must merge cross-micro-batch sessions through the

@@ -1664,6 +1664,26 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Code-vs-prose detection over a corpus where every third document gets
+    * a deterministic appended code block (function/let/return lines with
+    * braces, semicolons and two-space indents — closed-form in doc_id, so
+    * the oracle reconstructs the exact augmented text): line-shape counts,
+    * keyword count, integer per-mille score and the router verdict
+    * ([[graft.textops.TextOps.codeProfile]]). Prose docs score 0; code docs
+    * trip BOTH the score and keyword criteria.
+    */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val block = F.concat(
+      F.lit("\nfunction f"), id.cast("string"), F.lit("(x) {\n  let y = x + "),
+      (id % 7).cast("string"), F.lit(";\n  return y;\n}"))
+    val aug = F.concat(F.col("text"),
+      F.when(id % 3 === 0, block).otherwise(F.lit("")))
+    graft.textops.TextOps.codeProfile(
+        docs(spark, dir).select(id, aug.as("aug")), "doc_id", "aug")
+      .orderBy("doc_id")
+  }
+
   /** Spark's NATIVE `session_window` groupBy (the built-in merging session
     * aggregation batch and streaming share) — deliberately distinct from
     * [[sessionizeEvents]]'s hand-rolled lag/cumsum form, and with the

@@ -1433,6 +1433,27 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("codeProfile: line-shape and keyword signals, integer score, verdict") {
+    val rows = Seq(
+      (1L, "plain prose with no code at all"),
+      (2L, "function f(x) {\n  let y = x + 1;\n  return y;\n}"),
+      (3L, "a story where someone must return home\nand import goods"), // 2 kw, no shape
+      (4L, "x;\ny;\nz;\nplain")
+    ).toDF("doc_id", "text")
+    val got = graft.textops.TextOps.codeProfile(rows, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(got(1L) == ((1L, 0L, 0L, 0L, 0L, false)))
+    // 4 lines: `{`-ending, 2x indented+;, `}` => punct 4 (incl braces), indent 2
+    assert(got(2L) == ((4L, 4L, 2L, 3L, 1500L, true)))
+    // keywords in prose alone don't trip the n_kw >= 3 gate
+    assert(got(3L) == ((2L, 0L, 0L, 2L, 0L, false)))
+    // 3 of 4 lines end in ';' => 750 pm, is_code by score alone
+    assert(got(4L) == ((4L, 3L, 0L, 0L, 750L, true)))
+  }
+
   test("pqAdcTopK: LUT distance equals code-table distance; (dist, id) ranks; k binds") {
     val m = 4; val subDim = 16; val kSub = 16
     def cent(s: Int, j: Int): Seq[Long] =
