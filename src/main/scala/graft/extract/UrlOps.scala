@@ -152,6 +152,56 @@ object UrlOps {
       .select(keyCols.map(F.col) ++ (orderCols ++ payload).map(c => F.col(s"w.$c")): _*)
   }
 
+  /** Crawl-frontier politeness scheduling: within each host, URLs (in url
+    * order) receive a dense 1..n host rank and a fetch WAVE
+    * `(host_rank - 1) div concurrency` — wave w fetches at most
+    * `concurrency` URLs per host, which is exactly the per-host politeness
+    * budget a crawler enforces; the whole frontier for wave w is
+    * `WHERE wave = w`.
+    *
+    * Scale shape — the frontier is corpus-sized and hosts are zipf-hot, so
+    * a `row_number` window per host is the 10^9-URLs-on-one-reducer trap
+    * (the capPerDomain class). Instead: ONE global two-pass distributed
+    * prefix sum over the (host, url) range order gives global ranks; each
+    * host's base = `min(global rank)` within the host — an ALGEBRAIC
+    * aggregate that combines map-side even for the hottest host — joins
+    * back on the host key (one row per host; the 1:N fan-out streams, AQE
+    * skew-split applies), and `host_rank = global - base + 1`. No reducer
+    * ever holds a host's whole URL set.
+    */
+  def crawlSchedule(
+      df: org.apache.spark.sql.DataFrame,
+      hostCol: String,
+      urlCol: String,
+      concurrency: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(concurrency >= 1, "concurrency must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df
+      .select(F.col(hostCol).as("host"), F.col(urlCol).as("url"))
+      .repartitionByRange(F.col("host").asc, F.col("url").asc)
+      .sortWithinPartitions(F.col("host").asc, F.col("url").asc)
+      .localCheckpoint()
+    val perPart = rows.select(F.spark_partition_id().as("pid"))
+      .groupBy("pid").agg(F.count(F.lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = new java.util.HashMap[Int, Long]()
+    var acc = 0L
+    perPart.foreach { case (pid, cnt) => offsets.put(pid, acc); acc += cnt }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = rows.as[(String, String)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var r = bc.value.getOrDefault(pid, 0L)
+      it.map { case (host, url) => r += 1; (host, url, r) }
+    }.toDF("host", "url", "g_rank").localCheckpoint()
+    val base = ranked.groupBy("host").agg(F.min("g_rank").as("base"))
+    ranked.join(base, "host")
+      .withColumn("host_rank", F.col("g_rank") - F.col("base") + 1L)
+      .withColumn("wave", F.expr(s"(host_rank - 1) div ${concurrency}L"))
+      .select("host", "url", "host_rank", "wave")
+  }
+
   /** SCD2 capture history — the temporal-table complement of
     * [[latestCapture]]: instead of keeping only the newest capture, emit
     * every capture with its validity interval `[valid_from, valid_to)` —

@@ -642,6 +642,14 @@ object Oracles {
 
     "q_text_langid" -> langIdSql,
 
+    // language-ID confusion matrix: the same argmax CTE joined back to the
+    // declared lang, counted
+    "q_langid_confusion" ->
+      s"""WITH pl AS ($langIdSql)
+         |SELECT d.lang, pl.pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM documents d JOIN pl ON pl.doc_id = d.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
     "q_text_filter" ->
       s"""WITH lang AS ($langIdSql),
          |m AS (
@@ -1390,6 +1398,21 @@ object Oracles {
     // native session_window semantics: strict-overlap merge (a gap of
     // EXACTLY 30 min breaks, unlike q_sessionize's > 1800), end = last
     // event + gap; micro-unit value sum is order-free integer arithmetic
+    // crawl-frontier politeness schedule: the per-host window form IS the
+    // semantic definition at toy scale (the engine computes it as one
+    // global distributed rank minus algebraic per-host bases)
+    "q_crawl_schedule" ->
+      """WITH u AS (SELECT
+        |    CASE WHEN doc_id % 10 < 4 THEN 'hot.example.com'
+        |         ELSE 'h' || (doc_id % 7) || '.example.org' END AS host,
+        |    doc_id FROM documents),
+        |f AS (SELECT host, 'https://' || host || '/p/' || doc_id AS url FROM u),
+        |r AS (SELECT host, url,
+        |    CAST(row_number() OVER (PARTITION BY host ORDER BY url) AS BIGINT)
+        |      AS host_rank
+        |  FROM f)
+        |SELECT host, url, host_rank, (host_rank - 1) // 4 AS wave FROM r""".stripMargin,
+
     // code-vs-prose detection: reconstruct the augmented text closed-form,
     // replay every regex count and the integer per-mille score
     "q_code_detect" ->

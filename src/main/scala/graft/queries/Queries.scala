@@ -899,6 +899,23 @@ object Queries {
       .orderBy("domain")
   }
 
+  /** Crawl-frontier politeness schedule over a synthesized skewed frontier
+    * (40% of URLs on one hot host — the zipf case the distributed-rank
+    * shape exists for), concurrency 4 per host per wave
+    * ([[graft.extract.UrlOps.crawlSchedule]]; the oracle states the
+    * semantics as the per-host row_number window at toy scale).
+    */
+  def crawlScheduleQ(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val host = F.when(id % 10 < 4, F.lit("hot.example.com"))
+      .otherwise(F.concat(F.lit("h"), (id % 7).cast("string"), F.lit(".example.org")))
+    val url = F.concat(F.lit("https://"), host, F.lit("/p/"), id.cast("string"))
+    graft.extract.UrlOps.crawlSchedule(
+        docs(spark, dir).select(host.as("host"), url.as("url")),
+        "host", "url", concurrency = 4)
+      .orderBy("host", "host_rank")
+  }
+
   /** Redirect-chain resolution over a synthesized crawl redirect relation:
     * doc_ids not divisible by 8 redirect one step down (`u{i} -> u{i-1}`),
     * giving chains of length 1..7 onto the `u{8k}` terminals; 3 pointer-
@@ -1091,6 +1108,19 @@ object Queries {
     docs(spark, dir)
       .select(F.col("doc_id"), TextOps.langId(F.col("text")).as("pred_lang"))
       .orderBy("doc_id")
+
+  /** Language-ID confusion matrix: predicted ([[TextOps.langId]]) vs the
+    * table's declared `lang`, with counts — the quality report that decides
+    * whether the heuristic is good enough to route a language mix. One
+    * algebraic aggregation over a pure projection (group space =
+    * |langs|², nothing ever concentrates); oracle reuses the langIdSql CTE.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(F.col("lang"), TextOps.langId(F.col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(F.count(F.lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

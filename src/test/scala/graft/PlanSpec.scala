@@ -253,6 +253,14 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("Scan parquet"), s"unexpected source:\n$plan")
   }
 
+  test("crawl schedule: per-host ranks never plan a window") {
+    val df = Queries.crawlScheduleQ(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"),
+      s"per-host frontier rank planned as a window over the corpus:\n$plan")
+  }
+
   test("temperature mix: per-language ranks never plan a window") {
     val df = Queries.temperatureMix(spark, dir)
     df.collect()

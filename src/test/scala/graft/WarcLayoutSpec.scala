@@ -192,6 +192,31 @@ class WarcLayoutSpec extends AnyFunSuite {
     assert(got(("t2", 1L)) == ((2L, "recent_n", true)))
   }
 
+  test("crawlSchedule: distributed rank equals the per-host window form on " +
+    "a 90%-hot-host frontier; waves cap per-host concurrency") {
+    import org.apache.spark.sql.{functions => F}
+    // 90% of the frontier on one host, the rest spread over 5
+    val urls = (0 until 200).map { i =>
+      val host = if (i % 10 != 9) "hot.example.com" else s"h${i % 5}.example.org"
+      (host, f"https://$host/p/$i%04d")
+    }.toDF("host", "url")
+    val got = graft.extract.UrlOps.crawlSchedule(urls, "host", "url", 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // window-form reference
+    val ref = urls.withColumn("host_rank",
+        F.row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("host").orderBy("url")).cast("long"))
+      .withColumn("wave", F.expr("(host_rank - 1) div 4L"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == ref)
+    // no wave holds more than `concurrency` URLs of one host
+    val perWave = got.toSeq.groupBy { case ((h, _), (_, w)) => (h, w) }
+      .map(_._2.size)
+    assert(perWave.max <= 4 && perWave.min >= 1)
+  }
+
   test("scd2History: intervals tile each key's timeline; current row open; " +
     "ties ordered by id") {
     val caps = Seq(
