@@ -198,6 +198,40 @@ object GraphOps {
       .groupBy("node").agg(F.count(F.lit(1)).as("n_tri"))
   }
 
+  /** Per-node local clustering coefficient in integer ppm — the
+    * triangle-density QA signal beside [[triangleCounts]] (a KG whose
+    * entities have near-zero clustering is a star-shaped provenance dump;
+    * organic entity graphs cluster): `cc_ppm = n_tri·2·10^6 div
+    * (deg·(deg−1))` over the distinct undirected entity graph, 0 for
+    * deg < 2. Exact integer arithmetic end to end (`div` on non-negative
+    * operands ≡ DuckDB `//`) — no IEEE ratio between engines; n_tri ≤
+    * C(deg, 2), so the numerator stays far under Long range even for
+    * 10^5-degree hubs.
+    *
+    * Scale shape: degree is algebraic over the distinct edge relation; the
+    * triangle side is [[triangleCounts]]'s degree-oriented wedge join
+    * (each wedge counted once, fan-out bounded by orientation); the final
+    * join is node-vocabulary-sized.
+    */
+  def clusteringCoefficients(triples: DataFrame): DataFrame = {
+    val eu = triples
+      .filter(F.col("sKind").isin(NodeKinds: _*) &&
+        F.col("oKind").isin(NodeKinds: _*) && F.col("s") =!= F.col("o"))
+      .select(F.least(F.col("s"), F.col("o")).as("a"),
+        F.greatest(F.col("s"), F.col("o")).as("b"))
+      .distinct()
+    val deg = eu.select(F.col("a").as("node"))
+      .union(eu.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("deg"))
+    deg.join(triangleCounts(triples), Seq("node"), "left")
+      .select(F.col("node"), F.col("deg"),
+        F.coalesce(F.col("n_tri"), F.lit(0L)).as("n_tri"))
+      .withColumn("cc_ppm",
+        F.when(F.col("deg") >= 2,
+          F.expr("n_tri * 2000000L div (deg * (deg - 1))"))
+          .otherwise(0L))
+  }
+
   /** Entity co-occurrence: unordered pairs of distinct entities linked on the
     * same page, with the number of co-mentioning pages. The mention-graph
     * projection KG pipelines feed into relatedness scoring and
@@ -690,6 +724,65 @@ object GraphOps {
     * the survivor side only ever shrinks, a hub's fan-out streams through
     * the 1:N join, and no per-node window exists anywhere.
     */
+  /** Deterministic DeepWalk-style random-walk corpus over the encoded
+    * entity graph ([[encodeForEmbedding]]'s dense ids) — the
+    * sequence-generation stage of DeepWalk/node2vec KG-embedding training,
+    * made engine-exact: one walk starts at every node with out-edges, and
+    * step `t` moves from `cur` to
+    * `nbrs[ mix64(seed ^ (cur·1000003 + start·7919 + t)) mod deg ]`
+    * (splitmix64 — the repo-wide deterministic sampling primitive, bit-exact
+    * in the DuckDB oracle), where `nbrs` is the SORTED distinct out-neighbor
+    * array capped to the `maxDeg` smallest tail ids. Walks are fully
+    * reproducible from `(seed, start)` — re-running the corpus generation
+    * yields byte-identical training sequences, which is what makes embedding
+    * runs comparable across pipeline versions. A walk ends early at a sink
+    * (no out-edges). Output: one row per visited position,
+    * `(start_id, step, node_id)` with step 0 = the start itself.
+    *
+    * Scale shape: the degree cap is [[graft.operators.BoundedRank]] — a
+    * bounded partial aggregation, so a 10^6-out-degree hub collapses to
+    * maxDeg rows map-side and the adjacency relation is node-sized with
+    * ≤ maxDeg-wide arrays (the cap is part of the operator CONTRACT, not a
+    * sampling artifact — determinism survives it). Each step is ONE
+    * equi-join of the walk frontier (1:1 per walk row) against the
+    * node-sized adjacency (AQE broadcasts it when it fits); no window, no
+    * per-walk state, no driver-side iteration over data.
+    */
+  def randomWalks(
+      encoded: DataFrame,
+      seed: Long,
+      len: Int,
+      maxDeg: Int
+  ): DataFrame = {
+    require(len >= 1 && maxDeg >= 1, "len and maxDeg must be >= 1")
+    val edges = encoded
+      .select(F.col("h_id").as("src"), F.col("t_id").as("dst"))
+      .distinct()
+    val capped = graft.operators.BoundedRank.bottomKPerKey(
+      edges, Seq("src"), F.col("dst"), F.col("dst"), maxDeg)
+    val adj = capped.groupBy("src")
+      .agg(F.sort_array(F.collect_list("id")).as("nbrs"))
+      .localCheckpoint()
+    val pick = F.udf { (cur: Long, start: Long, t: Int, deg: Int) =>
+      java.lang.Long.remainderUnsigned(
+        graft.extract.Synth.mix64(seed ^ (cur * 1000003L + start * 7919L + t)),
+        deg.toLong).toInt
+    }
+    var frontier = adj.select(F.col("src").as("start_id"), F.col("src").as("node_id"))
+    var out = frontier.withColumn("step", F.lit(0))
+    for (t <- 1 to len) {
+      val nxt = frontier
+        .join(adj, frontier("node_id") === adj("src"))
+        .select(F.col("start_id"),
+          F.element_at(F.col("nbrs"),
+            pick(F.col("node_id"), F.col("start_id"), F.lit(t),
+              F.size(F.col("nbrs"))) + 1).as("node_id"))
+      out = out.unionByName(nxt.withColumn("step", F.lit(t)))
+      frontier = nxt
+    }
+    out.select(F.col("start_id"), F.col("step"), F.col("node_id"))
+  }
+
   def kCore(triples: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val eu = triples

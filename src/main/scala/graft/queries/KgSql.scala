@@ -402,6 +402,30 @@ object KgSql {
        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM pn GROUP BY 1""".stripMargin
 
+  /** Oracle for Queries.kgClustering (GraphOps.clusteringCoefficients):
+    * same distinct undirected edge relation; triangles by the canonical
+    * a<b<c join; cc in exact integer ppm (`//` ≡ Spark `div` on the
+    * non-negative operands).
+    */
+  val clusteringSql: String =
+    s"WITH $triplesCtes,\n" +
+    s"""eu AS MATERIALIZED (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+       |  FROM tr WHERE k_s IN (0, 1) AND k_o IN (0, 1) AND s <> o),
+       |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS node FROM eu UNION ALL SELECT b FROM eu) GROUP BY 1),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM eu e1 JOIN eu e2 ON e2.a = e1.b
+       |  JOIN eu e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |  SELECT x AS node FROM tri
+       |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1)
+       |SELECT dg.node, dg.deg,
+       |  CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       |  CAST(CASE WHEN dg.deg >= 2
+       |    THEN COALESCE(tc.n_tri, 0) * 2000000 // (dg.deg * (dg.deg - 1))
+       |    ELSE 0 END AS BIGINT) AS cc_ppm
+       |FROM dg LEFT JOIN tc ON tc.node = dg.node""".stripMargin
+
   /** Oracle for Queries.kgSignatures: per-subject sorted distinct-predicate
     * signature, grouped. ASCII predicates sort identically in both engines;
     * md5 of the comma-joined list is byte-deterministic.
@@ -808,6 +832,39 @@ object KgSql {
        |  (p.h_id IS NULL) AS is_clean
        |FROM cand c LEFT JOIN enc p
        |  ON p.h_id = c.h_id AND p.r_id = c.r_id AND p.t_id = c.t_neg""".stripMargin
+  }
+
+  /** Oracle for Queries.kgWalks (GraphOps.randomWalks): the deg-capped
+    * sorted adjacency re-derived with a window row_number + ordered list,
+    * then the fixed walk steps unrolled as CTEs — each step picks
+    * `nbrs[mix64(seed ^ (cur·1000003 + start·7919 + t)) mod deg + 1]` in
+    * bit-exact HUGEINT splitmix64 (the negativesSql contract: the mix key
+    * is a plain positive BIGINT on both engines, so the u64
+    * reinterpretation is the identity).
+    */
+  def walksSql(seed: Long, len: Int, maxDeg: Int): String = {
+    def mixed(t: Int): String = HashSql.mix64(HashSql.xor64(
+      s"CAST(w.node_id * 1000003 + w.start_id * 7919 + $t AS HUGEINT)",
+      s"CAST(${java.lang.Long.toUnsignedString(seed)} AS HUGEINT)"))
+    val steps = (1 to len).map { t =>
+      s"""w$t AS (SELECT w.start_id,
+         |    list_extract(a.nbrs,
+         |      CAST((${mixed(t)}) % len(a.nbrs) AS BIGINT) + 1) AS node_id
+         |  FROM w${t - 1} w JOIN adj a ON a.src = w.node_id)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to len).map { t =>
+      s"SELECT start_id, CAST($t AS INT) AS step, node_id FROM w$t"
+    }.mkString("\nUNION ALL ")
+    s"WITH $triplesCtes,\n$encodeCtes,\n" +
+    s"""ed AS MATERIALIZED (SELECT DISTINCT h_id AS src, t_id AS dst FROM enc),
+       |adc AS (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+       |  FROM ed) WHERE rn <= $maxDeg),
+       |adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs
+       |  FROM adc GROUP BY 1),
+       |w0 AS (SELECT src AS start_id, src AS node_id FROM adj),
+       |$steps
+       |$sel""".stripMargin
   }
 
   /** Oracle for Queries.kgPredLift (GraphOps.predicatePairLift): exact

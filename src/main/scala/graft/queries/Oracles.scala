@@ -486,6 +486,7 @@ object Oracles {
     "q_kg_pagerank" -> KgSql.pageRankSql,
     "q_kg_ppr" -> KgSql.pprSql,
     "q_kg_triangles" -> KgSql.trianglesSql,
+    "q_kg_clustering" -> KgSql.clusteringSql,
     "q_kg_jaccard" -> KgSql.neighborJaccardSql(maxDeg = 64L, minShared = 2L),
     "q_kg_resource_alloc" -> KgSql.resourceAllocSql(maxDeg = 64L, minShared = 2L),
     "q_kg_signatures" -> KgSql.signaturesSql,
@@ -519,6 +520,7 @@ object Oracles {
     // negative tails by bit-exact HUGEINT splitmix64
     "q_kg_encode" -> KgSql.encodeSql,
     "q_kg_negatives" -> KgSql.negativesSql(seed = 13L),
+    "q_kg_walks" -> KgSql.walksSql(seed = 17L, len = 3, maxDeg = 8),
     // k-core: fixed peeling rounds unrolled as CTEs (engine-exactness via
     // the fixed-round contract, same as PageRank)
     "q_kg_kcore" -> KgSql.kCoreSql(k = 2L, rounds = 4),
@@ -1444,6 +1446,15 @@ object Oracles {
     // the streaming drain must merge cross-micro-batch sessions through the
     // state store into EXACTLY the batch session set — same oracle
     "q_stream_sessions" -> sessionWindowSql,
+
+    // stream-static broadcast enrichment: the Complete-mode drain over
+    // 2-file micro-batches must equal the relational batch join + aggregate
+    "q_stream_enrich" ->
+      """SELECT c.c_mktsegment AS segment, e.event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(e.value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // WebTables harvest: all nine expected cells per doc closed-form
     "q_html_tables" ->

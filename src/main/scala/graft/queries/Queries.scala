@@ -567,6 +567,14 @@ object Queries {
     graft.kg.GraphOps.triangleCounts(kgTriples(spark, dir))
       .orderBy("node")
 
+  /** Per-node local clustering coefficient in exact integer ppm — the
+    * triangle-density QA beside q_kg_triangles (value oracle in
+    * [[KgSql.clusteringSql]]).
+    */
+  def kgClustering(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.clusteringCoefficients(kgTriples(spark, dir))
+      .orderBy("node")
+
   /** Same-page entity co-occurrence pairs (value oracle in
     * [[KgSql.cooccurSql]]).
     */
@@ -795,6 +803,18 @@ object Queries {
     graft.kg.GraphOps.negativeSamples(
         graft.kg.GraphOps.encodeForEmbedding(kgTriples(spark, dir)), seed = 13L)
       .orderBy("h_id", "r_id", "t_id")
+
+  /** Deterministic DeepWalk-style random walks over the encoded entity
+    * graph (seed 17, length 3, degree cap 8) — the sequence-generation
+    * stage of KG-embedding training, engine-exact and reproducible from
+    * (seed, start); see [[graft.kg.GraphOps.randomWalks]] (bit-exact
+    * splitmix step oracle in [[KgSql.walksSql]]).
+    */
+  def kgWalks(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.randomWalks(
+        graft.kg.GraphOps.encodeForEmbedding(kgTriples(spark, dir)),
+        seed = 17L, len = 3, maxDeg = 8)
+      .orderBy("start_id", "step", "node_id")
 
   /** 2-core of the entity graph by 4 fixed peeling rounds (fixed-round
     * contract so [[KgSql.kCoreSql]] unrolls the identical iterations; the
@@ -1766,6 +1786,30 @@ object Queries {
         F.col("session_end").cast("timestamp_ntz").as("session_end"),
         F.col("n_events"), F.col("value_micro"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Stream-static enrichment drained as a genuine stream
+    * ([[graft.streaming.EventStream.startMemoryEnriched]]): events staged as
+    * 8 parquet segments, 2-file micro-batches, joined per micro-batch to the
+    * STATIC customer dimension (broadcast hash join — no state store on the
+    * join), aggregated per (market segment, event type) in Complete mode.
+    * The drained table must equal the relational batch join+agg the oracle
+    * computes.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-enr").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", F.lit(null).cast("string"))
+      .repartition(8).write.mode("overwrite").parquet(stage)
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+    val name = "stream_enr_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStream.startMemoryEnriched(
+      spark, stage, dim, "c_custkey", "c_mktsegment", name, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    spark.table(name)
+      .select("segment", "event_type", "n_events", "value_micro")
+      .orderBy("segment", "event_type")
   }
 
   /** DSIR importance weights: raw = the full documents table, target = the

@@ -194,6 +194,48 @@ object EventStream {
       .start()
   }
 
+  /** Stream-static enrichment — the production shape of dimension lookup on
+    * a live stream (clickstream × customer table, crawl stream × domain
+    * policy table): the static side is a plain batch DataFrame re-resolved
+    * per micro-batch and explicitly broadcast, so each micro-batch plans a
+    * map-side hash join (the stream never shuffles on the join key and the
+    * join adds NO state store — only the downstream Complete-mode
+    * aggregation is stateful). This is the one streaming join class
+    * [[attributionJoin]] (stream-stream) does not cover.
+    *
+    * Scale shape: the dimension is vocabulary-sized (customers, hosts,
+    * policies — never corpus-sized) and rides the broadcast; per-batch
+    * aggregation state is |dim attr| × |event_type| rows. At 10^12
+    * events/day the stream side stays a pure pipelined scan→join→partial-agg
+    * per micro-batch.
+    */
+  def startMemoryEnriched(
+      spark: SparkSession,
+      stageDir: String,
+      dim: DataFrame,
+      dimKeyCol: String,
+      dimAttrCol: String,
+      queryName: String,
+      maxFilesPerTrigger: Int
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stageDir)
+    val d = dim.select(F.col(dimKeyCol).cast("long").as("dim_key"),
+      F.col(dimAttrCol).as("segment"))
+    src
+      .join(F.broadcast(d), src("user_id") === F.col("dim_key"))
+      .groupBy(F.col("segment"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum(F.round(F.col("value") * 1e6).cast("long")).as("value_micro"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Batch-driven smoke: replay the parquet events table through the
     * streaming window aggregation via an in-memory sink.
     */

@@ -950,4 +950,89 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(plan.indexOf("ObjectHashAggregate", partialIdx + 1) > 0,
       s"single-phase aggregate (no partial):\n$plan")
   }
+
+  test("clusteringCoefficients: exact ppm on a hand-checked graph") {
+    // undirected distinct edges: a-b, a-c, b-c (triangle) plus c-d (tail)
+    val t = Seq(
+      ("a", 0, "p1", "b", 0),
+      ("a", 0, "p2", "c", 0),
+      ("b", 0, "p1", "c", 0),
+      ("c", 0, "p1", "d", 0),
+      ("b", 0, "p9", "a", 0) // reverse duplicate of a-b: must collapse
+    ).toDF("s", "sKind", "p", "o", "oKind")
+      .select($"s", $"sKind".cast("byte").as("sKind"), $"p",
+        $"o", $"oKind".cast("byte").as("oKind"))
+    val got = GraphOps.clusteringCoefficients(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // a: deg 2, 1 tri -> 2e6/2 = 1000000; b: deg 2, 1 tri -> 1000000;
+    // c: deg 3, 1 tri -> 2000000/6 = 333333; d: deg 1 -> 0
+    assert(got == Map(
+      "a" -> ((2L, 1L, 1000000L)),
+      "b" -> ((2L, 1L, 1000000L)),
+      "c" -> ((3L, 1L, 333333L)),
+      "d" -> ((1L, 0L, 0L))
+    ))
+  }
+
+  test("randomWalks: matches a straight-line reference walker; sinks end " +
+    "early; degree cap keeps the smallest tails") {
+    // encoded-id edge fixture: 0 -> {1,2,3}, 1 -> {2}, 2 -> {0}, 3 sink;
+    // plus a hub 4 -> {0..9} to exercise the maxDeg cap (cap 4 keeps 0,1,2,3)
+    val edges = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 0L)) ++
+      (0L to 9L).map(d => (4L, d)))
+      .toDF("h_id", "t_id")
+      .withColumn("r_id", F.lit(0L))
+    val seed = 17L
+    val len = 3
+    val maxDeg = 4
+    val got = GraphOps.randomWalks(edges, seed, len, maxDeg)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // straight-line reference walker over the same capped sorted adjacency
+    val adj: Map[Long, Vector[Long]] = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (2L, 0L)).++((0L to 9L).map(d => (4L, d)))
+      .groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).distinct.sorted.take(maxDeg).toVector }
+    val expected = scala.collection.mutable.Set[(Long, Int, Long)]()
+    adj.keys.foreach { start =>
+      var cur = start
+      expected += ((start, 0, cur))
+      var t = 1
+      var alive = true
+      while (t <= len && alive) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            val m = graft.extract.Synth.mix64(
+              seed ^ (cur * 1000003L + start * 7919L + t))
+            cur = nbrs(java.lang.Long.remainderUnsigned(m, nbrs.size.toLong).toInt)
+            expected += ((start, t, cur))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    assert(got == expected.toSet)
+    // walks genuinely end early at the sink (node 3 has no out-edges, and
+    // some walk must reach it from 0 or 4 at some step < len with positive
+    // probability under this seed — assert structurally instead: every
+    // (start, t) with a node that has out-edges must have a t+1 row)
+    got.filter(_._2 < len).foreach { case (s, t, n) =>
+      if (adj.contains(n))
+        assert(got.exists(r => r._1 == s && r._2 == t + 1),
+          s"walk from $s stalled at live node $n step $t")
+      else
+        assert(!got.exists(r => r._1 == s && r._2 == t + 1),
+          s"walk from $s continued past sink $n step $t")
+    }
+    // the hub's step-1 targets stay within the capped smallest tails {0,1,2,3}
+    got.filter(r => r._1 == 4L && r._2 == 1).foreach { case (_, _, n) =>
+      assert(n <= 3L, s"hub walk escaped the degree cap: $n")
+    }
+    // plan: the degree cap is the bounded partial aggregation, never a
+    // per-node window; no cartesian anywhere in the step joins
+    val plan = GraphOps.randomWalks(edges, seed, len, maxDeg)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+  }
 }

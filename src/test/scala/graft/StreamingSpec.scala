@@ -195,6 +195,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "fixture produced no sessions")
   }
 
+  test("stream-static broadcast enrichment drains across micro-batches and " +
+    "equals the batch join + aggregation") {
+    import org.apache.spark.sql.{functions => F}
+    val sf = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", F.lit(null).cast("string"))
+    val dir = SparkSuite.tmpDir("enrich-stream")
+    events.repartition(8).write.mode("overwrite").parquet(dir)
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+    val q = graft.streaming.EventStream.startMemoryEnriched(
+      spark, dir, dim, "c_custkey", "c_mktsegment", "enrich_stream_test",
+      maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length > 1,
+      s"expected multiple micro-batches, got ${batches.length}")
+    val streamed = spark.table("enrich_stream_test")
+      .collect().map(_.toSeq).toSet
+    val batch = events
+      .join(dim.select(F.col("c_custkey").cast("long").as("dim_key"),
+        F.col("c_mktsegment").as("segment")),
+        F.col("user_id") === F.col("dim_key"))
+      .groupBy("segment", "event_type")
+      .agg(F.count(F.lit(1)).as("n_events"),
+        F.sum(F.round(F.col("value") * 1e6).cast("long")).as("value_micro"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture produced no enriched groups")
+  }
+
   test("stream-stream attribution join drains across micro-batches and " +
     "equals the batch join (no state eviction under the span-sized delay)") {
     import org.apache.spark.sql.{functions => F}
