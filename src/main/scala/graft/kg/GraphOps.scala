@@ -709,6 +709,49 @@ object GraphOps {
         F.col("hit").isNull.as("is_clean"))
   }
 
+  /** TransE plausibility scoring under pinned hash embeddings — the
+    * eval-prep diagnostic of a KG-embedding pipeline (does the candidate
+    * triple score better than its corrupted negative?), made engine-exact:
+    * entity/relation vectors are CLOSED-FORM integer grids
+    * `emb(id, d) = mix64(seed ^ (id·1000003 + d)) mod 2001 − 1000`
+    * (the hash-embedding trick — no parameter table exists anywhere; a
+    * production run swaps in trained vectors broadcast the same way), the
+    * score is the exact integer L1 distance `Σ_d |h_d + r_d − t_d|`, and
+    * the negative is [[negativeSamples]]' splitmix tail corruption, so
+    * (score_pos, score_neg, margin) are bit-identical across engines and
+    * row orders.
+    *
+    * Scale shape: a pure per-row projection over the encoded triple
+    * relation (embeddings are arithmetic, not data) plus the ONE
+    * vocabulary-collision left join negativeSamples already pays — zero
+    * additional shuffle at any corpus size.
+    */
+  def transeScores(
+      encoded: DataFrame,
+      dim: Int,
+      entSeed: Long,
+      relSeed: Long,
+      negSeed: Long
+  ): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    def emb(seed: Long, id: Long, d: Int): Long =
+      java.lang.Long.remainderUnsigned(
+        graft.extract.Synth.mix64(seed ^ (id * 1000003L + d)), 2001L) - 1000L
+    val score = F.udf { (h: Long, r: Long, t: Long) =>
+      var s = 0L
+      var d = 0
+      while (d < dim) {
+        s += math.abs(emb(entSeed, h, d) + emb(relSeed, r, d) - emb(entSeed, t, d))
+        d += 1
+      }
+      s
+    }
+    negativeSamples(encoded, negSeed)
+      .withColumn("score_pos", score(F.col("h_id"), F.col("r_id"), F.col("t_id")))
+      .withColumn("score_neg", score(F.col("h_id"), F.col("r_id"), F.col("t_neg")))
+      .withColumn("margin", F.col("score_neg") - F.col("score_pos"))
+  }
+
   /** k-core decomposition by fixed-round peeling over the undirected entity
     * graph (self-loops dropped, parallel edges collapsed): each round
     * removes every node whose degree in the SURVIVING subgraph is below `k`,

@@ -834,6 +834,40 @@ object KgSql {
        |  ON p.h_id = c.h_id AND p.r_id = c.r_id AND p.t_id = c.t_neg""".stripMargin
   }
 
+  /** Oracle for Queries.kgTranse (GraphOps.transeScores): the identical
+    * splitmix tail corruption, then per-dimension closed-form hash
+    * embeddings expanded over `range(dim)` and folded with an exact integer
+    * abs-sum — every value BIGINT, no IEEE op anywhere.
+    */
+  def transeSql(dim: Int, entSeed: Long, relSeed: Long, negSeed: Long): String = {
+    def embE(idExpr: String, seed: Long): String =
+      s"(CAST((${HashSql.mix64(HashSql.xor64(
+        s"CAST($idExpr * 1000003 + d AS HUGEINT)",
+        s"CAST(${java.lang.Long.toUnsignedString(seed)} AS HUGEINT)"))}) % 2001 AS BIGINT) - 1000)"
+    val negKey = s"CAST(h_id * 1000003 + r_id * 7919 + t_id AS HUGEINT)"
+    val negMixed = HashSql.mix64(HashSql.xor64(negKey,
+      s"CAST(${java.lang.Long.toUnsignedString(negSeed)} AS HUGEINT)"))
+    s"WITH $triplesCtes,\n$encodeCtes,\n" +
+    s"""ne AS (SELECT count(*) AS n FROM ei),
+       |cand AS (SELECT h_id, r_id, t_id,
+       |    CAST(($negMixed) % (SELECT n FROM ne) AS BIGINT) AS t_neg
+       |  FROM enc),
+       |cn AS MATERIALIZED (SELECT c.h_id, c.r_id, c.t_id, c.t_neg,
+       |    (p.h_id IS NULL) AS is_clean
+       |  FROM cand c LEFT JOIN enc p
+       |    ON p.h_id = c.h_id AND p.r_id = c.r_id AND p.t_id = c.t_neg),
+       |sc AS (SELECT cn.h_id, cn.r_id, cn.t_id, cn.t_neg, cn.is_clean,
+       |    CAST(sum(abs(${embE("cn.h_id", entSeed)} + ${embE("cn.r_id", relSeed)}
+       |      - ${embE("cn.t_id", entSeed)})) AS BIGINT) AS score_pos,
+       |    CAST(sum(abs(${embE("cn.h_id", entSeed)} + ${embE("cn.r_id", relSeed)}
+       |      - ${embE("cn.t_neg", entSeed)})) AS BIGINT) AS score_neg
+       |  FROM cn CROSS JOIN range($dim) r(d)
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT h_id, r_id, t_id, t_neg, is_clean, score_pos, score_neg,
+       |  score_neg - score_pos AS margin
+       |FROM sc""".stripMargin
+  }
+
   /** Oracle for Queries.kgWalks (GraphOps.randomWalks): the deg-capped
     * sorted adjacency re-derived with a window row_number + ordered list,
     * then the fixed walk steps unrolled as CTEs — each step picks

@@ -521,6 +521,31 @@ object Oracles {
     "q_kg_encode" -> KgSql.encodeSql,
     "q_kg_negatives" -> KgSql.negativesSql(seed = 13L),
     "q_kg_walks" -> KgSql.walksSql(seed = 17L, len = 3, maxDeg = 8),
+    "q_kg_transe" -> KgSql.transeSql(dim = 8, entSeed = 101L,
+      relSeed = 202L, negSeed = 13L),
+
+    // JSON property extraction: per-row parity of the extracted integer
+    "q_event_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    // ordered conversion funnel: conditional mins composed by user-keyed
+    // joins — the same three levels, relationally
+    "q_event_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS view_ts
+        |  FROM events e JOIN t1 ON t1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts >= t1.signup_ts GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN t2 ON t2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t2.view_ts GROUP BY 1)
+        |SELECT t1.user_id, t1.signup_ts, t2.view_ts, t3.purchase_ts,
+        |  CAST(1 + (t2.user_id IS NOT NULL)::INT
+        |    + (t3.user_id IS NOT NULL)::INT AS INT) AS stage
+        |FROM t1 LEFT JOIN t2 ON t2.user_id = t1.user_id
+        |LEFT JOIN t3 ON t3.user_id = t1.user_id""".stripMargin,
     // k-core: fixed peeling rounds unrolled as CTEs (engine-exactness via
     // the fixed-round contract, same as PageRank)
     "q_kg_kcore" -> KgSql.kCoreSql(k = 2L, rounds = 4),

@@ -804,6 +804,18 @@ object Queries {
         graft.kg.GraphOps.encodeForEmbedding(kgTriples(spark, dir)), seed = 13L)
       .orderBy("h_id", "r_id", "t_id")
 
+  /** TransE plausibility margins under pinned closed-form hash embeddings
+    * (dim 8, entity seed 101, relation seed 202, corruption seed 13) —
+    * exact integer L1 scores for every positive triple and its splitmix
+    * tail corruption; see [[graft.kg.GraphOps.transeScores]] (bit-exact
+    * HUGEINT oracle in [[KgSql.transeSql]]).
+    */
+  def kgTranse(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.transeScores(
+        graft.kg.GraphOps.encodeForEmbedding(kgTriples(spark, dir)),
+        dim = 8, entSeed = 101L, relSeed = 202L, negSeed = 13L)
+      .orderBy("h_id", "r_id", "t_id")
+
   /** Deterministic DeepWalk-style random walks over the encoded entity
     * graph (seed 17, length 3, degree cap 8) — the sequence-generation
     * stage of KG-embedding training, engine-exact and reproducible from
@@ -1670,6 +1682,50 @@ object Queries {
       .orderBy(F.col("value").desc, F.col("event_id"))
       .limit(10)
       .select("event_id", "event_type", "value")
+
+  /** Semi-structured JSON property extraction — the ETL surface every event
+    * pipeline needs (typed columns out of a JSON props payload):
+    * `get_json_object` per row (pure codegen'd projection, zero shuffle at
+    * any scale) plus a per-type rollup of the extracted integer. Oracle:
+    * DuckDB `json_extract_string` over the identical path — extraction
+    * parity pinned per ROW by emitting (event_id, k), not just aggregates.
+    */
+  def eventProps(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(F.col("event_id"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** Ordered conversion funnel (signup → first view after it → first
+    * purchase after that): the product-analytics primitive. Per user:
+    * t1 = min signup ts, t2 = min view ts ≥ t1, t3 = min purchase ts ≥ t2,
+    * stage = how far the user got. Each level is a conditional algebraic
+    * MIN over the user's events (group space = users; a power user's 10^6
+    * events combine map-side), composed by two user-keyed joins of the
+    * user-sized stage table back to the event relation — never a per-user
+    * ordered window over the corpus.
+    */
+  def eventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_type", "ts")
+    val t1 = e.filter(F.col("event_type") === "signup")
+      .groupBy("user_id").agg(F.min("ts").as("signup_ts"))
+    val t2 = e.filter(F.col("event_type") === "view")
+      .join(t1, "user_id")
+      .filter(F.col("ts") >= F.col("signup_ts"))
+      .groupBy("user_id").agg(F.min("ts").as("view_ts"))
+    val t3 = e.filter(F.col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(F.col("ts") >= F.col("view_ts"))
+      .groupBy("user_id").agg(F.min("ts").as("purchase_ts"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .withColumn("stage",
+        (F.lit(1) + F.when(F.col("view_ts").isNotNull, 1).otherwise(0)
+          + F.when(F.col("purchase_ts").isNotNull, 1).otherwise(0)).cast("int"))
+      .select("user_id", "signup_ts", "view_ts", "purchase_ts", "stage")
+      .orderBy("user_id")
+  }
 
   def setOpsEvents(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/events.parquet")

@@ -1667,4 +1667,56 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window in plan:\n$plan")
     assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
   }
+
+  test("eventFunnel semantics: views before signup don't count; stage " +
+    "reflects the deepest ORDERED conversion") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val dir = SparkSuite.tmpDir("funnel-fixture")
+    Seq(
+      // u1: full ordered funnel
+      (1L, "signup", ts(10)), (1L, "view", ts(20)), (1L, "purchase", ts(30)),
+      // u2: view BEFORE signup only -> stage 1 (no view after signup)
+      (2L, "view", ts(5)), (2L, "signup", ts(10)),
+      // u3: purchase BEFORE the qualifying view -> stage 2
+      (3L, "signup", ts(10)), (3L, "purchase", ts(15)), (3L, "view", ts(20)),
+      // u4: never signed up -> absent from the funnel
+      (4L, "view", ts(1)), (4L, "purchase", ts(2)),
+      // u5: signup only
+      (5L, "signup", ts(42))
+    ).toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Queries.eventFunnel(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 5L -> 1))
+  }
+
+  test("transeScores: matches a straight-line reference scorer") {
+    val enc = Seq((0L, 0L, 1L), (1L, 1L, 2L), (2L, 0L, 0L), (5L, 2L, 3L))
+      .toDF("h_id", "r_id", "t_id")
+    val dim = 8
+    val (es, rs, ns) = (101L, 202L, 13L)
+    val got = graft.kg.GraphOps.transeScores(enc, dim, es, rs, ns)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getBoolean(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    def emb(seed: Long, id: Long, d: Int): Long =
+      java.lang.Long.remainderUnsigned(
+        graft.extract.Synth.mix64(seed ^ (id * 1000003L + d)), 2001L) - 1000L
+    def l1(h: Long, r: Long, t: Long): Long =
+      (0 until dim).map(d => math.abs(emb(es, h, d) + emb(rs, r, d) - emb(es, t, d))).sum
+    val nEnt = 6L // max id 5 + 1
+    val pos = Set((0L, 0L, 1L), (1L, 1L, 2L), (2L, 0L, 0L), (5L, 2L, 3L))
+    assert(got.size == 4)
+    got.foreach { case ((h, r, t), (tNeg, clean, sp, sn, m)) =>
+      val expNeg = java.lang.Long.remainderUnsigned(
+        graft.extract.Synth.mix64(ns ^ (h * 1000003L + r * 7919L + t)), nEnt)
+      assert(tNeg == expNeg)
+      assert(clean == !pos.contains((h, r, expNeg)))
+      assert(sp == l1(h, r, t))
+      assert(sn == l1(h, r, expNeg))
+      assert(m == sn - sp)
+    }
+  }
 }
