@@ -721,6 +721,37 @@ object Oracles {
          |  array_to_string(list(pos ORDER BY pos), ',') AS positions
          |FROM q GROUP BY 1, 2""".stripMargin,
 
+    // MLM masking plan: bit-exact splitmix selection (mod 1000 < 150) and
+    // 80-10-10 action draw (independent second mix, seed+1)
+    "q_mlm_mask" -> {
+      val key = "CAST(doc_id * 1000003 + pos AS HUGEINT)"
+      val sel = HashSql.mix64(HashSql.xor64(key, "CAST(23 AS HUGEINT)"))
+      val act = HashSql.mix64(HashSql.xor64(key, "CAST(24 AS HUGEINT)"))
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |q AS (SELECT doc_id, u.pos AS pos, u.tok AS term FROM (
+         |  SELECT doc_id, UNNEST(list_transform(range(len(toks)),
+         |    i -> struct_pack(pos := i, tok := toks[CAST(i + 1 AS INT)]))) AS u
+         |  FROM t))
+         |SELECT doc_id, CAST(pos AS INT) AS pos, term,
+         |  CASE WHEN ($act) % 10 < 8 THEN 'mask'
+         |       WHEN ($act) % 10 = 8 THEN 'random' ELSE 'keep' END AS action
+         |FROM q WHERE ($sel) % 1000 < 150""".stripMargin
+    },
+
+    // Elias-Fano index sizing: exact integer bit accounting from
+    // (df, universe) only — l = bit_length(universe // df) - 1
+    "q_index_size" ->
+      s"""WITH td AS (SELECT DISTINCT doc_id,
+         |    UNNEST(${toksSql("text")}) AS term FROM documents),
+         |u AS (SELECT count(*) AS n FROM documents),
+         |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY 1)
+         |SELECT term, df,
+         |  CAST(length(bin((SELECT n FROM u) // df)) - 1 AS BIGINT) AS l_bits,
+         |  CAST(df * (length(bin((SELECT n FROM u) // df)) + 1) AS BIGINT) AS ef_bits,
+         |  CAST((df * (length(bin((SELECT n FROM u) // df)) + 1) + 7) // 8 AS BIGINT)
+         |    AS ef_bytes
+         |FROM f""".stripMargin,
+
     // exact phrase adjacency: same position relation, one equi-join per
     // phrase term on (doc, aligned start position)
     "q_phrase_search" ->
@@ -956,6 +987,43 @@ object Oracles {
     // resolved URL set closed-form per href kind (the engine does real
     // regex extraction + java.net.URI reference resolution)
     "q_web_links" -> webLinksSql,
+
+    // jusText-class block classification: the oracle rebuilds each block's
+    // CLEAN text closed-form from the generation rule (no HTML parsing on
+    // this side) and recomputes every integer metric + verdict
+    "q_html_blocks" ->
+      """WITH b AS (
+        |  SELECT doc_id, 0 AS block_idx,
+        |    'Nav ' || (doc_id % 5) || ' More links here' AS text,
+        |    CAST(20 AS BIGINT) AS link_chars
+        |  FROM documents
+        |  UNION ALL SELECT doc_id, 1,
+        |    'The quick brown fox number ' || (doc_id % 7) ||
+        |    ' jumps over the lazy dog and the crowd watches in the warm sun of the valley',
+        |    0 FROM documents
+        |  UNION ALL SELECT doc_id, 2,
+        |    'Copyright ' || (doc_id % 25 + 2000) || ' Site' || (doc_id % 3),
+        |    0 FROM documents
+        |  UNION ALL SELECT doc_id, 3,
+        |    'Read more about topic ' || (doc_id % 9) || ' on this page now',
+        |    9 FROM documents),
+        |m AS (SELECT doc_id, CAST(block_idx AS INT) AS block_idx,
+        |    CAST(length(text) AS BIGINT) AS text_chars, link_chars,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      w -> list_contains(['the','a','and','of','to','in','on','over','with','this'], w)))
+        |      AS BIGINT) AS n_stop
+        |  FROM b)
+        |SELECT doc_id, block_idx, text_chars, link_chars, n_words, n_stop,
+        |  CAST(link_chars * 1000 // greatest(text_chars, 1) AS BIGINT) AS link_pm,
+        |  CAST(n_stop * 1000 // greatest(n_words, 1) AS BIGINT) AS stop_pm,
+        |  CASE WHEN link_chars * 1000 // greatest(text_chars, 1) > 500
+        |         OR n_words < 4 THEN 'bad'
+        |       WHEN n_words >= 10
+        |         AND n_stop * 1000 // greatest(n_words, 1) >= 200
+        |         AND link_chars * 1000 // greatest(text_chars, 1) <= 300 THEN 'good'
+        |       ELSE 'near_good' END AS verdict
+        |FROM m""".stripMargin,
 
     // per-target anchor-text profile: targets/texts re-derived closed-form
     // per link kind; argmax replayed as a window over (n DESC, text ASC)

@@ -1363,6 +1363,33 @@ object Queries {
     docs(spark, dir).select(id, base.as("url"), html.as("html"))
   }
 
+  /** jusText-class block classification over doc_id-derived HTML: four
+    * paragraph blocks per page — a link-dense nav row, a long
+    * stopword-rich content block, a tiny copyright line, and a mixed
+    * read-more block with one inline link — exercising all three verdicts.
+    * The ENGINE parses the real HTML ([[graft.extract.Blocks]]); the ORACLE
+    * reconstructs each block's clean text closed-form from the generation
+    * rule and recomputes every integer metric — the two sides share no
+    * parsing path.
+    */
+  def htmlBlocks(spark: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    def s(c: Column) = c.cast("string")
+    val html = F.concat(
+      F.lit("<html><body>\n<p><a href=\"/n1\">Nav "), s(id % 5),
+      F.lit("</a> <a href=\"/n2\">More links here</a></p>\n" +
+        "<p>The quick brown fox number "), s(id % 7),
+      F.lit(" jumps over the lazy dog and the crowd watches in the warm " +
+        "sun of the valley</p>\n<p>Copyright "), s(id % 25 + 2000),
+      F.lit(" Site"), s(id % 3),
+      F.lit("</p>\n<p>Read more about topic "), s(id % 9),
+      F.lit(" on <a href=\"/t/"), s(id % 9),
+      F.lit("\">this page</a> now</p>\n</body></html>"))
+    graft.extract.Blocks.blockProfiles(
+        docs(spark, dir).select(id, html.as("html")), "doc_id", "html")
+      .orderBy("doc_id", "block_idx")
+  }
+
   private def linkFixture(spark: SparkSession, dir: String): DataFrame =
     graft.extract.Links.pageLinks(
       linkFixturePages(spark, dir), "doc_id", "url", "html")
@@ -1426,6 +1453,22 @@ object Queries {
   def indexPostings(spark: SparkSession, dir: String): DataFrame =
     TextOps.invertedIndex(docs(spark, dir), "doc_id", "text")
       .orderBy("term", "doc_id")
+
+  /** Deterministic MLM masking plan (seed 23, 150‰, BERT 80-10-10 actions)
+    * — see [[TextOps.mlmMaskPlan]]; bit-exact splitmix oracle.
+    */
+  def mlmMask(spark: SparkSession, dir: String): DataFrame =
+    TextOps.mlmMaskPlan(docs(spark, dir), "doc_id", "text",
+        seed = 23L, permille = 150)
+      .orderBy("doc_id", "pos")
+
+  /** Elias-Fano posting-list size plan per term — exact integer bit
+    * accounting from (df, universe) only, no gap materialization
+    * (see [[TextOps.indexSizeEstimate]]).
+    */
+  def indexSize(spark: SparkSession, dir: String): DataFrame =
+    TextOps.indexSizeEstimate(docs(spark, dir), "doc_id", "text")
+      .orderBy("term")
 
   /** Exact two-term phrase search over consecutive token positions
     * (see [[TextOps.phraseSearch]]).

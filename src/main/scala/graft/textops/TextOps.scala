@@ -884,6 +884,74 @@ object TextOps {
         F.array_join(F.sort_array(F.collect_list(F.col("pos"))), ",")
           .as("positions"))
 
+  /** Deterministic MLM masking plan (BERT-style 15% / 80-10-10) — the
+    * span-corruption prep step of masked-LM training data, made
+    * reproducible: token (doc, pos) is selected when
+    * `mix64(seed ^ (doc·1000003 + pos)) mod 1000 < permille`, and a second
+    * independent splitmix draw picks the action (`mask` 80%, `random` 10%,
+    * `keep` 10%). Re-running the pipeline yields byte-identical masking —
+    * the property that makes training-data bugs bisectable — and the plan
+    * is ENGINE-exact (bit-exact splitmix on both sides).
+    *
+    * Scale shape: a pure per-token projection + filter over the tokenized
+    * scan — zero shuffle at any corpus size; emits only the selected ~15%.
+    */
+  def mlmMaskPlan(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      seed: Long,
+      permille: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
+    val selected = F.udf { (id: Long, pos: Int) =>
+      java.lang.Long.remainderUnsigned(
+        graft.extract.Synth.mix64(seed ^ (id * 1000003L + pos)), 1000L) < permille
+    }
+    val action = F.udf { (id: Long, pos: Int) =>
+      val r = java.lang.Long.remainderUnsigned(
+        graft.extract.Synth.mix64((seed + 1) ^ (id * 1000003L + pos)), 10L)
+      if (r < 8) "mask" else if (r == 8) "random" else "keep"
+    }
+    df.select(F.col(idCol).cast("long").as("doc_id"),
+        F.posexplode(tokens(F.col(textCol))).as(Seq("pos", "term")))
+      .filter(selected(F.col("doc_id"), F.col("pos")))
+      .select(F.col("doc_id"), F.col("pos"), F.col("term"),
+        action(F.col("doc_id"), F.col("pos")).as("action"))
+  }
+
+  /** Elias-Fano posting-list size planning — the index-capacity estimator a
+    * retrieval pipeline runs BEFORE building (quasi-succinct indices,
+    * Vigna WSDM'13): for a term with document frequency `df` over a
+    * `universe`-document collection, the EF encoding of its sorted posting
+    * list costs `df · (l + 2)` bits with `l = floor(log2(universe div df))`
+    * low bits per posting. Everything is exact integer arithmetic — `l`
+    * comes from integer bit-length (`length(bin(x)) − 1`), never a
+    * transcendental log — so the plan is engine-exact. Emits per term:
+    * df, l_bits, ef_bits, ef_bytes.
+    *
+    * The ALGEBRAIC formulation is the point at scale: EF size depends only
+    * on (df, universe), so the estimator needs NO gap materialization — a
+    * stopword's 10^9-entry posting list contributes one count, not 10^9
+    * ordered rows through a per-term window (the hot-key trap a
+    * varint-gap-sum estimator would step into).
+    */
+  def indexSizeEstimate(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val universe = df.count()
+    df.select(F.col(idCol).cast("long").as("doc_id"),
+        F.explode(tokens(F.col(textCol))).as("term"))
+      .distinct()
+      .groupBy("term").agg(F.count(F.lit(1)).as("df"))
+      .withColumn("l_bits",
+        (F.length(F.bin(F.expr(s"${universe}L div df"))) - 1).cast("long"))
+      .withColumn("ef_bits", F.expr("df * (l_bits + 2)"))
+      .withColumn("ef_bytes", F.expr("(ef_bits + 7) div 8"))
+  }
+
   /** Exact phrase search: documents containing the given terms at strictly
     * consecutive token positions; returns match count and first match
     * position per document. Composes as a chain of fine-grained equi-joins

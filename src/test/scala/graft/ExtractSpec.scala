@@ -123,4 +123,33 @@ class ExtractSpec extends AnyFunSuite {
       assert(ts.exists(_.sKind == Kind.BLANK), s"page $id")
     }
   }
+
+  test("Blocks.blockProfiles: verdicts on handcrafted blocks; messy " +
+    "whitespace and attributes survive; zero shuffle") {
+    val spark2 = SparkSuite.spark
+    import spark2.implicits._
+    val html =
+      "<html><body>" +
+        // link-dense nav with attribute noise -> bad
+        "<p><a class=\"x\" href=\"/a\">home page link</a> <a href=\"/b\">more</a></p>" +
+        // long stopword-rich content with messy whitespace -> good
+        "<p>the  cat sat on the\n mat and the dog lay in the sun of the day</p>" +
+        // tiny -> bad
+        "<p>tiny row</p>" +
+        // wordy but stopword-poor -> near_good
+        "<p>alpha beta gamma delta epsilon zeta eta theta iota kappa lambda</p>" +
+        "</body></html>"
+    val got = graft.extract.Blocks.blockProfiles(
+        Seq((7L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect().map(r => r.getInt(1) -> ((r.getLong(4), r.getString(8)))).toMap
+    assert(got(0)._2 == "bad")
+    assert(got(1)._2 == "good")
+    assert(got(1)._1 == 16L) // whitespace collapsed before tokenizing
+    assert(got(2)._2 == "bad")
+    assert(got(3)._2 == "near_good")
+    val plan = graft.extract.Blocks.blockProfiles(
+        Seq((7L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in a pure projection:\n$plan")
+  }
 }

@@ -1668,6 +1668,40 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
   }
 
+  test("indexSizeEstimate: hand-checked EF bit accounting") {
+    // 4 docs; 'common' in all 4 (df=4, U div df=1, l=0, bits=8);
+    // 'rare' in 1 (df=1, U div df=4, l=2, bits=4)
+    val d = Seq(
+      (0L, "common rare"), (1L, "common"), (2L, "common"), (3L, "common")
+    ).toDF("doc_id", "text")
+    val got = TextOps.indexSizeEstimate(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "common" -> ((4L, 0L, 8L, 1L)),
+      "rare" -> ((1L, 2L, 4L, 1L))
+    ))
+  }
+
+  test("mlmMaskPlan: reproducible, ~permille selection, 80-10-10 actions, " +
+    "zero shuffle") {
+    val d = spark.range(200)
+      .selectExpr("id AS doc_id",
+        "concat('alpha beta gamma delta epsilon zeta eta theta iota kappa ', id) AS text")
+    val a = TextOps.mlmMaskPlan(d, "doc_id", "text", seed = 23L, permille = 150)
+    val b = TextOps.mlmMaskPlan(d, "doc_id", "text", seed = 23L, permille = 150)
+    val rowsA = a.collect().map(_.toSeq).toSet
+    assert(rowsA == b.collect().map(_.toSeq).toSet, "not reproducible")
+    val total = 200 * 11 // 11 tokens per doc
+    val frac = rowsA.size.toDouble / total
+    assert(frac > 0.10 && frac < 0.20, s"selection fraction $frac off 15%")
+    val acts = rowsA.groupBy(_.apply(3)).map { case (k, v) => k -> v.size }
+    assert(acts("mask").toDouble / rowsA.size > 0.7)
+    assert(acts.contains("random") && acts.contains("keep"))
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in a pure projection:\n$plan")
+  }
+
   test("eventFunnel semantics: views before signup don't count; stage " +
     "reflects the deepest ORDERED conversion") {
     import java.sql.Timestamp
