@@ -721,6 +721,70 @@ object Oracles {
          |  array_to_string(list(pos ORDER BY pos), ',') AS positions
          |FROM q GROUP BY 1, 2""".stripMargin,
 
+    // Kneser-Ney continuation counts: distinct-pair pre-dedup then
+    // algebraic type counts
+    "q_kn_counts" ->
+      s"""WITH t AS (SELECT ${toksSql("text")} AS toks FROM documents),
+         |f AS (SELECT UNNEST(toks) AS term FROM t),
+         |freq AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM f GROUP BY 1),
+         |pr AS (SELECT DISTINCT
+         |    toks[CAST(i + 1 AS INT)] AS prev, toks[CAST(i + 2 AS INT)] AS cur
+         |  FROM (SELECT toks, UNNEST(range(len(toks) - 1)) AS i FROM t
+         |        WHERE len(toks) >= 2)),
+         |lt AS (SELECT cur AS term, CAST(count(*) AS BIGINT) AS n_left_types
+         |  FROM pr GROUP BY 1),
+         |rt AS (SELECT prev AS term, CAST(count(*) AS BIGINT) AS n_right_types
+         |  FROM pr GROUP BY 1)
+         |SELECT freq.term, freq.freq,
+         |  CAST(COALESCE(lt.n_left_types, 0) AS BIGINT) AS n_left_types,
+         |  CAST(COALESCE(rt.n_right_types, 0) AS BIGINT) AS n_right_types
+         |FROM freq LEFT JOIN lt ON lt.term = freq.term
+         |LEFT JOIN rt ON rt.term = freq.term""".stripMargin,
+
+    // tokenizer fertility per language: exact integer per-mille
+    "q_tokenizer_fertility" ->
+      s"""WITH m AS (SELECT lang,
+         |    CAST(${tokCountSql("text")} AS BIGINT) AS nt,
+         |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))
+         |      AS BIGINT) AS nb
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nb) AS BIGINT) AS n_subwords,
+         |  CAST(sum(nb) * 1000 // greatest(sum(nt), 1) AS BIGINT)
+         |    AS subwords_per_1000_tokens
+         |FROM m GROUP BY 1""".stripMargin,
+
+    // multi-round BPE merge training: three unrolled select-and-rewrite
+    // rounds; argmax as a scalar subquery; replace() is left-to-right
+    // non-overlapping on both engines
+    "q_bpe_merges" -> {
+      def pcte(i: Int): String =
+        s"""p$i AS (SELECT UNNEST(list_transform(range(len(string_split(s, ' ')) - 1),
+           |    i -> string_split(s, ' ')[CAST(i + 1 AS INT)] || ' ' ||
+           |         string_split(s, ' ')[CAST(i + 2 AS INT)])) AS pair
+           |  FROM t${i - 1} WHERE len(string_split(s, ' ')) >= 2),
+           |g$i AS (SELECT pair FROM (
+           |    SELECT pair, count(*) AS freq FROM p$i GROUP BY 1)
+           |  ORDER BY freq DESC, pair ASC LIMIT 1),
+           |t$i AS MATERIALIZED (SELECT doc_id,
+           |    trim(replace(' ' || s || ' ',
+           |      ' ' || (SELECT pair FROM g$i) || ' ',
+           |      ' ' || replace((SELECT pair FROM g$i), ' ', '_') || ' ')) AS s
+           |  FROM t${i - 1})""".stripMargin
+      s"""WITH t0 AS MATERIALIZED (SELECT doc_id,
+         |    array_to_string(${toksSql("text")}, ' ') AS s FROM documents),
+         |${pcte(1)},
+         |${pcte(2)},
+         |${pcte(3)}
+         |SELECT doc_id, md5(s) AS tok_md5,
+         |  CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tokens,
+         |  (SELECT pair FROM g1) AS m1,
+         |  (SELECT pair FROM g2) AS m2,
+         |  (SELECT pair FROM g3) AS m3
+         |FROM t3""".stripMargin
+    },
+
     // MLM masking plan: bit-exact splitmix selection (mod 1000 < 150) and
     // 80-10-10 action draw (independent second mix, seed+1)
     "q_mlm_mask" -> {

@@ -1454,6 +1454,40 @@ object Queries {
     TextOps.invertedIndex(docs(spark, dir), "doc_id", "text")
       .orderBy("term", "doc_id")
 
+  /** Kneser-Ney continuation counts per token (see
+    * [[TextOps.knContinuationCounts]]).
+    */
+  def knCounts(spark: SparkSession, dir: String): DataFrame =
+    TextOps.knContinuationCounts(docs(spark, dir), "text")
+      .orderBy("term")
+
+  /** Tokenizer fertility per language — n_docs, whitespace-class tokens,
+    * BPE-ish subwords, and subwords-per-1000-tokens in exact integer
+    * per-mille (the "how hard does this language hit the tokenizer" table
+    * a multilingual mix is balanced with). One algebraic rollup, group
+    * space = |langs|.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(F.col("lang"),
+        TextOps.tokenCount(F.col("text")).cast("long").as("nt"),
+        TextOps.bpeishTokenCount(F.col("text")).cast("long").as("nb"))
+      .groupBy("lang")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum("nt").as("n_tokens"),
+        F.sum("nb").as("n_subwords"))
+      .withColumn("subwords_per_1000_tokens",
+        F.expr("n_subwords * 1000L div greatest(n_tokens, 1L)"))
+      .orderBy("lang")
+
+  /** Three-round BPE merge training over the documents corpus — per-doc
+    * post-merge token digests with the chosen merge table pinned as columns
+    * (see [[TextOps.bpeMergeTrain]]).
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeMergeTrain(docs(spark, dir), "doc_id", "text", rounds = 3)
+      .orderBy("doc_id")
+
   /** Deterministic MLM masking plan (seed 23, 150‰, BERT 80-10-10 actions)
     * — see [[TextOps.mlmMaskPlan]]; bit-exact splitmix oracle.
     */

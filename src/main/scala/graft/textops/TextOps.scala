@@ -591,6 +591,109 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Kneser-Ney continuation-count table — the smoothing statistics a
+    * KN-smoothed n-gram LM needs beside raw frequencies: per token, the
+    * unigram count, the number of distinct LEFT context types (how many
+    * different words precede it — the quantity KN uses instead of raw
+    * frequency for lower-order distributions) and distinct RIGHT
+    * continuation types. "francisco" is frequent but has one left type;
+    * KN is the standard fix, and this table is its input.
+    *
+    * Scale shape: adjacent pairs are a pure array projection; both type
+    * counts PRE-DEDUP to the (vocabulary × vocabulary)-bounded distinct
+    * pair relation map-side, then count algebraically — never a
+    * count_distinct Expand over corpus-sized rows; final joins are
+    * vocabulary-sized.
+    */
+  def knContinuationCounts(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(F.col(textCol))
+    val freq = df.select(F.explode(toks).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("freq"))
+    val pairs = df
+      .filter(F.size(toks) >= 2)
+      .select(F.explode(F.zip_with(
+        F.slice(toks, F.lit(1), F.size(toks) - 1),
+        F.slice(toks, F.lit(2), F.size(toks) - 1),
+        (a, b) => F.struct(a.as("prev"), b.as("cur")))).as("pr"))
+      .select(F.col("pr.prev").as("prev"), F.col("pr.cur").as("cur"))
+      .distinct()
+    val leftTypes = pairs.groupBy(F.col("cur").as("term"))
+      .agg(F.count(F.lit(1)).as("n_left_types"))
+    val rightTypes = pairs.groupBy(F.col("prev").as("term"))
+      .agg(F.count(F.lit(1)).as("n_right_types"))
+    freq.join(leftTypes, Seq("term"), "left")
+      .join(rightTypes, Seq("term"), "left")
+      .select(F.col("term"), F.col("freq"),
+        F.coalesce(F.col("n_left_types"), F.lit(0L)).as("n_left_types"),
+        F.coalesce(F.col("n_right_types"), F.lit(0L)).as("n_right_types"))
+  }
+
+  /** Multi-round BPE merge training — the iterative half of the tokenizer
+    * trainer ([[bpePairCounts]] is one round's counting step; this SELECTS
+    * the top pair per round, APPLIES the merge to the corpus, and repeats):
+    * the corpus state is each document's canonical single-space token
+    * string; round r counts adjacent pairs over the CURRENT state, picks
+    * the (freq desc, pair asc) argmax, and rewrites every occurrence
+    * `' a b ' → ' a_b '` ('_' is outside the `[a-z0-9]` token alphabet, so
+    * merged symbols never collide with real tokens). The rewrite is
+    * left-to-right non-overlapping string replacement — IDENTICAL semantics
+    * in Spark's `replace` and DuckDB's, which is what makes three unrolled
+    * rounds bit-exact cross-engine ("a a a" merges greedily to "a_a a" on
+    * both sides). Contract note: a match consumes its trailing delimiter
+    * space, so an immediately-following occurrence is skipped within the
+    * round ("a b a b" → "a_b a b" — it merges next round); textbook BPE
+    * implementations differ on exactly this run/tie handling, and what
+    * matters here is ONE defined rule both engines execute identically.
+    * Emits per document the post-merge token digest and count,
+    * with the chosen merge pairs as pinned columns (one flipped merge
+    * decision flips every digest).
+    *
+    * Scale shape: per round, ONE pair-count aggregation (group space =
+    * pair vocabulary, map-side combine) + ONE driver-side argmax row (the
+    * selection is vocabulary-sized, the same discipline as the pinned ANN
+    * centroids) + ONE zero-shuffle rewrite projection. Nothing per-document
+    * ever concentrates.
+    */
+  def bpeMergeTrain(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    var state = df.select(F.col(idCol).cast("long").as("doc_id"),
+      F.array_join(tokens(F.col(textCol)), " ").as("s"))
+    val chosen = scala.collection.mutable.ListBuffer[String]()
+    for (_ <- 1 to rounds) {
+      val toks = F.split(F.col("s"), " ")
+      val top = state
+        .filter(F.size(toks) >= 2)
+        .select(F.explode(F.zip_with(
+          F.slice(toks, F.lit(1), F.size(toks) - 1),
+          F.slice(toks, F.lit(2), F.size(toks) - 1),
+          (a, b) => F.concat_ws(" ", a, b))).as("pair"))
+        .groupBy("pair").agg(F.count(F.lit(1)).as("freq"))
+        .orderBy(F.col("freq").desc, F.col("pair").asc)
+        .limit(1).collect()
+      require(top.nonEmpty, "corpus has no adjacent pairs left to merge")
+      val pair = top(0).getString(0)
+      val merged = pair.replace(' ', '_')
+      chosen += pair
+      state = state.withColumn("s",
+        F.trim(F.expr(s"replace(concat(' ', s, ' '), ' $pair ', ' $merged ')")))
+    }
+    val withMerges = chosen.zipWithIndex.foldLeft(state) {
+      case (acc, (p, i)) => acc.withColumn(s"m${i + 1}", F.lit(p))
+    }
+    withMerges.select(
+      (Seq(F.col("doc_id"), F.md5(F.col("s")).as("tok_md5"),
+        F.size(F.split(F.col("s"), " ")).cast("long").as("n_tokens")) ++
+        chosen.indices.map(i => F.col(s"m${i + 1}"))): _*)
+  }
+
   /** Concat-and-chunk training-block materialization — the step after
     * [[packSequences]]'s block assignment: concatenate the corpus's token
     * stream in id order, cut it into fixed `blockSize` training blocks, and

@@ -1668,6 +1668,57 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
   }
 
+  test("bpeMergeTrain: argmax selection order and greedy left-to-right " +
+    "rewrite on a hand-checked corpus") {
+    // pairs in round 1: "a b" x3 (docs 0,1), "b a" x2, "a a" x2 (doc 2:
+    // a a a -> pairs (a,a),(a,a)), "b c" x1 ... construct explicitly:
+    val d = Seq(
+      (0L, "a b a b"), // pairs: (a,b) (b,a) (a,b)
+      (1L, "a b c"),   // pairs: (a,b) (b,c)
+      (2L, "a a a")    // pairs: (a,a) (a,a)
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpeMergeTrain(d, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    // round 1: (a,b) freq 3 wins -> a_b. Greedy left-to-right rewrite with
+    // SHARED delimiter spaces merges only alternate occurrences:
+    // "a b a b" -> "a_b a b" (the second occurrence lost its leading space
+    // to the first match — the canonical non-overlapping replace contract,
+    // identical in Spark and DuckDB). States: "a_b a b", "a_b c", "a a a"
+    // -> "a_a a" in round 2.
+    // round 2 pairs: (a_b,a)+(a,b)+(a_b,c) x1 each, (a,a) x2 -> "a a" wins
+    got.foreach { case (_, (_, m1, m2)) =>
+      assert(m1 == "a b"); assert(m2 == "a a")
+    }
+    assert(got(0)._1 == 3L) // "a_b a b"
+    assert(got(1)._1 == 2L) // "a_b c"
+    assert(got(2)._1 == 2L) // "a_a a" — greedy left-to-right, NOT "a a_a"
+    // digest pins the actual string, not just counts
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md5.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val gotFull = TextOps.bpeMergeTrain(d, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotFull(2) == h("a_a a"))
+  }
+
+  test("knContinuationCounts: hand-checked type counts") {
+    val d = Seq((0L, "a b"), (1L, "c b"), (2L, "a b"), (3L, "b d")).toDF("doc_id", "text")
+    val got = TextOps.knContinuationCounts(d, "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // b: freq 4; left types {a, c} = 2; right types {d} = 1
+    // a: freq 2; left 0; right {b} = 1
+    // c: freq 1; left 0; right {b} = 1
+    // d: freq 1; left {b} = 1; right 0
+    assert(got == Map(
+      "a" -> ((2L, 0L, 1L)),
+      "b" -> ((4L, 2L, 1L)),
+      "c" -> ((1L, 0L, 1L)),
+      "d" -> ((1L, 1L, 0L))
+    ))
+  }
+
   test("indexSizeEstimate: hand-checked EF bit accounting") {
     // 4 docs; 'common' in all 4 (df=4, U div df=1, l=0, bits=8);
     // 'rare' in 1 (df=1, U div df=4, l=2, bits=4)
