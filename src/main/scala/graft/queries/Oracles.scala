@@ -721,6 +721,40 @@ object Oracles {
          |  array_to_string(list(pos ORDER BY pos), ',') AS positions
          |FROM q GROUP BY 1, 2""".stripMargin,
 
+    // container round-trips: the oracle recomputes the hostile-payload
+    // digest closed-form from the parquet table — it never reads the
+    // CSV/JSON files, so any quoting loss in either engine direction fails
+    "q_csv_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(text || ', "q"' || chr(10) || '#' || (doc_id % 7)) AS payload_md5,
+        |  CAST(length(text || ', "q"' || chr(10) || '#' || (doc_id % 7)) AS BIGINT)
+        |    AS payload_len,
+        |  lang
+        |FROM documents""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(text || ', "q"' || chr(10) || '#' || (doc_id % 7)) AS payload_md5,
+        |  CAST(length(text || ', "q"' || chr(10) || '#' || (doc_id % 7)) AS BIGINT)
+        |    AS payload_len,
+        |  lang
+        |FROM documents""".stripMargin,
+
+    // event-rate anomaly: integer z-squared cross-multiplication — no
+    // division or float anywhere
+    "q_event_anomaly" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS h,
+        |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS sq
+        |  FROM hourly GROUP BY 1)
+        |SELECT hourly.event_type, hourly.hour, hourly.n,
+        |  CAST((h * n - s) * (h * n - s) AS BIGINT) AS dev_num,
+        |  CAST(h * sq - s * s AS BIGINT) AS var_num,
+        |  (h * n - s) * (h * n - s) > 4 * (h * sq - s * s) AS is_anomaly
+        |FROM hourly JOIN st ON st.event_type = hourly.event_type""".stripMargin,
+
     // Kneser-Ney continuation counts: distinct-pair pre-dedup then
     // algebraic type counts
     "q_kn_counts" ->

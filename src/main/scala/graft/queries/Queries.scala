@@ -1454,6 +1454,85 @@ object Queries {
     TextOps.invertedIndex(docs(spark, dir), "doc_id", "text")
       .orderBy("term", "doc_id")
 
+  /** The CSV-hostile payload both round-trip queries ship through their
+    * container format: the document text plus an embedded comma, doubled
+    * quotes, a newline and a doc_id-varying tail — the characters that
+    * break naive writers. Closed-form in doc_id, so the oracle recomputes
+    * the digest without ever seeing the container file.
+    */
+  private def hostilePayload: Column =
+    F.concat(F.col("text"), F.lit(", \"q\"\n#"), (F.col("doc_id") % 7).cast("string"))
+
+  /** CSV container round-trip — the source/sink surface check: write the
+    * hostile payload as RFC 4180 CSV (quote-doubling escape, multiLine
+    * read), read it back with an explicit schema, and emit per-row content
+    * digests. The oracle computes the SAME digests closed-form from the
+    * parquet table — any quoting/escaping loss in either direction flips
+    * the hash. Scale shape: write and read parallelize across files, but
+    * `multiLine` makes each FILE the split unit (quoted newlines defeat
+    * line splitting — the known CSV-at-scale cost, and exactly why the
+    * JSONL twin of this query is the recommended interchange shape); the
+    * digest projection is zero-shuffle.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv-rt").toString
+    docs(spark, dir)
+      .select(F.col("doc_id"), hostilePayload.as("payload"), F.col("lang"))
+      .write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(tmp)
+    spark.read
+      .schema("doc_id LONG, payload STRING, lang STRING")
+      .option("header", "true").option("escape", "\"").option("multiLine", "true")
+      .csv(tmp)
+      .select(F.col("doc_id"), F.md5(F.col("payload")).as("payload_md5"),
+        F.length(F.col("payload")).cast("long").as("payload_len"), F.col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** JSON-lines container round-trip — same contract as [[csvRoundtrip]]
+    * over the other interchange format crawl pipelines actually ship
+    * (JSONL): native string escaping must preserve the hostile payload
+    * byte-for-byte through write + schema'd read.
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json-rt").toString
+    docs(spark, dir)
+      .select(F.col("doc_id"), hostilePayload.as("payload"), F.col("lang"))
+      .write.mode("overwrite").json(tmp)
+    spark.read
+      .schema("doc_id LONG, payload STRING, lang STRING")
+      .json(tmp)
+      .select(F.col("doc_id"), F.md5(F.col("payload")).as("payload_md5"),
+        F.length(F.col("payload")).cast("long").as("payload_len"), F.col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Engine-exact event-rate anomaly flags — the monitoring primitive over
+    * the hourly event stream: per event type, hourly counts n against the
+    * type's own hourly distribution, flagged when z² > 4 — evaluated as
+    * pure integer cross-multiplication
+    * `(H·n − S)² > 4·(H·SQ − S²)` with H = #hours, S = Σn, SQ = Σn²
+    * (z² = (H·n−S)²/(H·SQ−S²) exactly; no division, no float, so flags are
+    * bit-identical cross-engine). Group spaces: (type, hour) then type —
+    * both vocabulary-sized, all aggregations algebraic.
+    */
+  def eventAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(F.col("event_type"), F.date_trunc("hour", F.col("ts")).as("hour"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(F.count(F.lit(1)).as("h"),
+        F.sum("n").as("s"),
+        F.sum(F.col("n") * F.col("n")).as("sq"))
+    hourly.join(stats, "event_type")
+      .withColumn("dev_num", F.expr("(h * n - s) * (h * n - s)"))
+      .withColumn("var_num", F.expr("h * sq - s * s"))
+      .withColumn("is_anomaly", F.expr("dev_num > 4 * var_num"))
+      .select("event_type", "hour", "n", "dev_num", "var_num", "is_anomaly")
+      .orderBy("event_type", "hour")
+  }
+
   /** Kneser-Ney continuation counts per token (see
     * [[TextOps.knContinuationCounts]]).
     */

@@ -682,8 +682,12 @@ object TextOps {
       val pair = top(0).getString(0)
       val merged = pair.replace(' ', '_')
       chosen += pair
+      // localCheckpoint truncates lineage so round r+1's count scans the
+      // REWRITTEN state once instead of replaying all prior rewrites
+      // (O(rounds) total scans, not O(rounds²))
       state = state.withColumn("s",
         F.trim(F.expr(s"replace(concat(' ', s, ' '), ' $pair ', ' $merged ')")))
+        .localCheckpoint()
     }
     val withMerges = chosen.zipWithIndex.foldLeft(state) {
       case (acc, (p, i)) => acc.withColumn(s"m${i + 1}", F.lit(p))

@@ -502,4 +502,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Bucketed: true") || plan.contains("SelectedBucketsCount"),
       s"scan does not read bucket layout:\n$plan")
   }
+
+  test("event anomaly: algebraic two-level rollup — no window, partial aggs") {
+    val plan = planOf(Queries.eventAnomaly(spark, dir))
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(plan.contains("partial"), s"no map-side partial aggregate:\n$plan")
+  }
+
+  test("KN continuation counts: distinct-pair pre-dedup, never a " +
+    "count_distinct Expand") {
+    val plan = planOf(Queries.knCounts(spark, dir))
+    assert(!plan.contains("Expand"), s"count_distinct Expand in plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+  }
+
+  test("index size estimate: algebraic from (df, universe) — no window, " +
+    "no gap materialization join") {
+    val plan = planOf(Queries.indexSize(spark, dir))
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in plan:\n$plan")
+  }
 }
