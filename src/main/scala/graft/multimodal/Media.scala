@@ -355,6 +355,59 @@ object Media {
     rows.mapPartitions(_.map(r => decodeAudio(r.id, r.kind, r.payload)))
   }
 
+  /** Windowed PCM features over the DECODED channel-0 sample stream: the
+    * frame range splits into `nWin` equal windows (`win = f * nWin / nf`,
+    * integer division — window `nWin-1` absorbs the remainder frames), and
+    * each window reports frame count, summed absolute amplitude, peak
+    * absolute amplitude, and sign-change count. A sign change between the
+    * last frame of window w-1 and the first frame of w is attributed to w.
+    * All values are exact integers read from the real decoded stream in its
+    * own byte order, so the SQL oracle recomputes them from the generation
+    * rule without floating point — a fake decode fails on every column.
+    */
+  final case class AudioWin(
+      id: Long, win: Int, n: Long, abs_energy: Long, peak: Int, zero_cross: Long)
+
+  def audioWindowFeatures(rows: Dataset[MediaRow], nWin: Int = 4): Dataset[AudioWin] = {
+    import javax.sound.sampled.AudioSystem
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.mapPartitions(_.flatMap { r =>
+      try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+        try {
+          val fmt = ais.getFormat
+          val ch = fmt.getChannels
+          val nf = ais.getFrameLength.toInt
+          val data = ais.readAllBytes()
+          def sample(f: Int): Int = {
+            val off = f * ch * 2
+            if (fmt.isBigEndian) (data(off) << 8) | (data(off + 1) & 0xff)
+            else (data(off + 1) << 8) | (data(off) & 0xff)
+          }
+          val n = new Array[Long](nWin)
+          val energy = new Array[Long](nWin)
+          val peak = new Array[Int](nWin)
+          val cross = new Array[Long](nWin)
+          var prev = 0
+          var f = 0
+          while (f < nf) {
+            val v = sample(f)
+            val w = (f.toLong * nWin / nf).toInt
+            n(w) += 1
+            energy(w) += math.abs(v)
+            if (math.abs(v) > peak(w)) peak(w) = math.abs(v)
+            if (f > 0 && ((v < 0) != (prev < 0))) cross(w) += 1
+            prev = v
+            f += 1
+          }
+          (0 until nWin).iterator.filter(n(_) > 0)
+            .map(w => AudioWin(r.id, w, n(w), energy(w), peak(w), cross(w)))
+        } finally ais.close()
+      } catch { case _: Exception => Iterator.empty }
+    })
+  }
+
   /** Byte-offset frame sampling over OPAQUE payloads (true video codecs do
     * not ship with the JDK): `1 + n_bytes % 8` sample points, checksum =
     * the actual byte at each offset — the explode shape of a container-level

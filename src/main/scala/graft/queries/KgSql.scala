@@ -189,6 +189,19 @@ object KgSql {
        |  lang AS "oLang", dt AS "oDt", url AS "srcUrl"
        |FROM tr""".stripMargin
 
+  /** Oracle for Queries.kgPropTable: the RDF property-table pivot — per
+    * entity subject, one conditional-min column per pinned predicate plus
+    * the statement count. Same algebraic shape on both engines.
+    */
+  val propTableSql: String =
+    s"WITH $triplesCtes\n" +
+    s"""SELECT s AS subject,
+       |  min(CASE WHEN p = '${Dict.dbo}birthYear' THEN o END) AS birth_year,
+       |  min(CASE WHEN p = '${Dict.rdfs}label' THEN o END) AS label,
+       |  min(CASE WHEN p = '${Dict.schemaNs}mainEntityOfPage' THEN o END) AS page,
+       |  CAST(count(*) AS BIGINT) AS n_stmts
+       |FROM tr WHERE k_s = 0 GROUP BY 1""".stripMargin
+
   /** Oracle for Queries.kgSummary: alias-level normalization + group count.
     *
     * The alias CASEs mirror the registry outcome for THIS corpus, which is

@@ -476,6 +476,7 @@ object Oracles {
     "q_kg_mentions" -> KgSql.mentionsSql,
     "q_el_priors" -> KgSql.elPriorSql,
     "q_kg_triples" -> KgSql.triplesSql,
+    "q_kg_prop_table" -> KgSql.propTableSql,
     "q_kg_bgp" -> KgSql.bgpSql,
     "q_kg_summary" -> KgSql.summarySql,
     "q_kg_domain_range" -> KgSql.domainRangeSql,
@@ -754,6 +755,92 @@ object Oracles {
         |  CAST(h * sq - s * s AS BIGINT) AS var_num,
         |  (h * n - s) * (h * n - s) > 4 * (h * sq - s * s) AS is_anomaly
         |FROM hourly JOIN st ON st.event_type = hourly.event_type""".stripMargin,
+
+    // weekly retention cohorts: per-user min week, distinct activity set,
+    // integer per-mille of the cohort size — all-integer, engine-exact
+    "q_retention_cohorts" ->
+      """WITH f AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort,
+        |    CAST(date_diff('day', f.cohort,
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS week_offset
+        |  FROM events e JOIN f USING (user_id)),
+        |s AS (SELECT cohort, count(*) AS cu FROM a WHERE week_offset = 0
+        |  GROUP BY 1)
+        |SELECT a.cohort, a.week_offset, CAST(count(*) AS BIGINT) AS active_users,
+        |  CAST(count(*) * 1000 // s.cu AS BIGINT) AS retention_pm
+        |FROM a JOIN s USING (cohort) GROUP BY 1, 2, s.cu""".stripMargin,
+
+    // MERGE/upsert: the delta is closed-form in the snapshot, the merge is
+    // one FULL OUTER JOIN + coalesce on both engines
+    "q_merge_upsert" ->
+      """WITH b AS (SELECT doc_id, text, lang FROM documents),
+        |u AS (SELECT doc_id, text || ' [rev2]' AS text, lang FROM b
+        |  WHERE doc_id % 10 = 0),
+        |i AS (SELECT doc_id + 1000000 AS doc_id,
+        |    'fresh crawl ' || doc_id AS text, 'en' AS lang
+        |  FROM b WHERE doc_id % 7 = 3),
+        |d AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+        |SELECT doc_id, md5(coalesce(d.text, b.text)) AS text_md5,
+        |  coalesce(d.lang, b.lang) AS lang,
+        |  CASE WHEN d.text IS NOT NULL AND b.text IS NOT NULL THEN 'updated'
+        |       WHEN b.text IS NULL THEN 'inserted' ELSE 'kept' END AS op
+        |FROM b FULL OUTER JOIN d USING (doc_id)""".stripMargin,
+
+    // salted join parity: the oracle is the PLAIN unsalted join — salting
+    // must change the shuffle distribution and nothing else
+    "q_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT event_type,
+        |    CAST(length(event_type) AS BIGINT) AS type_weight FROM events)
+        |SELECT e.event_type, dim.type_weight, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(e.user_id) AS BIGINT) AS user_sum
+        |FROM events e JOIN dim USING (event_type) GROUP BY 1, 2""".stripMargin,
+
+    // windowed PCM features: the generation rule expanded over a frame
+    // series the oracle builds itself — every column is an exact integer
+    // from decoded samples; win = f*4/nf, crossings attributed to the
+    // window of the LATER frame
+    "q_audio_energy" ->
+      """WITH m AS (SELECT doc_id AS id, 256 + (doc_id * 7) % 512 AS nf
+        |  FROM documents),
+        |s AS (SELECT id, nf, f,
+        |    (id * 31 + f * 17) % 65536 - 32768 AS v,
+        |    CASE WHEN f = 0 THEN NULL
+        |         ELSE (id * 31 + (f - 1) * 17) % 65536 - 32768 END AS pv,
+        |    CAST(f * 4 // nf AS INT) AS win
+        |  FROM m, LATERAL (SELECT unnest(range(0, CAST(nf AS BIGINT))) AS f) t)
+        |SELECT id, win, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(abs(v)) AS BIGINT) AS abs_energy,
+        |  CAST(max(abs(v)) AS INT) AS peak,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // integer readability profile: same sentence-run and token contracts as
+    // q_text_sentences / q_text_tokens, per-mille composites via integer
+    // division — engine-exact throughout
+    "q_text_readability" ->
+      s"""WITH a AS (SELECT doc_id, text,
+         |    'Dr. No!! ' || replace(text, ' data ', '. Data? ')
+         |      || chr(10) || 'Last line has no terminator' AS aug
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(aug, '[^.!?]*[.!?]+\\s*|[^.!?]+$$'))
+         |      AS BIGINT) AS n_sents,
+         |    CAST(${tokCountSql("text")} AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS BIGINT)
+         |      AS n_vowel_groups,
+         |    CAST(len(list_filter(${toksSql("text")}, x -> len(x) >= 7))
+         |      AS BIGINT) AS n_long_words
+         |  FROM a)
+         |SELECT doc_id, n_sents, n_words, n_vowel_groups, n_long_words,
+         |  CAST(n_words * 1000 // greatest(n_sents, 1)
+         |    + n_vowel_groups * 1000 // greatest(n_words, 1) AS BIGINT)
+         |    AS reading_pm,
+         |  CAST(n_long_words * 1000 // greatest(n_words, 1) AS BIGINT)
+         |    AS long_pm
+         |FROM c""".stripMargin,
 
     // Kneser-Ney continuation counts: distinct-pair pre-dedup then
     // algebraic type counts

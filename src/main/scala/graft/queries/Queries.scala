@@ -546,6 +546,26 @@ object Queries {
       .extractTriples(graft.extract.Synth.pages(spark, kgPageCount(spark, dir)))
       .toDF()
 
+  /** RDF property-table pivot — the classic columnar KG layout (one row per
+    * entity, one column per pinned predicate) materialized from the triple
+    * table with conditional algebraic MINs: one groupBy on subject, group
+    * space = entities, no window, no per-predicate self-joins (the naive
+    * layout would join the triple table once per column). Multi-valued
+    * predicates collapse to their min — the documented property-table
+    * contract.
+    */
+  def kgPropTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.extract.Dict
+    kgTriples(spark, dir).filter(F.col("sKind") === 0)
+      .groupBy(F.col("s").as("subject"))
+      .agg(
+        F.min(F.when(F.col("p") === Dict.dbo + "birthYear", F.col("o"))).as("birth_year"),
+        F.min(F.when(F.col("p") === Dict.rdfs + "label", F.col("o"))).as("label"),
+        F.min(F.when(F.col("p") === Dict.schemaNs + "mainEntityOfPage", F.col("o"))).as("page"),
+        F.count(F.lit(1)).as("n_stmts"))
+      .orderBy("subject")
+  }
+
   /** Per-entity degree statistics over the materialized triple table
     * (value oracle in [[KgSql.degreesSql]]).
     */
@@ -1533,6 +1553,90 @@ object Queries {
       .orderBy("event_type", "hour")
   }
 
+  /** Weekly retention cohorts over the event stream — the product-analytics
+    * staple: users grouped by first-seen week, activity counted per
+    * (cohort, week offset), retention as integer per-mille of the cohort
+    * size. Scale shape: the first-event table is an algebraic per-user min;
+    * the activity set is a map-side-partial DISTINCT on (user, cohort,
+    * offset) — never a per-user window — and the final group space is
+    * weeks², joined to the weeks-sized cohort sizes via broadcast. Integer
+    * division keeps the per-mille bit-identical across engines.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val first = ev.groupBy("user_id")
+      .agg(F.date_trunc("week", F.min("ts")).cast("date").as("cohort"))
+    val act = ev.join(first, "user_id")
+      .select(F.col("user_id"), F.col("cohort"),
+        (F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+          F.col("cohort")) / 7).cast("int").as("week_offset"))
+      .distinct()
+    val sizes = act.filter(F.col("week_offset") === 0)
+      .groupBy("cohort").agg(F.count(F.lit(1)).as("cu"))
+    act.groupBy("cohort", "week_offset")
+      .agg(F.count(F.lit(1)).as("active_users"))
+      .join(F.broadcast(sizes), "cohort")
+      .select(F.col("cohort"), F.col("week_offset"), F.col("active_users"),
+        F.expr("CAST(active_users * 1000 DIV cu AS BIGINT)").as("retention_pm"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** MERGE/upsert over the document snapshot — the table-maintenance
+    * primitive (SQL MERGE, Iceberg/Delta upsert) expressed as ONE full
+    * outer join on the key plus coalesce: matched rows take the delta's
+    * values ("updated"), unmatched delta rows append ("inserted"), the
+    * rest carry over ("kept"). The delta here is derived deterministically
+    * from the snapshot (revisions for doc_id % 10 == 0, fresh crawls keyed
+    * above the id space) so the oracle rebuilds it closed-form. Scale
+    * shape: one key-partitioned shuffle join; real deltas are orders of
+    * magnitude smaller than the base, so AQE broadcasts them and the base
+    * never shuffles.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text", "lang")
+    val upd = base.filter(F.col("doc_id") % 10 === 0)
+      .select(F.col("doc_id"),
+        F.concat(F.col("text"), F.lit(" [rev2]")).as("text"), F.col("lang"))
+    val ins = base.filter(F.col("doc_id") % 7 === 3)
+      .select((F.col("doc_id") + 1000000).as("doc_id"),
+        F.concat(F.lit("fresh crawl "), F.col("doc_id").cast("string")).as("text"),
+        F.lit("en").as("lang"))
+    val delta = upd.unionByName(ins)
+    base.alias("b").join(delta.alias("d"), Seq("doc_id"), "full_outer")
+      .select(F.col("doc_id"),
+        F.md5(F.coalesce(F.col("d.text"), F.col("b.text"))).as("text_md5"),
+        F.coalesce(F.col("d.lang"), F.col("b.lang")).as("lang"),
+        F.when(F.col("d.text").isNotNull && F.col("b.text").isNotNull, "updated")
+          .when(F.col("b.text").isNull, "inserted")
+          .otherwise("kept").as("op"))
+      .orderBy("doc_id")
+  }
+
+  /** Salted dimension join on the zipf-hot event-type key — the explicit
+    * skew-defusal pattern for when BOTH join sides are too large to
+    * broadcast: the dimension replicates across `S` salt values, the fact
+    * side picks its salt by hash, and the hot key's rows spread over `S`
+    * reducers instead of one. The shuffle-hash hint forces the shuffled
+    * join this pattern exists for (a broadcastable dim would simply be
+    * broadcast — that case is q_join_broadcast); the oracle is the PLAIN
+    * unsalted join, so the query proves salting changes the distribution
+    * and nothing else. PlanSpec pins no-BroadcastHashJoin.
+    */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val S = 16
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val dim = ev.select("event_type").distinct()
+      .withColumn("type_weight", F.length(F.col("event_type")).cast("long"))
+    val dimSalted = dim.withColumn(
+      "salt", F.explode(F.lit((0 until S).toArray)))
+    val factSalted = ev.withColumn(
+      "salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(S)).cast("int"))
+    factSalted.join(dimSalted.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy("event_type", "type_weight")
+      .agg(F.count(F.lit(1)).as("n"), F.sum("user_id").as("user_sum"))
+      .orderBy("event_type")
+  }
+
   /** Kneser-Ney continuation counts per token (see
     * [[TextOps.knContinuationCounts]]).
     */
@@ -1778,6 +1882,22 @@ object Queries {
       .select("id", "format", "sample_rate", "channels", "n_frames",
         "s0", "s_mid", "s_last")
       .orderBy("id")
+  }
+
+  /** Windowed PCM features from REAL audio decode
+    * ([[Media.audioWindowFeatures]]): per quarter of the decoded channel-0
+    * stream — frame count, summed |amplitude|, peak |amplitude|, sign
+    * changes. The oracle recomputes every integer from the generation rule
+    * over a frame series it expands itself; a header-only "decode" cannot
+    * produce any of the four feature columns.
+    */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = docs(spark, dir).select(F.col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map(id => Media.MediaRow(id, Media.encodeAudio(id), "audio"))
+    Media.audioWindowFeatures(rows, nWin = 4).toDF()
+      .orderBy("id", "win")
   }
 
   // ---------------------------------------------------------------------------
@@ -2822,6 +2942,22 @@ object Queries {
         F.col("raw_len"), F.md5(F.col("sentence")).as("sent_md5"),
         F.length(F.col("sentence")).cast("long").as("sent_len"))
       .orderBy("doc_id", "sent_idx")
+  }
+
+  /** Integer readability profile ([[TextOps.readability]]) — sentence count
+    * over the same augmented text as [[textSentences]] (the raw synthetic
+    * corpus has no terminators), word/vowel-group/long-word counts over the
+    * raw text, per-mille composites in exact integer division.
+    */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val aug = F.concat(
+      F.lit("Dr. No!! "),
+      F.expr("replace(text, ' data ', '. Data? ')"),
+      F.lit("\nLast line has no terminator"))
+    TextOps.readability(
+      docs(spark, dir).select(F.col("doc_id"), F.col("text"), aug.as("aug")),
+      "doc_id", "text", "aug")
+      .orderBy("doc_id")
   }
 
   /** Bitext candidate mining by URL structure

@@ -522,4 +522,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window in plan:\n$plan")
     assert(!plan.contains("Join"), s"unexpected join in plan:\n$plan")
   }
+
+  test("salted join: shuffled join on the salted key, never broadcast") {
+    val plan = planOf(Queries.saltedJoin(spark, dir))
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"broadcast defeats the salting demo:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"no shuffled join:\n$plan")
+    assert(plan.contains("salt"), s"salt not in the join keys:\n$plan")
+  }
+
+  test("retention cohorts: distinct pre-dedup + algebraic aggs — " +
+    "no window, no count_distinct Expand") {
+    val plan = planOf(Queries.retentionCohorts(spark, dir))
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Expand"), s"count_distinct Expand in plan:\n$plan")
+  }
+
+  test("kg property table: ONE subject-keyed aggregate, no per-predicate " +
+    "self-joins, no Expand") {
+    val plan = planOf(Queries.kgPropTable(spark, dir))
+    assert(!plan.contains("Expand"), s"count_distinct Expand in plan:\n$plan")
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    // conditional-min pivot: the triple relation is scanned once — the
+    // naive layout joins the triple table once per property column
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"per-predicate join in plan:\n$plan")
+  }
 }

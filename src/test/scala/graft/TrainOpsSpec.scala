@@ -271,6 +271,41 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(Media.extractAudioMeta(junk).collect().head.format == "undecodable")
   }
 
+  test("multimodal: windowed PCM features match a straight-line recompute") {
+    // both containers/byte orders; compare every window's features against
+    // a scalar fold of the generation rule (win = f*4/nf, crossings
+    // attributed to the later frame's window)
+    val ids = Seq(4L, 9L, 256L)
+    val rows = ids.map(id =>
+      Media.MediaRow(id, Media.encodeAudio(id), "audio")).toDS()
+    val got = Media.audioWindowFeatures(rows, nWin = 4).collect()
+      .map(w => (w.id, w.win) -> w).toMap
+    ids.foreach { id =>
+      val nf = Media.genAudioFrames(id)
+      val n = new Array[Long](4)
+      val e = new Array[Long](4)
+      val pk = new Array[Int](4)
+      val zc = new Array[Long](4)
+      var prev = 0
+      for (f <- 0 until nf) {
+        val v = Media.genSample(id, f, 0)
+        val w = (f.toLong * 4 / nf).toInt
+        n(w) += 1; e(w) += math.abs(v)
+        if (math.abs(v) > pk(w)) pk(w) = math.abs(v)
+        if (f > 0 && ((v < 0) != (prev < 0))) zc(w) += 1
+        prev = v
+      }
+      for (w <- 0 until 4) {
+        val g = got((id, w))
+        assert(g.n == n(w) && g.abs_energy == e(w) &&
+          g.peak == pk(w) && g.zero_cross == zc(w), s"id=$id w=$w")
+      }
+    }
+    // undecodable payloads produce no feature rows (observable absence)
+    val junk = Seq(Media.MediaRow(1L, Array[Byte](1, 2, 3), "audio")).toDS()
+    assert(Media.audioWindowFeatures(junk).collect().isEmpty)
+  }
+
   test("unigramLogProb matches a hand-computed corpus model") {
     import graft.textops.TextOps
     // corpus: a a a b -> p(a)=3/4, p(b)=1/4
