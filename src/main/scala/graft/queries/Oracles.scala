@@ -788,6 +788,66 @@ object Oracles {
         |       WHEN b.text IS NULL THEN 'inserted' ELSE 'kept' END AS op
         |FROM b FULL OUTER JOIN d USING (doc_id)""".stripMargin,
 
+    // Iceberg-class manifest pruning: file-level min/max stats + the
+    // inclusive-projection verdict + ground-truth match counts
+    "q_partition_prune" ->
+      """SELECT CAST(doc_id % 16 AS INT) AS file_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  min(lang) AS min_lang, max(lang) AS max_lang,
+        |  (min(lang) <= 'en' AND 'en' <= max(lang)
+        |    AND max(n_chars) >= 500 AND min(n_chars) <= 2000) AS must_read,
+        |  CAST(sum(CASE WHEN lang = 'en' AND n_chars BETWEEN 500 AND 2000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // hopping windows: the 4-overlapping-window assignment expanded from
+    // epoch arithmetic (w=3600s, s=900s, epoch-0 aligned, UTC session)
+    "q_hopping_window" ->
+      """WITH k AS (SELECT unnest(range(0, 4)) AS k),
+        |w AS (SELECT e.event_type, e.user_id,
+        |    TIMESTAMP '1970-01-01 00:00:00'
+        |      + ((CAST(floor(epoch(e.ts)) AS BIGINT) // 900 - k.k) * 900)
+        |        * INTERVAL 1 SECOND AS wstart
+        |  FROM events e, k)
+        |SELECT wstart, wstart + INTERVAL 3600 SECOND AS wend, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_hopping" ->
+      """WITH k AS (SELECT unnest(range(0, 4)) AS k),
+        |w AS (SELECT e.event_type, e.user_id,
+        |    TIMESTAMP '1970-01-01 00:00:00'
+        |      + ((CAST(floor(epoch(e.ts)) AS BIGINT) // 900 - k.k) * 900)
+        |        * INTERVAL 1 SECOND AS wstart
+        |  FROM events e, k)
+        |SELECT wstart, wstart + INTERVAL 3600 SECOND AS wend, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    // collocation lift: integer PMI transform, support filter before joins
+    "q_colloc_lift" ->
+      s"""WITH toks AS (SELECT ${toksSql("text")} AS toks FROM documents),
+         |uni AS (SELECT u.tok, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM toks, UNNEST(toks) AS u(tok) GROUP BY 1),
+         |pr AS (SELECT toks[CAST(r.i AS INT)] AS a,
+         |    toks[CAST(r.i AS INT) + 1] AS b
+         |  FROM toks, UNNEST(range(1, len(toks))) AS r(i)
+         |  WHERE len(toks) >= 2),
+         |pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM pr
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |t AS (SELECT CAST(sum(len(toks) - 1) AS BIGINT) AS t_pairs
+         |  FROM toks WHERE len(toks) >= 2)
+         |SELECT pc.a, pc.b, pc.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+         |  CAST(pc.n_ab * t.t_pairs * 1000 // (ua.n_tok * ub.n_tok) AS BIGINT)
+         |    AS lift_pm
+         |FROM pc
+         |JOIN uni ua ON ua.tok = pc.a
+         |JOIN uni ub ON ub.tok = pc.b
+         |CROSS JOIN t""".stripMargin,
+
     // salted join parity: the oracle is the PLAIN unsalted join — salting
     // must change the shuffle distribution and nothing else
     "q_salted_join" ->

@@ -1612,6 +1612,83 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Iceberg-class manifest pruning — scan planning from file-level column
+    * stats, the mechanism that lets a 100-TB table answer a selective query
+    * by reading a handful of files: per file (deterministic doc_id → file
+    * assignment), min/max bounds for the filter columns plus the pruning
+    * verdict for `lang = 'en' AND n_chars BETWEEN 500 AND 2000` (a file
+    * must be read iff the predicate's ranges overlap its bounds — exactly
+    * Iceberg's inclusive-projection residual). `n_matching` is the ground
+    * truth: any file with matches MUST have must_read = true (pruning is
+    * sound), which LayoutSpec pins. One algebraic groupBy, group space =
+    * files.
+    */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("file_id", (F.col("doc_id") % 16).cast("int"))
+      .groupBy("file_id")
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.min("n_chars").as("min_chars"), F.max("n_chars").as("max_chars"),
+        F.min("lang").as("min_lang"), F.max("lang").as("max_lang"),
+        F.sum(F.when(F.col("lang") === "en" &&
+          F.col("n_chars").between(500, 2000), 1L).otherwise(0L)).as("n_matching"))
+      .withColumn("must_read",
+        F.col("min_lang") <= F.lit("en") && F.lit("en") <= F.col("max_lang") &&
+          F.col("max_chars") >= 500 && F.col("min_chars") <= 2000)
+      .select("file_id", "n_rows", "min_chars", "max_chars", "min_lang",
+        "max_lang", "must_read", "n_matching")
+      .orderBy("file_id")
+
+  /** Hopping (sliding) window aggregation — each event contributes to
+    * windowDuration/slideDuration = 4 overlapping windows via Spark's
+    * native `window(ts, "60 minutes", "15 minutes")` explode; counts and
+    * the integer user-id checksum per (window, type). The oracle expands
+    * the same 4-window assignment from epoch arithmetic. Completes the
+    * batch window-type matrix beside tumbling (q_window_events) and
+    * session (q_session_window).
+    */
+  def hoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(F.window(F.col("ts"), "60 minutes", "15 minutes"),
+        F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("user_id").as("user_sum"))
+      .select(F.col("window.start").as("wstart"), F.col("window.end").as("wend"),
+        F.col("event_type"), F.col("n_events"), F.col("user_sum"))
+      .orderBy("wstart", "event_type")
+
+  /** The hopping-window aggregation drained as a genuine STREAM
+    * ([[graft.streaming.EventStream.startMemoryHopping]]): events staged as
+    * 8 parquet segments, 2-file micro-batches, Complete mode — window
+    * fragments arriving in different micro-batches must combine through
+    * the state store to match the batch twin, which the SAME oracle SQL as
+    * [[hoppingWindow]] checks.
+    */
+  def streamHopping(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-hop").toString
+    spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", F.lit(null).cast("string"))
+      .repartition(8).write.mode("overwrite").parquet(stage)
+    val name = "stream_hop_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStream.startMemoryHopping(
+      spark, stage, name, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    spark.table(name)
+      .select(F.col("wstart").cast("timestamp_ntz").as("wstart"),
+        F.col("wend").cast("timestamp_ntz").as("wend"),
+        F.col("event_type"), F.col("n_events"), F.col("user_sum"))
+      .orderBy("wstart", "event_type")
+  }
+
+  /** Bigram collocation mining by integer lift
+    * ([[TextOps.collocationLift]], min support 5) — the engine-exact PMI
+    * ranking; support filter BEFORE any join, unigrams and the one-row
+    * total broadcast.
+    */
+  def collocLift(spark: SparkSession, dir: String): DataFrame =
+    TextOps.collocationLift(docs(spark, dir), "text", minCount = 5L)
+      .orderBy("a", "b")
+
   /** Salted dimension join on the zipf-hot event-type key — the explicit
     * skew-defusal pattern for when BOTH join sides are too large to
     * broadcast: the dimension replicates across `S` salt values, the fact

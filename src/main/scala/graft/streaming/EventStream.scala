@@ -194,6 +194,44 @@ object EventStream {
       .start()
   }
 
+  /** Hopping (sliding) window aggregation as a genuine stream: every event
+    * lands in windowDuration/slideDuration overlapping windows (4 here),
+    * the one window class [[windowedCounts]] (tumbling) and
+    * [[startMemorySessionWindows]] (session) do not cover. Complete output
+    * mode re-emits the merged-so-far counts each micro-batch, so events of
+    * one window arriving in different micro-batches MUST combine through
+    * the state store to match the batch run — the driver's oracle (the
+    * same SQL as the batch twin) checks exactly that.
+    *
+    * Scale shape: state is |windows in horizon| × |event_type| rows —
+    * watermarking bounds the horizon in a production continuous run; the
+    * overlap factor multiplies shuffle rows by w/s, which is why slide
+    * ratios are kept small (4 here).
+    */
+  def startMemoryHopping(
+      spark: SparkSession,
+      stageDir: String,
+      queryName: String,
+      maxFilesPerTrigger: Int
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stageDir)
+    src
+      .groupBy(F.window(F.col("ts"), "60 minutes", "15 minutes"),
+        F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("user_id").as("user_sum"))
+      .select(F.col("window.start").as("wstart"),
+        F.col("window.end").as("wend"),
+        F.col("event_type"), F.col("n_events"), F.col("user_sum"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-static enrichment — the production shape of dimension lookup on
     * a live stream (clickstream × customer table, crawl stream × domain
     * policy table): the static side is a plain batch DataFrame re-resolved

@@ -591,6 +591,49 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Bigram collocation mining by integer lift — the phrase-discovery
+    * staple ("new york", "machine learning") with the PMI ranking
+    * re-expressed in engine-exact arithmetic: per adjacent token pair,
+    * `lift_pm = n_ab * T * 1000 DIV (n_a * n_b)` (T = total adjacent
+    * pairs), the monotone integer transform of pointwise mutual
+    * information — no transcendental log, so the ranking is bit-identical
+    * across engines. Scale shape: pair counts are one map-side-partial
+    * aggregation with the `minCount` support filter applied BEFORE any
+    * join (the zipf tail never joins); unigram counts and the one-row
+    * total ride broadcasts, so the surviving pairs never shuffle again.
+    * Range note: the int64 product caps corpora at n_ab·T·1000 < 2^63 —
+    * beyond ~10^15 pairs, lift the products to DECIMAL(38,0) on both
+    * engines.
+    */
+  def collocationLift(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minCount: Long
+  ): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = df.select(tokens(F.col(textCol)).as("toks"))
+    val uni = toks.select(F.explode(F.col("toks")).as("tok"))
+      .groupBy("tok").agg(F.count(F.lit(1)).as("n_tok"))
+    val multi = toks.filter(F.size(F.col("toks")) >= 2)
+    val pairs = multi
+      .select(F.explode(F.zip_with(
+        F.slice(F.col("toks"), F.lit(1), F.size(F.col("toks")) - 1),
+        F.slice(F.col("toks"), F.lit(2), F.size(F.col("toks")) - 1),
+        (a, b) => F.struct(a.as("a"), b.as("b")))).as("p"))
+      .select(F.col("p.a").as("a"), F.col("p.b").as("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("n_ab"))
+      .filter(F.col("n_ab") >= minCount)
+    val total = multi.agg(
+      F.sum(F.size(F.col("toks")).cast("long") - 1L).as("t_pairs"))
+    pairs
+      .join(F.broadcast(uni.select(F.col("tok").as("a"), F.col("n_tok").as("n_a"))), "a")
+      .join(F.broadcast(uni.select(F.col("tok").as("b"), F.col("n_tok").as("n_b"))), "b")
+      .crossJoin(F.broadcast(total))
+      .withColumn("lift_pm",
+        F.expr("CAST(n_ab * t_pairs * 1000 DIV (n_a * n_b) AS BIGINT)"))
+      .select("a", "b", "n_ab", "n_a", "n_b", "lift_pm")
+  }
+
   /** Kneser-Ney continuation-count table — the smoothing statistics a
     * KN-smoothed n-gram LM needs beside raw frequencies: per token, the
     * unigram count, the number of distinct LEFT context types (how many

@@ -166,6 +166,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("hopping-window streaming drain combines cross-batch window " +
+    "fragments through the state store and equals the batch aggregation") {
+    import org.apache.spark.sql.{functions => F}
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", F.lit(null).cast("string"))
+    val dir = SparkSuite.tmpDir("hop-stream")
+    events.repartition(8).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventStream.startMemoryHopping(
+      spark, dir, "hop_stream_test", maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length > 1,
+      s"expected multiple micro-batches, got ${batches.length}")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(F.col("wstart").cast("string"), F.col("wend").cast("string"),
+          F.col("event_type"), F.col("n_events"), F.col("user_sum"))
+        .collect().map(_.toSeq).toSet
+    val batch = events
+      .groupBy(F.window(F.col("ts"), "60 minutes", "15 minutes"),
+        F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("user_id").as("user_sum"))
+      .select(F.col("window.start").as("wstart"), F.col("window.end").as("wend"),
+        F.col("event_type"), F.col("n_events"), F.col("user_sum"))
+    assert(norm(spark.table("hop_stream_test")) == norm(batch))
+  }
+
   test("native session_window streaming drain merges cross-batch sessions " +
     "through the state store and equals the batch aggregation") {
     import org.apache.spark.sql.{functions => F}

@@ -262,4 +262,24 @@ class WarcLayoutSpec extends AnyFunSuite {
       assert(r.payload_md5 == Warc.md5Hex(p), s"payload $i digest drift")
     }
   }
+
+  test("partitionPrune: stats pruning is SOUND (files with matches are " +
+    "always read) and actually prunes on the fixture corpus") {
+    val rows = graft.queries.Queries
+      .partitionPrune(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val mustRead = r.getAs[Boolean]("must_read")
+      val matching = r.getAs[Long]("n_matching")
+      assert(matching == 0 || mustRead,
+        s"UNSOUND prune: file ${r.getAs[Int]("file_id")} has $matching matches")
+      // verdict re-derivable from the published bounds (inclusive projection)
+      val expect = r.getAs[String]("min_lang") <= "en" &&
+        "en" <= r.getAs[String]("max_lang") &&
+        r.getAs[Long]("max_chars") >= 500 && r.getAs[Long]("min_chars") <= 2000
+      assert(mustRead == expect)
+    }
+    assert(rows.exists(!_.getAs[Boolean]("must_read")),
+      "fixture demonstrates no pruning — every file read")
+  }
 }
