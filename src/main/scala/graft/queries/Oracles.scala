@@ -827,6 +827,40 @@ object Oracles {
         |  CAST(sum(user_id) AS BIGINT) AS user_sum
         |FROM w GROUP BY 1, 2, 3""".stripMargin,
 
+    // append-mode watermark replay: batch maxima -> lagged eviction
+    // watermark -> late-filter -> final emission horizon, all exact ms
+    // integers (Spark's two-watermark rule, probe-pinned)
+    "q_stream_late" ->
+      """WITH base AS (SELECT event_id, ts, user_id, event_type,
+        |    ntile(8) OVER (ORDER BY ts, event_id) - 1 AS b_nat
+        |  FROM events),
+        |bb AS (SELECT *,
+        |    CAST((CASE WHEN event_id % 37 = 0 THEN (b_nat + 3) % 8
+        |          ELSE b_nat END) // 2 AS INT) AS batch,
+        |    epoch_ms(ts) AS ems,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 600 * 600 + 600) * 1000
+        |      AS wend_ms
+        |  FROM base),
+        |bm AS (SELECT batch, max(ems) AS bmax FROM bb GROUP BY 1),
+        |wmx AS (SELECT batch,
+        |    max(bmax) OVER (ORDER BY batch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600000
+        |      AS wm_evict
+        |  FROM bm),
+        |wl AS (SELECT batch, wm_evict,
+        |    lag(wm_evict) OVER (ORDER BY batch) AS wm_late FROM wmx),
+        |fin AS (SELECT max(bmax) - 600000 AS wm_final FROM bm),
+        |kept AS (SELECT bb.* FROM bb JOIN wl USING (batch)
+        |  WHERE wl.wm_late IS NULL OR bb.wend_ms > wl.wm_late)
+        |SELECT TIMESTAMP '1970-01-01 00:00:00'
+        |    + (kept.wend_ms // 1000 - 600) * INTERVAL 1 SECOND AS wstart,
+        |  TIMESTAMP '1970-01-01 00:00:00'
+        |    + (kept.wend_ms // 1000) * INTERVAL 1 SECOND AS wend,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum
+        |FROM kept, fin WHERE kept.wend_ms <= fin.wm_final
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     // collocation lift: integer PMI transform, support filter before joins
     "q_colloc_lift" ->
       s"""WITH toks AS (SELECT ${toksSql("text")} AS toks FROM documents),

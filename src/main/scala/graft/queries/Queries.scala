@@ -1680,6 +1680,54 @@ object Queries {
       .orderBy("wstart", "event_type")
   }
 
+  /** Append-mode watermarked window aggregation with REAL late-data drops
+    * ([[graft.streaming.EventStream.startMemoryLateWindows]]). The stage is
+    * 8 single-file segments with strictly increasing modification times
+    * (the file source orders by mtime — probe-pinned), contents assigned by
+    * `ntile(8)` over (ts, event_id) with every 37th event displaced
+    * `(bucket+3) % 8` — mostly time-ordered with deterministic stragglers
+    * AND deterministic early-future rows (the wrap), so the watermark
+    * genuinely advances past windows that then receive late rows. 2-file
+    * micro-batches → batch = bucket/2. The oracle REPLAYS Spark's pinned
+    * two-watermark rule in SQL (batch maxima → lagged eviction watermark →
+    * late-filter → final emission horizon), all in exact millisecond
+    * integers — so the drop set, the emission set, and every aggregate must
+    * match. The ntile staging sort is fixture scaffolding, not the
+    * operator.
+    */
+  def streamLate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-late")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-stream-late-tmp")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", F.lit(null).cast("string"))
+    val bNat = F.ntile(8).over(Window.orderBy("ts", "event_id")) - 1
+    val staged = ev.withColumn("b_nat", bNat)
+      .withColumn("bucket", F.when(F.col("event_id") % 37 === 0,
+        (F.col("b_nat") + 3) % 8).otherwise(F.col("b_nat")))
+      .localCheckpoint()
+    (0 until 8).foreach { k =>
+      val tmp = s"$tmpRoot/seg-$k"
+      staged.filter(F.col("bucket") === k).drop("b_nat", "bucket")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(stage.toFile, f"seg-$k%d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + k * 1000L)
+    }
+    val name = "stream_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStream.startMemoryLateWindows(
+      spark, stage.toString, name, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    spark.table(name)
+      .select(F.col("wstart").cast("timestamp_ntz").as("wstart"),
+        F.col("wend").cast("timestamp_ntz").as("wend"),
+        F.col("event_type"), F.col("n_events"), F.col("user_sum"))
+      .orderBy("wstart", "event_type")
+  }
+
   /** Bigram collocation mining by integer lift
     * ([[TextOps.collocationLift]], min support 5) — the engine-exact PMI
     * ranking; support filter BEFORE any join, unigrams and the one-row

@@ -232,6 +232,48 @@ object EventStream {
       .start()
   }
 
+  /** Watermarked tumbling-window aggregation in APPEND mode — the
+    * production late-data semantics the Complete-mode drains deliberately
+    * sidestep: rows whose window was already finalized are DROPPED (the
+    * state store never re-opens), and a window is emitted exactly once,
+    * when the event-time watermark passes its end. Both effects are
+    * deterministic under a controlled file→micro-batch schedule, which is
+    * what makes this oracle-able: Spark's two-watermark rule (pinned by
+    * WatermarkProbeMain) is
+    *   wmEvict(k) = max(event-time ms over batches 0..k-1) − delay,
+    *   late-filter of batch k uses wmEvict(k-1),
+    *   a window emits/evicts when window.end ≤ wmEvict (ms-floored),
+    *   and AvailableNow appends ONE no-data flush batch iff the last data
+    *   batch advanced the watermark (eager state eviction, default
+    *   `noDataMicroBatches.enabled`) — so the final emission horizon is
+    *   the GLOBAL event-time max minus the delay.
+    * State is bounded by the watermark horizon — the property that lets
+    * this run forever at 10^12 events/day where an unwatermarked
+    * aggregation would accrete state without bound.
+    */
+  def startMemoryLateWindows(
+      spark: SparkSession,
+      stageDir: String,
+      queryName: String,
+      maxFilesPerTrigger: Int
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stageDir)
+    src.withWatermark("ts", "10 minutes")
+      .groupBy(F.window(F.col("ts"), "10 minutes"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("user_id").as("user_sum"))
+      .select(F.col("window.start").as("wstart"),
+        F.col("window.end").as("wend"),
+        F.col("event_type"), F.col("n_events"), F.col("user_sum"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-static enrichment — the production shape of dimension lookup on
     * a live stream (clickstream × customer table, crawl stream × domain
     * policy table): the static side is a plain batch DataFrame re-resolved

@@ -166,6 +166,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("append-mode watermark: late rows drop, windows emit once at " +
+    "eviction, the trailing no-data batch flushes the final horizon") {
+    import org.apache.spark.sql.{functions => F}
+    // hand-built schedule (same as WatermarkProbeMain): one file per batch,
+    // minute offsets per file; delay 10 min, window 10 min
+    val buckets = Seq(Seq(2, 50), Seq(30, 39), Seq(35), Seq(70))
+    val stage = java.nio.file.Files.createTempDirectory("late-sem")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("late-sem-tmp")
+    buckets.zipWithIndex.foreach { case (mins, k) =>
+      val df = mins.toDF("min")
+        .select(F.col("min").cast("long").as("event_id"),
+          F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,min,0)").as("ts"),
+          F.lit(1L).as("user_id"), F.lit("x").as("event_type"),
+          F.lit(0.0).as("value"), F.lit(null).cast("string").as("props"))
+      val tmp = s"$tmpRoot/seg-$k"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(stage.toFile, s"seg-$k.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      assert(dest.setLastModified(1700000000000L + k * 1000L))
+    }
+    val q = graft.streaming.EventStream.startMemoryLateWindows(
+      spark, stage.toString, "late_sem_test", maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    // wmEvict(b1) = 00:50 − 10 = 00:40  →  [0,10) and [30,40) emit at b1
+    // (end == wm boundary INCLUSIVE); b2's 35 targets the evicted [30,40)
+    // → dropped; b3's 70 advances the final watermark to 01:00 via the
+    // no-data flush batch → [50,60) emits; [70,80) stays unflushed.
+    val got = spark.table("late_sem_test")
+      .select(F.col("wstart").cast("string"), F.col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00", 1L),
+      ("2024-01-01 00:30:00", 2L),
+      ("2024-01-01 00:50:00", 1L)), s"got $got")
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped == 1L, s"expected exactly the one late row dropped, got $dropped")
+  }
+
   test("hopping-window streaming drain combines cross-batch window " +
     "fragments through the state store and equals the batch aggregation") {
     import org.apache.spark.sql.{functions => F}
