@@ -827,6 +827,51 @@ object Oracles {
         |  CAST(sum(user_id) AS BIGINT) AS user_sum
         |FROM w GROUP BY 1, 2, 3""".stripMargin,
 
+    // update-mode history replay: per (window, type, batch) contributions,
+    // running sums over the batch order, one emitted row per contributing
+    // batch (cumulative counts strictly increase -> rows unique)
+    "q_stream_update" ->
+      """WITH e AS (SELECT *, CAST((event_id % 8) // 2 AS INT) AS batch,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS ws
+        |  FROM events),
+        |g AS (SELECT ws, event_type, batch, count(*) AS nb,
+        |    sum(user_id) AS ub
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT TIMESTAMP '1970-01-01 00:00:00' + ws * INTERVAL 1 SECOND
+        |    AS wstart,
+        |  TIMESTAMP '1970-01-01 00:00:00' + (ws + 3600) * INTERVAL 1 SECOND
+        |    AS wend,
+        |  event_type,
+        |  CAST(sum(nb) OVER (PARTITION BY ws, event_type ORDER BY batch)
+        |    AS BIGINT) AS n_events,
+        |  CAST(sum(ub) OVER (PARTITION BY ws, event_type ORDER BY batch)
+        |    AS BIGINT) AS user_sum
+        |FROM g""".stripMargin,
+
+    // mutual-kNN: both-direction top-5 membership from the all-pairs
+    // cosine ranking
+    "q_embed_mutual_knn" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(
+        |      list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+        |      / (sqrt(list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+        |           i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(range(1, len(c.embedding) + 1),
+        |           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))),
+        |      6) AS sim
+        |  FROM embeddings q, embeddings c WHERE c.vec_id <> q.vec_id),
+        |t AS (SELECT query_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored QUALIFY rank <= 5)
+        |SELECT a.query_id AS a, a.neighbor_id AS b,
+        |  a.rank AS rank_ab, b.rank AS rank_ba, a.sim
+        |FROM t a JOIN t b
+        |  ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+        |WHERE a.query_id < a.neighbor_id""".stripMargin,
+
     // append-mode watermark replay: batch maxima -> lagged eviction
     // watermark -> late-filter -> final emission horizon, all exact ms
     // integers (Spark's two-watermark rule, probe-pinned)

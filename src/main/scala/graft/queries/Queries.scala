@@ -1680,6 +1680,80 @@ object Queries {
       .orderBy("wstart", "event_type")
   }
 
+  /** Stage a DataFrame (events schema + an int `bucket` column 0..nSeg-1)
+    * as nSeg single-file parquet segments with strictly increasing
+    * modification times — the file stream source orders by mtime
+    * (probe-pinned), so `maxFilesPerTrigger` then yields a DETERMINISTIC
+    * file→micro-batch schedule. Fixture scaffolding for the oracled
+    * streaming queries.
+    */
+  private def stageBucketedSegments(
+      staged: DataFrame, nSeg: Int): String = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-seg")
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-stream-seg-tmp")
+    (0 until nSeg).foreach { k =>
+      val tmp = s"$tmpRoot/seg-$k"
+      staged.filter(F.col("bucket") === k).drop("bucket")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(stage.toFile, f"seg-$k%d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + k * 1000L)
+    }
+    stage.toString
+  }
+
+  /** Update-mode streaming aggregation — the third output mode beside the
+    * Complete drains and [[streamLate]]'s Append: every micro-batch emits
+    * the groups it CHANGED with their cumulative-so-far aggregates (the
+    * memory sink appends each batch's updated rows, so the drained table
+    * is the full update history). With the deterministic `event_id % 8`
+    * segment schedule the history is exactly reproducible: the oracle
+    * regroups per (window, type, batch), keeps batches that contributed
+    * rows, and emits running sums — cumulative counts strictly increase,
+    * so the multiset matches row-for-row. No watermark: state is never
+    * evicted and no no-data batch fires (production jobs bound this with
+    * a watermark; the eviction semantics are [[streamLate]]'s subject).
+    */
+  def streamUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", F.lit(null).cast("string"))
+      .withColumn("bucket", (F.col("event_id") % 8).cast("int"))
+    val stage = stageBucketedSegments(ev, 8)
+    val name = "stream_upd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStream.startMemoryUpdateWindows(
+      spark, stage, name, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    spark.table(name)
+      .select(F.col("wstart").cast("timestamp_ntz").as("wstart"),
+        F.col("wend").cast("timestamp_ntz").as("wend"),
+        F.col("event_type"), F.col("n_events"), F.col("user_sum"))
+      .orderBy("wstart", "event_type", "n_events")
+  }
+
+  /** Mutual-kNN graph over the embedding table — the symmetric-neighbor
+    * edge set SemDeDup-style clustering and UMAP-class layouts start from:
+    * an edge (a, b) exists iff b is in a's top-5 AND a is in b's top-5.
+    * Built from ONE bounded top-k pass ([[Similarity.bruteTopK]] with its
+    * TopKAgg partial aggregation — never a window) self-joined on the
+    * reversed key; at corpus scale the same shape runs over LSH/IVF
+    * candidate lists (q_sim_lsh / q_sim_ivf) instead of the brute scorer.
+    */
+  def embedMutualKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val t = Similarity.bruteTopK(emb, emb, "vec_id", "embedding", 5)
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("rank"), F.col("sim"))
+    val rev = t.select(F.col("query_id").as("neighbor_id"),
+      F.col("neighbor_id").as("query_id"), F.col("rank").as("rank_ba"))
+    t.join(rev, Seq("query_id", "neighbor_id"))
+      .filter(F.col("query_id") < F.col("neighbor_id"))
+      .select(F.col("query_id").as("a"), F.col("neighbor_id").as("b"),
+        F.col("rank").as("rank_ab"), F.col("rank_ba"), F.col("sim"))
+      .orderBy("a", "b")
+  }
+
   /** Append-mode watermarked window aggregation with REAL late-data drops
     * ([[graft.streaming.EventStream.startMemoryLateWindows]]). The stage is
     * 8 single-file segments with strictly increasing modification times
@@ -1697,8 +1771,6 @@ object Queries {
     */
   def streamLate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stage = java.nio.file.Files.createTempDirectory("graft-stream-late")
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-stream-late-tmp")
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select("event_id", "ts", "user_id", "event_type", "value")
       .withColumn("props", F.lit(null).cast("string"))
@@ -1706,20 +1778,12 @@ object Queries {
     val staged = ev.withColumn("b_nat", bNat)
       .withColumn("bucket", F.when(F.col("event_id") % 37 === 0,
         (F.col("b_nat") + 3) % 8).otherwise(F.col("b_nat")))
+      .drop("b_nat")
       .localCheckpoint()
-    (0 until 8).foreach { k =>
-      val tmp = s"$tmpRoot/seg-$k"
-      staged.filter(F.col("bucket") === k).drop("b_nat", "bucket")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(stage.toFile, f"seg-$k%d.parquet")
-      java.nio.file.Files.move(part.toPath, dest.toPath)
-      dest.setLastModified(1700000000000L + k * 1000L)
-    }
+    val stage = stageBucketedSegments(staged, 8)
     val name = "stream_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = graft.streaming.EventStream.startMemoryLateWindows(
-      spark, stage.toString, name, maxFilesPerTrigger = 2)
+      spark, stage, name, maxFilesPerTrigger = 2)
     q.awaitTermination()
     spark.table(name)
       .select(F.col("wstart").cast("timestamp_ntz").as("wstart"),

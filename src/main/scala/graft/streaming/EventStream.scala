@@ -274,6 +274,38 @@ object EventStream {
       .start()
   }
 
+  /** Update-mode hourly window counts — each micro-batch emits only the
+    * groups it changed, with their cumulative aggregates (the incremental
+    * dashboard/changelog shape; a KV upsert sink consumes exactly this).
+    * The memory sink appends every batch's updated rows, making the full
+    * update history observable and, under a deterministic file schedule,
+    * oracle-able. No watermark: state lives forever (bounded here by the
+    * fixture horizon; production bounds it with a watermark — that
+    * semantics is [[startMemoryLateWindows]]'s subject).
+    */
+  def startMemoryUpdateWindows(
+      spark: SparkSession,
+      stageDir: String,
+      queryName: String,
+      maxFilesPerTrigger: Int
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stageDir)
+    src
+      .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n_events"), F.sum("user_id").as("user_sum"))
+      .select(F.col("window.start").as("wstart"),
+        F.col("window.end").as("wend"),
+        F.col("event_type"), F.col("n_events"), F.col("user_sum"))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Stream-static enrichment — the production shape of dimension lookup on
     * a live stream (clickstream × customer table, crawl stream × domain
     * policy table): the static side is a plain batch DataFrame re-resolved
