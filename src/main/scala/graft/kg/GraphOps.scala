@@ -752,6 +752,70 @@ object GraphOps {
       .withColumn("margin", F.col("score_neg") - F.col("score_pos"))
   }
 
+  /** Link-prediction evaluation over the encoded triples — the standard
+    * KG-embedding benchmark loop (hits@1/3/10, rank sum) under the same
+    * pinned closed-form hash embeddings as [[transeScores]], RAW setting
+    * (candidates are not filtered against the positive set; the filtered
+    * variant adds one semi join per candidate — documented, not needed for
+    * an engine-exactness surface). For each triple, `numCands` splitmix
+    * tail corruptions are scored by exact integer L1 and the true tail's
+    * rank is 1 + #{candidates strictly better, score ties broken by
+    * candidate id} — every quantity is an integer, so both engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: one pure projection over the triple relation (the
+    * candidate/score loop is arithmetic on constants — no data joins, no
+    * explode reaches the shuffle) followed by ONE relation-vocabulary-sized
+    * aggregation. The driver-side nEnt lookup is a 1-row max.
+    */
+  def linkPredictionEval(
+      encoded: DataFrame,
+      dim: Int,
+      entSeed: Long,
+      relSeed: Long,
+      candSeed: Long,
+      numCands: Int
+  ): DataFrame = {
+    require(dim >= 1 && numCands >= 1, "dim and numCands must be >= 1")
+    val nEnt = encoded
+      .select(F.greatest(F.max("h_id"), F.max("t_id")).as("m"))
+      .collect()(0).getLong(0) + 1L
+    def emb(seed: Long, id: Long, d: Int): Long =
+      java.lang.Long.remainderUnsigned(
+        graft.extract.Synth.mix64(seed ^ (id * 1000003L + d)), 2001L) - 1000L
+    val rankU = F.udf { (h: Long, r: Long, t: Long) =>
+      def score(tt: Long): Long = {
+        var s = 0L
+        var d = 0
+        while (d < dim) {
+          s += math.abs(emb(entSeed, h, d) + emb(relSeed, r, d) - emb(entSeed, tt, d))
+          d += 1
+        }
+        s
+      }
+      val st = score(t)
+      var better = 0L
+      var j = 1
+      while (j <= numCands) {
+        val tc = java.lang.Long.remainderUnsigned(
+          graft.extract.Synth.mix64(
+            candSeed ^ (h * 1000003L + r * 7919L + t + j * 104729L)), nEnt)
+        val sc = score(tc)
+        if (sc < st || (sc == st && tc < t)) better += 1
+        j += 1
+      }
+      1L + better
+    }
+    encoded
+      .withColumn("rank", rankU(F.col("h_id"), F.col("r_id"), F.col("t_id")))
+      .groupBy("r_id")
+      .agg(F.count(F.lit(1)).as("n_triples"),
+        F.sum(F.when(F.col("rank") <= 1, 1L).otherwise(0L)).as("hits1"),
+        F.sum(F.when(F.col("rank") <= 3, 1L).otherwise(0L)).as("hits3"),
+        F.sum(F.when(F.col("rank") <= 10, 1L).otherwise(0L)).as("hits10"),
+        F.sum("rank").as("rank_sum"))
+  }
+
   /** k-core decomposition by fixed-round peeling over the undirected entity
     * graph (self-loops dropped, parallel edges collapsed): each round
     * removes every node whose degree in the SURVIVING subgraph is below `k`,

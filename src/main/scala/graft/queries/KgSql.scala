@@ -881,6 +881,48 @@ object KgSql {
        |FROM sc""".stripMargin
   }
 
+  /** Oracle for Queries.kgLinkPred (GraphOps.linkPredictionEval): the
+    * identical closed-form embeddings and splitmix candidate stream in
+    * HUGEINT, ranks as 1 + strictly-better counts (score asc, candidate-id
+    * tiebreak), relation-level hits@k / rank sums — exact integers
+    * throughout.
+    */
+  def linkPredSql(
+      dim: Int, entSeed: Long, relSeed: Long,
+      candSeed: Long, numCands: Int): String = {
+    def embE(idExpr: String, seed: Long): String =
+      s"(CAST((${HashSql.mix64(HashSql.xor64(
+        s"CAST($idExpr * 1000003 + d AS HUGEINT)",
+        s"CAST(${java.lang.Long.toUnsignedString(seed)} AS HUGEINT)"))}) % 2001 AS BIGINT) - 1000)"
+    val candKey = s"CAST(h_id * 1000003 + r_id * 7919 + t_id + j * 104729 AS HUGEINT)"
+    val candMixed = HashSql.mix64(HashSql.xor64(candKey,
+      s"CAST(${java.lang.Long.toUnsignedString(candSeed)} AS HUGEINT)"))
+    s"WITH $triplesCtes,\n$encodeCtes,\n" +
+    s"""ne AS (SELECT count(*) AS n FROM ei),
+       |st AS (SELECT h_id, r_id, t_id,
+       |    CAST(sum(abs(${embE("h_id", entSeed)} + ${embE("r_id", relSeed)}
+       |      - ${embE("t_id", entSeed)})) AS BIGINT) AS s_true
+       |  FROM enc CROSS JOIN range($dim) r(d) GROUP BY 1, 2, 3),
+       |cd AS (SELECT h_id, r_id, t_id, j,
+       |    CAST(($candMixed) % (SELECT n FROM ne) AS BIGINT) AS t_c
+       |  FROM enc CROSS JOIN range(1, ${numCands + 1}) rj(j)),
+       |sc AS (SELECT cd.h_id, cd.r_id, cd.t_id, cd.j, cd.t_c,
+       |    CAST(sum(abs(${embE("cd.h_id", entSeed)} + ${embE("cd.r_id", relSeed)}
+       |      - ${embE("cd.t_c", entSeed)})) AS BIGINT) AS s_c
+       |  FROM cd CROSS JOIN range($dim) r(d) GROUP BY 1, 2, 3, 4, 5),
+       |rk AS (SELECT sc.h_id, sc.r_id, sc.t_id,
+       |    1 + sum(CASE WHEN sc.s_c < st.s_true
+       |        OR (sc.s_c = st.s_true AND sc.t_c < sc.t_id)
+       |      THEN 1 ELSE 0 END) AS rank
+       |  FROM sc JOIN st USING (h_id, r_id, t_id) GROUP BY 1, 2, 3)
+       |SELECT r_id, CAST(count(*) AS BIGINT) AS n_triples,
+       |  CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+       |  CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+       |  CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+       |  CAST(sum(rank) AS BIGINT) AS rank_sum
+       |FROM rk GROUP BY 1""".stripMargin
+  }
+
   /** Oracle for Queries.kgWalks (GraphOps.randomWalks): the deg-capped
     * sorted adjacency re-derived with a window row_number + ordered list,
     * then the fixed walk steps unrolled as CTEs — each step picks

@@ -524,6 +524,8 @@ object Oracles {
     "q_kg_walks" -> KgSql.walksSql(seed = 17L, len = 3, maxDeg = 8),
     "q_kg_transe" -> KgSql.transeSql(dim = 8, entSeed = 101L,
       relSeed = 202L, negSeed = 13L),
+    "q_kg_linkpred" -> KgSql.linkPredSql(dim = 8, entSeed = 101L,
+      relSeed = 202L, candSeed = 31L, numCands = 16),
 
     // JSON property extraction: per-row parity of the extracted integer
     "q_event_props" ->

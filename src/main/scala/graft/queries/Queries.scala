@@ -836,6 +836,18 @@ object Queries {
         dim = 8, entSeed = 101L, relSeed = 202L, negSeed = 13L)
       .orderBy("h_id", "r_id", "t_id")
 
+  /** Link-prediction hits@k / rank-sum evaluation under the pinned
+    * closed-form embeddings (dim 8, ent/rel seeds shared with
+    * [[kgTranse]], candidate seed 31, 16 raw corruptions per triple); see
+    * [[graft.kg.GraphOps.linkPredictionEval]] (bit-exact splitmix oracle
+    * in [[KgSql.linkPredSql]]).
+    */
+  def kgLinkPred(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.linkPredictionEval(
+        graft.kg.GraphOps.encodeForEmbedding(kgTriples(spark, dir)),
+        dim = 8, entSeed = 101L, relSeed = 202L, candSeed = 31L, numCands = 16)
+      .orderBy("r_id")
+
   /** Deterministic DeepWalk-style random walks over the encoded entity
     * graph (seed 17, length 3, degree cap 8) — the sequence-generation
     * stage of KG-embedding training, engine-exact and reproducible from
