@@ -735,6 +735,14 @@ object Oracles {
         |  lang
         |FROM documents""".stripMargin,
 
+    "q_orc_roundtrip" ->
+      """SELECT doc_id,
+        |  md5(text || ', "q"' || chr(10) || '#' || (doc_id % 7)) AS payload_md5,
+        |  CAST(length(text || ', "q"' || chr(10) || '#' || (doc_id % 7)) AS BIGINT)
+        |    AS payload_len,
+        |  lang
+        |FROM documents""".stripMargin,
+
     "q_json_roundtrip" ->
       """SELECT doc_id,
         |  md5(text || ', "q"' || chr(10) || '#' || (doc_id % 7)) AS payload_md5,
@@ -957,6 +965,17 @@ object Oracles {
         |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // unpivot: wide -> long reshape, one UNION ALL per metric on the
+    // oracle side, the stack generator on the engine side
+    "q_unpivot" ->
+      s"""WITH m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         |    CAST(${tokCountSql("text")} AS BIGINT) AS toks,
+         |    n_chars AS chars
+         |  FROM documents)
+         |SELECT doc_id, 'len' AS metric, len AS value FROM m
+         |UNION ALL SELECT doc_id, 'toks', toks FROM m
+         |UNION ALL SELECT doc_id, 'chars', chars FROM m""".stripMargin,
 
     // integer readability profile: same sentence-run and token contracts as
     // q_text_sentences / q_text_tokens, per-mille composites via integer

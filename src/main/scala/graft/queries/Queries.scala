@@ -1522,6 +1522,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** ORC container round-trip — same contract as [[csvRoundtrip]] through
+    * the other columnar format large pipelines exchange beside parquet:
+    * binary-safe string encoding (no quoting layer to lose), predicate
+    * pushdown and split-by-stripe at scale (no `multiLine` caveat — the
+    * columnar formats are why CSV is the wrong interchange shape).
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc-rt").toString
+    docs(spark, dir)
+      .select(F.col("doc_id"), hostilePayload.as("payload"), F.col("lang"))
+      .write.mode("overwrite").orc(tmp)
+    spark.read
+      .schema("doc_id LONG, payload STRING, lang STRING")
+      .orc(tmp)
+      .select(F.col("doc_id"), F.md5(F.col("payload")).as("payload_md5"),
+        F.length(F.col("payload")).cast("long").as("payload_len"), F.col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** JSON-lines container round-trip — same contract as [[csvRoundtrip]]
     * over the other interchange format crawl pipelines actually ship
     * (JSONL): native string escaping must preserve the hostile payload
@@ -3144,6 +3163,21 @@ object Queries {
         F.length(F.col("sentence")).cast("long").as("sent_len"))
       .orderBy("doc_id", "sent_idx")
   }
+
+  /** Unpivot/melt — the wide→long reshape (per-doc metric columns into
+    * (doc_id, metric, value) rows) via the native `stack` generator: the
+    * inverse of the pivot surface (q_lang_source_pivot) and a pure
+    * zero-shuffle projection whatever the corpus size.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(F.col("doc_id"),
+        F.length(F.col("text")).cast("long").as("len"),
+        TextOps.tokenCount(F.col("text")).cast("long").as("toks"),
+        F.col("n_chars").as("chars"))
+      .select(F.col("doc_id"), F.expr(
+        "stack(3, 'len', len, 'toks', toks, 'chars', chars) AS (metric, value)"))
+      .orderBy("doc_id", "metric")
 
   /** Integer readability profile ([[TextOps.readability]]) — sentence count
     * over the same augmented text as [[textSentences]] (the raw synthetic
