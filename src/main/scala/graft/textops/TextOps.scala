@@ -599,11 +599,15 @@ object TextOps {
     * information — no transcendental log, so the ranking is bit-identical
     * across engines. Scale shape: pair counts are one map-side-partial
     * aggregation with the `minCount` support filter applied BEFORE any
-    * join (the zipf tail never joins); unigram counts and the one-row
-    * total ride broadcasts, so the surviving pairs never shuffle again.
-    * Range note: the int64 product caps corpora at n_ab·T·1000 < 2^63 —
-    * beyond ~10^15 pairs, lift the products to DECIMAL(38,0) on both
-    * engines.
+    * join (the zipf tail never joins); the SURVIVING pair set is bounded
+    * by T/minCount, so its distinct tokens (≤ 2·|pairs|) broadcast to
+    * semi-filter the unbounded web-text vocabulary BEFORE the unigram
+    * table is itself broadcast — the full vocabulary never rides a
+    * broadcast OR a shuffle (the unfiltered-uni broadcast this replaces
+    * would OOM at crawl scale). The one-row total is a broadcast
+    * cross join. Range note: the int64 product caps corpora at
+    * n_ab·T·1000 < 2^63 — beyond ~10^15 pairs, lift the products to
+    * DECIMAL(38,0) on both engines.
     */
   def collocationLift(
       df: org.apache.spark.sql.DataFrame,
@@ -615,6 +619,9 @@ object TextOps {
     val uni = toks.select(F.explode(F.col("toks")).as("tok"))
       .groupBy("tok").agg(F.count(F.lit(1)).as("n_tok"))
     val multi = toks.filter(F.size(F.col("toks")) >= 2)
+    // localCheckpoint: the survivor set is bounded (<= T/minCount rows), is
+    // read three times below, and pinning it keeps the bounded-broadcast
+    // claim independent of exchange-reuse planning
     val pairs = multi
       .select(F.explode(F.zip_with(
         F.slice(F.col("toks"), F.lit(1), F.size(F.col("toks")) - 1),
@@ -623,11 +630,15 @@ object TextOps {
       .select(F.col("p.a").as("a"), F.col("p.b").as("b"))
       .groupBy("a", "b").agg(F.count(F.lit(1)).as("n_ab"))
       .filter(F.col("n_ab") >= minCount)
+      .localCheckpoint()
+    val pairToks = pairs.select(F.col("a").as("tok"))
+      .union(pairs.select(F.col("b").as("tok"))).distinct()
+    val uniS = uni.join(F.broadcast(pairToks), "tok")
     val total = multi.agg(
       F.sum(F.size(F.col("toks")).cast("long") - 1L).as("t_pairs"))
     pairs
-      .join(F.broadcast(uni.select(F.col("tok").as("a"), F.col("n_tok").as("n_a"))), "a")
-      .join(F.broadcast(uni.select(F.col("tok").as("b"), F.col("n_tok").as("n_b"))), "b")
+      .join(F.broadcast(uniS.select(F.col("tok").as("a"), F.col("n_tok").as("n_a"))), "a")
+      .join(F.broadcast(uniS.select(F.col("tok").as("b"), F.col("n_tok").as("n_b"))), "b")
       .crossJoin(F.broadcast(total))
       .withColumn("lift_pm",
         F.expr("CAST(n_ab * t_pairs * 1000 DIV (n_a * n_b) AS BIGINT)"))
