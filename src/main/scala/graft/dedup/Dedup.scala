@@ -486,6 +486,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Word-3-shingle CONTAINMENT pairs — Broder's asymmetric near-dup
+    * metric (|A∩B| / |A|): the one Jaccard misses when a small document is
+    * quoted inside a big one (boilerplate inclusion, article + comments,
+    * quote farms). Same inverted-index blocking core as
+    * [[setJaccardPairs]] (df-cap bounds every bucket, bare-id pairs on the
+    * wire), but both directed containments emit as EXACT integer per-mille
+    * (`inter·1000 DIV |side|`) — no float, engine-exact — and a pair
+    * survives when EITHER direction clears the threshold. Docs with fewer
+    * than 3 tokens contribute their full token join as a single shingle
+    * (mirrored in the oracle); empty docs contribute nothing.
+    */
+  def shingleContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      thresholdPm: Long, maxDf: Int = 10000): DataFrame = {
+    val toks = graft.textops.TextOps.tokens(F.col(textCol))
+    val withToks = df.select(F.col(idCol).as("id"), toks.as("toks"))
+    val shingles = F.when(F.size(F.col("toks")) === 0,
+        F.expr("CAST(array() AS array<string>)"))
+      .when(F.size(F.col("toks")) < 3,
+        F.array(F.array_join(F.col("toks"), " ")))
+      .otherwise(F.expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+    val elems = withToks
+      .select(F.col("id"), F.explode(F.array_distinct(shingles)).as("tok"))
+    val capped = capBuckets(elems, Seq("tok"), maxDf)
+    val sizes = capped.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
+    val l = capped.as("l")
+    val r = capped.as("r")
+    val inter = l.join(r,
+        F.col("l.tok") === F.col("r.tok") && F.col("l.id") < F.col("r.id"))
+      .groupBy(F.col("l.id").as("id_a"), F.col("r.id").as("id_b"))
+      .agg(F.count(F.lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("cont_a_pm", F.expr("CAST(inter * 1000 DIV sz_a AS BIGINT)"))
+      .withColumn("cont_b_pm", F.expr("CAST(inter * 1000 DIV sz_b AS BIGINT)"))
+      .filter(F.greatest(F.col("cont_a_pm"), F.col("cont_b_pm")) >= thresholdPm)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "cont_a_pm", "cont_b_pm")
+  }
+
   /** Connected components over an undirected candidate-pair list — the step a
     * real dedup pipeline needs between "near-duplicate pairs" and "keep one
     * per cluster" (component = min member id; `id == component` is the keep).

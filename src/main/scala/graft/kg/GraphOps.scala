@@ -816,6 +816,73 @@ object GraphOps {
         F.sum("rank").as("rank_sum"))
   }
 
+  /** FILTERED link-prediction evaluation — the standard benchmark setting
+    * ([[linkPredictionEval]] is the raw one): a corruption that happens to
+    * form a TRUE triple is excluded from the rank count (it is not an
+    * error to rank a real answer above the test answer). The exclusion
+    * needs one join against the positive set: candidates explode to
+    * `numCands` bare-key rows, left-join positives on (h, r, t_c) — a 1:1
+    * keyed join, no fan-out — then the rank aggregation collapses the
+    * 16 rows per triple back to one (numCands:1 reduction, map-side
+    * partial before its shuffle). Both shuffles carry bare keys + one
+    * boolean; scores are arithmetic on constants, never joined data.
+    */
+  def linkPredictionEvalFiltered(
+      encoded: DataFrame,
+      dim: Int,
+      entSeed: Long,
+      relSeed: Long,
+      candSeed: Long,
+      numCands: Int
+  ): DataFrame = {
+    require(dim >= 1 && numCands >= 1, "dim and numCands must be >= 1")
+    val nEnt = encoded
+      .select(F.greatest(F.max("h_id"), F.max("t_id")).as("m"))
+      .collect()(0).getLong(0) + 1L
+    def emb(seed: Long, id: Long, d: Int): Long =
+      java.lang.Long.remainderUnsigned(
+        graft.extract.Synth.mix64(seed ^ (id * 1000003L + d)), 2001L) - 1000L
+    def score(h: Long, r: Long, tt: Long): Long = {
+      var s = 0L
+      var d = 0
+      while (d < dim) {
+        s += math.abs(emb(entSeed, h, d) + emb(relSeed, r, d) - emb(entSeed, tt, d))
+        d += 1
+      }
+      s
+    }
+    val candsU = F.udf { (h: Long, r: Long, t: Long) =>
+      (1 to numCands).map { j =>
+        java.lang.Long.remainderUnsigned(
+          graft.extract.Synth.mix64(
+            candSeed ^ (h * 1000003L + r * 7919L + t + j * 104729L)), nEnt)
+      }
+    }
+    val betterU = F.udf { (h: Long, r: Long, t: Long, tc: Long) =>
+      val st = score(h, r, t)
+      val sc = score(h, r, tc)
+      sc < st || (sc == st && tc < t)
+    }
+    val cand = encoded
+      .select(F.col("h_id"), F.col("r_id"), F.col("t_id"),
+        F.explode(candsU(F.col("h_id"), F.col("r_id"), F.col("t_id"))).as("t_c"))
+    val pos = encoded.select(F.col("h_id"), F.col("r_id"),
+      F.col("t_id").as("t_c"), F.lit(1).as("is_pos"))
+    cand
+      .join(pos, Seq("h_id", "r_id", "t_c"), "left")
+      .withColumn("counted",
+        (F.col("is_pos").isNull || F.col("t_c") === F.col("t_id")) &&
+          betterU(F.col("h_id"), F.col("r_id"), F.col("t_id"), F.col("t_c")))
+      .groupBy("h_id", "r_id", "t_id")
+      .agg((F.sum(F.when(F.col("counted"), 1L).otherwise(0L)) + 1L).as("rank"))
+      .groupBy("r_id")
+      .agg(F.count(F.lit(1)).as("n_triples"),
+        F.sum(F.when(F.col("rank") <= 1, 1L).otherwise(0L)).as("hits1"),
+        F.sum(F.when(F.col("rank") <= 3, 1L).otherwise(0L)).as("hits3"),
+        F.sum(F.when(F.col("rank") <= 10, 1L).otherwise(0L)).as("hits10"),
+        F.sum("rank").as("rank_sum"))
+  }
+
   /** k-core decomposition by fixed-round peeling over the undirected entity
     * graph (self-loops dropped, parallel edges collapsed): each round
     * removes every node whose degree in the SURVIVING subgraph is below `k`,

@@ -923,6 +923,50 @@ object KgSql {
        |FROM rk GROUP BY 1""".stripMargin
   }
 
+  /** Oracle for Queries.kgLinkPredFiltered: [[linkPredSql]] plus the
+    * filtered-setting exclusion — corruptions forming TRUE triples (other
+    * than the test tail itself) never count against the rank.
+    */
+  def linkPredFilteredSql(
+      dim: Int, entSeed: Long, relSeed: Long,
+      candSeed: Long, numCands: Int): String = {
+    def embE(idExpr: String, seed: Long): String =
+      s"(CAST((${HashSql.mix64(HashSql.xor64(
+        s"CAST($idExpr * 1000003 + d AS HUGEINT)",
+        s"CAST(${java.lang.Long.toUnsignedString(seed)} AS HUGEINT)"))}) % 2001 AS BIGINT) - 1000)"
+    val candKey = s"CAST(h_id * 1000003 + r_id * 7919 + t_id + j * 104729 AS HUGEINT)"
+    val candMixed = HashSql.mix64(HashSql.xor64(candKey,
+      s"CAST(${java.lang.Long.toUnsignedString(candSeed)} AS HUGEINT)"))
+    s"WITH $triplesCtes,\n$encodeCtes,\n" +
+    s"""ne AS (SELECT count(*) AS n FROM ei),
+       |st AS (SELECT h_id, r_id, t_id,
+       |    CAST(sum(abs(${embE("h_id", entSeed)} + ${embE("r_id", relSeed)}
+       |      - ${embE("t_id", entSeed)})) AS BIGINT) AS s_true
+       |  FROM enc CROSS JOIN range($dim) r(d) GROUP BY 1, 2, 3),
+       |cd AS (SELECT h_id, r_id, t_id, j,
+       |    CAST(($candMixed) % (SELECT n FROM ne) AS BIGINT) AS t_c
+       |  FROM enc CROSS JOIN range(1, ${numCands + 1}) rj(j)),
+       |cf AS (SELECT cd.*, (p.h_id IS NOT NULL AND cd.t_c <> cd.t_id)
+       |    AS is_filtered
+       |  FROM cd LEFT JOIN enc p
+       |    ON p.h_id = cd.h_id AND p.r_id = cd.r_id AND p.t_id = cd.t_c),
+       |sc AS (SELECT cf.h_id, cf.r_id, cf.t_id, cf.j, cf.t_c, cf.is_filtered,
+       |    CAST(sum(abs(${embE("cf.h_id", entSeed)} + ${embE("cf.r_id", relSeed)}
+       |      - ${embE("cf.t_c", entSeed)})) AS BIGINT) AS s_c
+       |  FROM cf CROSS JOIN range($dim) r(d) GROUP BY 1, 2, 3, 4, 5, 6),
+       |rk AS (SELECT sc.h_id, sc.r_id, sc.t_id,
+       |    1 + sum(CASE WHEN NOT sc.is_filtered AND (sc.s_c < st.s_true
+       |        OR (sc.s_c = st.s_true AND sc.t_c < sc.t_id))
+       |      THEN 1 ELSE 0 END) AS rank
+       |  FROM sc JOIN st USING (h_id, r_id, t_id) GROUP BY 1, 2, 3)
+       |SELECT r_id, CAST(count(*) AS BIGINT) AS n_triples,
+       |  CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+       |  CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+       |  CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10,
+       |  CAST(sum(rank) AS BIGINT) AS rank_sum
+       |FROM rk GROUP BY 1""".stripMargin
+  }
+
   /** Oracle for Queries.kgWalks (GraphOps.randomWalks): the deg-capped
     * sorted adjacency re-derived with a window row_number + ordered list,
     * then the fixed walk steps unrolled as CTEs — each step picks

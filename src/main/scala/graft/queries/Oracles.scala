@@ -421,6 +421,28 @@ object Oracles {
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.85""".stripMargin,
 
+    "q_dedup_containment" ->
+      s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks
+         |  FROM documents WHERE doc_id < 200),
+         |sh AS (SELECT DISTINCT doc_id, u.s FROM d, UNNEST(
+         |  CASE WHEN len(toks) = 0 THEN []
+         |       WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_transform(range(1, len(toks) - 1),
+         |         i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+         |           || ' ' || toks[CAST(i AS INT) + 2])
+         |  END) AS u(s)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+         |  CAST(inter * 1000 // sa.sz AS BIGINT) AS cont_a_pm,
+         |  CAST(inter * 1000 // sb.sz AS BIGINT) AS cont_b_pm
+         |FROM inter JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE greatest(inter * 1000 // sa.sz, inter * 1000 // sb.sz) >= 500""".stripMargin,
+
     "q_dedup_ngram" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 40),
         |grams AS (
@@ -526,6 +548,8 @@ object Oracles {
       relSeed = 202L, negSeed = 13L),
     "q_kg_linkpred" -> KgSql.linkPredSql(dim = 8, entSeed = 101L,
       relSeed = 202L, candSeed = 31L, numCands = 16),
+    "q_kg_linkpred_filtered" -> KgSql.linkPredFilteredSql(dim = 8,
+      entSeed = 101L, relSeed = 202L, candSeed = 31L, numCands = 16),
 
     // JSON property extraction: per-row parity of the extracted integer
     "q_event_props" ->

@@ -436,6 +436,16 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Word-3-shingle containment pairs ([[Dedup.shingleContainmentPairs]],
+    * threshold 500 per-mille, id block < 200) — the asymmetric
+    * small-inside-big near-dup metric, integer per-mille both directions.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingleContainmentPairs(
+        docs(spark, dir).filter(F.col("doc_id") < 200),
+        "doc_id", "text", thresholdPm = 500L)
+      .orderBy("id_a", "id_b")
+
   /** Embedding-cosine near-duplicate pairs (brute within an id block; the
     * LSH variant q_sim_lsh is the scale path).
     */
@@ -844,6 +854,18 @@ object Queries {
     */
   def kgLinkPred(spark: SparkSession, dir: String): DataFrame =
     graft.kg.GraphOps.linkPredictionEval(
+        graft.kg.GraphOps.encodeForEmbedding(kgTriples(spark, dir)),
+        dim = 8, entSeed = 101L, relSeed = 202L, candSeed = 31L, numCands = 16)
+      .orderBy("r_id")
+
+  /** FILTERED link-prediction evaluation — corruptions that form true
+    * triples are excluded from rank counting (the standard benchmark
+    * setting; same seeds/candidates as [[kgLinkPred]]); see
+    * [[graft.kg.GraphOps.linkPredictionEvalFiltered]] (oracle
+    * [[KgSql.linkPredFilteredSql]]).
+    */
+  def kgLinkPredFiltered(spark: SparkSession, dir: String): DataFrame =
+    graft.kg.GraphOps.linkPredictionEvalFiltered(
         graft.kg.GraphOps.encodeForEmbedding(kgTriples(spark, dir)),
         dim = 8, entSeed = 101L, relSeed = 202L, candSeed = 31L, numCands = 16)
       .orderBy("r_id")
