@@ -790,6 +790,21 @@ object Oracles {
         |  (h * n - s) * (h * n - s) > 4 * (h * sq - s * s) AS is_anomaly
         |FROM hourly JOIN st ON st.event_type = hourly.event_type""".stripMargin,
 
+    // first-order Markov transitions: per-user lag in (ts, event_id)
+    // order, |types|^2 rollup, integer per-mille row normalization
+    "q_event_markov" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |tr AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM tr GROUP BY 1)
+        |SELECT tr.prev_type, tr.event_type, tr.n, tot.n_from,
+        |  CAST(tr.n * 1000 // tot.n_from AS BIGINT) AS p_pm
+        |FROM tr JOIN tot USING (prev_type)""".stripMargin,
+
     // weekly retention cohorts: per-user min week, distinct activity set,
     // integer per-mille of the cohort size — all-integer, engine-exact
     "q_retention_cohorts" ->

@@ -1606,6 +1606,27 @@ object Queries {
       .orderBy("event_type", "hour")
   }
 
+  /** Event-type transition matrix (first-order Markov counts) — the
+    * clickstream path-analysis primitive: per user in time order, each
+    * consecutive pair (prev, next) counted, with the row-normalized
+    * transition probability in integer per-mille. The per-user window is
+    * bounded by a user's own activity (the q_window_events class — the
+    * accepted bounded-window shape, never a corpus-wide partition); the
+    * final group space is |types|² and the row totals broadcast.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("prev_type", F.lag("event_type", 1).over(w))
+      .filter(F.col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type").agg(F.count(F.lit(1)).as("n"))
+    val tot = tr.groupBy("prev_type").agg(F.sum("n").as("n_from"))
+    tr.join(F.broadcast(tot), "prev_type")
+      .withColumn("p_pm", F.expr("CAST(n * 1000 DIV n_from AS BIGINT)"))
+      .select("prev_type", "event_type", "n", "n_from", "p_pm")
+      .orderBy("prev_type", "event_type")
+  }
+
   /** Weekly retention cohorts over the event stream — the product-analytics
     * staple: users grouped by first-seen week, activity counted per
     * (cohort, week offset), retention as integer per-mille of the cohort

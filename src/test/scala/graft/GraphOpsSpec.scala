@@ -1035,4 +1035,31 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window in plan:\n$plan")
     assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
   }
+
+  test("link prediction: filtered ranks never exceed raw ranks; hits " +
+    "monotone; filtered >= raw on every hits tier") {
+    val enc = Seq((0L, 0L, 1L), (1L, 0L, 2L), (2L, 0L, 3L), (3L, 1L, 0L),
+      (4L, 1L, 2L), (0L, 1L, 4L), (5L, 0L, 0L), (2L, 1L, 5L))
+      .toDF("h_id", "r_id", "t_id")
+    def byRel(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("r_id") ->
+        (r.getAs[Long]("n_triples"), r.getAs[Long]("hits1"),
+          r.getAs[Long]("hits3"), r.getAs[Long]("hits10"),
+          r.getAs[Long]("rank_sum"))).toMap
+    val raw = byRel(GraphOps.linkPredictionEval(
+      enc, dim = 4, entSeed = 101L, relSeed = 202L, candSeed = 31L, numCands = 16))
+    val flt = byRel(GraphOps.linkPredictionEvalFiltered(
+      enc, dim = 4, entSeed = 101L, relSeed = 202L, candSeed = 31L, numCands = 16))
+    assert(raw.keySet == flt.keySet)
+    raw.keySet.foreach { rel =>
+      val (n, h1, h3, h10, rs) = raw(rel)
+      val (nf, f1, f3, f10, rsf) = flt(rel)
+      assert(n == nf)
+      assert(h1 <= h3 && h3 <= h10 && h10 <= n, s"raw hits not monotone for $rel")
+      assert(f1 <= f3 && f3 <= f10 && f10 <= n, s"filtered hits not monotone for $rel")
+      // filtering removes counted competitors -> ranks can only improve
+      assert(rsf <= rs, s"filtered rank_sum worse than raw for $rel")
+      assert(f1 >= h1 && f3 >= h3 && f10 >= h10, s"filtered hits below raw for $rel")
+    }
+  }
 }

@@ -901,6 +901,35 @@ class TrainOpsSpec extends AnyFunSuite {
       canon(TextOps.shingleOverlap(d, "doc_id", "text", hashShingles = true)))
   }
 
+  test("shingleContainmentPairs: a quoted document is fully contained " +
+    "(1000 pm) while Jaccard stays low; short-doc single-shingle fallback") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),                 // the quote
+      (2L, "intro words here alpha beta gamma delta epsilon " +
+        "plus a very long tail of unrelated commentary tokens " +
+        "stretching the union far beyond the quote"),         // quotes doc 1
+      (3L, "totally different content nothing shared at all"),
+      (4L, "tiny doc"),                                       // < 3 tokens
+      (5L, "tiny doc")                                        // identical tiny
+    ).toDF("doc_id", "text")
+    val rows = Dedup.shingleContainmentPairs(d, "doc_id", "text", thresholdPm = 500L)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r).toMap
+    // doc 1's 3 shingles all appear in doc 2 -> containment(1 in 2) = 1000
+    val q = rows((1L, 2L))
+    assert(q.getAs[Long]("cont_a_pm") == 1000L)
+    assert(q.getAs[Long]("cont_b_pm") < 500L) // asymmetric: big side low
+    // the same pair would FAIL a 0.5 Jaccard gate — the metric's whole point
+    val inter = q.getAs[Long]("inter").toDouble
+    val uni = q.getAs[Long]("sz_a") + q.getAs[Long]("sz_b") - inter
+    assert(inter / uni < 0.5)
+    // short docs fall back to one full-join shingle; identical tiny docs
+    // are mutually contained
+    val t = rows((4L, 5L))
+    assert(t.getAs[Long]("cont_a_pm") == 1000L && t.getAs[Long]("cont_b_pm") == 1000L)
+    // unrelated doc pairs produce no row
+    assert(!rows.contains((1L, 3L)) && !rows.contains((2L, 3L)))
+  }
+
   test("ngramDecontaminate: shared k-gram drops, short-doc fallback, subset of exact") {
     import graft.dedup.Dedup
     val corpus = Seq(
