@@ -897,6 +897,24 @@ object Oracles {
         |    AS BIGINT) AS user_sum
         |FROM g""".stripMargin,
 
+    // custom-state replay: cumulative event counts + distinct-type counts
+    // per (user, contributing batch) over the deterministic schedule
+    "q_stream_state" ->
+      """WITH e AS (SELECT *, CAST((event_id % 8) // 2 AS INT) AS batch
+        |  FROM events),
+        |g AS (SELECT user_id, batch, count(*) AS nb FROM e GROUP BY 1, 2),
+        |cum AS (SELECT user_id, batch,
+        |    CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY batch)
+        |      AS BIGINT) AS n_events
+        |  FROM g),
+        |ty AS (SELECT user_id, event_type, min(batch) AS fb
+        |  FROM e GROUP BY 1, 2),
+        |tc AS (SELECT c.user_id, c.batch, c.n_events,
+        |    CAST(count(*) AS BIGINT) AS n_types
+        |  FROM cum c JOIN ty ON ty.user_id = c.user_id AND ty.fb <= c.batch
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, n_events, n_types FROM tc""".stripMargin,
+
     // mutual-kNN: both-direction top-5 membership from the all-pairs
     // cosine ranking
     "q_embed_mutual_knn" ->

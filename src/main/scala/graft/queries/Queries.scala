@@ -1807,6 +1807,26 @@ object Queries {
       .orderBy("wstart", "event_type", "n_events")
   }
 
+  /** Arbitrary-stateful streaming drained deterministically
+    * ([[graft.streaming.EventStream.startMemoryUserState]]): per user, a
+    * custom (count, distinct-type bitmask) state via
+    * `flatMapGroupsWithState`, one emission per contributing micro-batch —
+    * the custom-state API surface, oracled via running sums + first-seen
+    * joins over the `event_id % 8` schedule.
+    */
+  def streamState(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", F.lit(null).cast("string"))
+      .withColumn("bucket", (F.col("event_id") % 8).cast("int"))
+    val stage = stageBucketedSegments(ev, 8)
+    val name = "stream_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.EventStream.startMemoryUserState(
+      spark, stage, name, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "n_events")
+  }
+
   /** Mutual-kNN graph over the embedding table — the symmetric-neighbor
     * edge set SemDeDup-style clustering and UMAP-class layouts start from:
     * an edge (a, b) exists iff b is in a's top-5 AND a is in b's top-5.

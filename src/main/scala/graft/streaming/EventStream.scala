@@ -274,6 +274,62 @@ object EventStream {
       .start()
   }
 
+  /** Arbitrary-stateful streaming via `flatMapGroupsWithState` — the
+    * custom-state API a production job reaches for when built-in
+    * aggregations can't express the semantics, driven so its per-batch
+    * emissions are ORACLE-ABLE: per user, the state is (event count,
+    * distinct-type bitmask); each micro-batch in which a user has input
+    * emits one row with the cumulative count and distinct-type count
+    * AFTER that batch. Both state folds are commutative, so the emission
+    * is independent of intra-batch row order — only the deterministic
+    * file→batch schedule matters, and the oracle replays it with running
+    * sums and first-seen-batch joins. Append mode, no timeout (state
+    * lifetime bounded by the fixture; [[sessionize]] demonstrates
+    * event-time timeouts).
+    */
+  final case class UserState(nEvents: Long, typeMask: Int)
+
+  private val TypeBits = Map("click" -> 0, "error" -> 1, "purchase" -> 2,
+    "signup" -> 3, "view" -> 4)
+
+  def startMemoryUserState(
+      spark: SparkSession,
+      stageDir: String,
+      queryName: String,
+      maxFilesPerTrigger: Int
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stageDir)
+    src
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0))
+          var n = prev.nEvents
+          var mask = prev.typeMask
+          rows.foreach { e =>
+            n += 1
+            mask |= (1 << TypeBits.getOrElse(e.event_type, 30))
+          }
+          state.update(UserState(n, mask))
+          Iterator((uid, n, Integer.bitCount(mask).toLong))
+      }
+      .toDF("user_id", "n_events", "n_types")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Update-mode hourly window counts — each micro-batch emits only the
     * groups it changed, with their cumulative aggregates (the incremental
     * dashboard/changelog shape; a KV upsert sink consumes exactly this).
