@@ -1804,6 +1804,18 @@ object Oracles {
         |    AS INT) AS s_last
         |FROM m""".stripMargin,
 
+    // textual-SQL surface: the IDENTICAL statement runs on both engines
+    "q_sql_surface" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY r_name, year(o_orderdate)""".stripMargin,
+
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

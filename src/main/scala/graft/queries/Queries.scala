@@ -2187,6 +2187,30 @@ object Queries {
   // Relational fundamentals on the TPC-H-ish tables (perf anchors)
   // ---------------------------------------------------------------------------
 
+  /** The textual SQL entry point — the same engine surface a BI tool or a
+    * `spark.sql(...)` user hits: five TPC-H-ish tables registered as temp
+    * views, one ANSI star join + rollup executed from SQL TEXT (not the
+    * DataFrame DSL), planned by the same Catalyst pipeline (broadcast the
+    * dims, shuffle on the fact keys, partial aggs). The oracle is the
+    * IDENTICAL statement in DuckDB — dialect-portable by construction.
+    */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    spark.sql(
+      """SELECT r_name, CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY r_name, year(o_orderdate)""".stripMargin)
+      .orderBy("r_name", "yr")
+  }
+
   def aggLineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(F.col("l_shipdate") < F.lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
