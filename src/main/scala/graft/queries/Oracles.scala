@@ -1034,6 +1034,28 @@ object Oracles {
          |UNION ALL SELECT doc_id, 'toks', toks FROM m
          |UNION ALL SELECT doc_id, 'chars', chars FROM m""".stripMargin,
 
+    // corpus drift: exact integer TV distance — cross-multiplied absolute
+    // differences, no logarithm anywhere
+    "q_corpus_drift" ->
+      s"""WITH d AS (SELECT lang,
+         |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 'a'
+         |         ELSE 'b' END AS grp, text
+         |  FROM documents),
+         |tk AS (SELECT lang, grp, u.tok
+         |  FROM d, UNNEST(${toksSql("text")}) AS u(tok)),
+         |counts AS (SELECT lang, tok,
+         |    CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(c_a) AS BIGINT) AS n_a,
+         |    CAST(sum(c_b) AS BIGINT) AS n_b
+         |  FROM counts GROUP BY 1)
+         |SELECT c.lang, t.n_a, t.n_b, CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(sum(abs(c.c_a * t.n_b - c.c_b * t.n_a)) AS BIGINT) AS tv_num,
+         |  CAST(sum(abs(c.c_a * t.n_b - c.c_b * t.n_a)) * 1000
+         |    // (2 * t.n_a * t.n_b) AS BIGINT) AS tv_pm
+         |FROM counts c JOIN tot t USING (lang) GROUP BY 1, 2, 3""".stripMargin,
+
     // integer readability profile: same sentence-run and token contracts as
     // q_text_sentences / q_text_tokens, per-mille composites via integer
     // division — engine-exact throughout

@@ -3266,6 +3266,39 @@ object Queries {
         "stack(3, 'len', len, 'toks', toks, 'chars', chars) AS (metric, value)"))
       .orderBy("doc_id", "metric")
 
+  /** Corpus drift monitor — per language, the EXACT total-variation
+    * distance between the token distributions of two crawl halves (sources
+    * 0-9 vs 10-19), the observability metric a continuously-refreshed
+    * training corpus needs before a new snapshot ships. TV is computed as
+    * pure integer cross-multiplication — `Σ|c_a·N_b − c_b·N_a|` over the
+    * shared vocabulary, per-mille via `·1000 DIV (2·N_a·N_b)` — so unlike
+    * a KL estimate there is no logarithm anywhere and the engines agree
+    * bit-for-bit. Scale shape: ONE (lang, token) partial-agg shuffle, a
+    * languages-sized totals broadcast, and an algebraic rollup; no window,
+    * no join on the token key. Range note: c·N products cap at int64 —
+    * beyond ~10^9-token languages, lift to DECIMAL(38,0) on both engines.
+    */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).withColumn("grp",
+      F.when(F.expr("CAST(substring(source, 4) AS INT)") < 10, "a").otherwise("b"))
+    val toks = d.select(F.col("lang"), F.col("grp"),
+      F.explode(TextOps.tokens(F.col("text"))).as("tok"))
+    val counts = toks.groupBy("lang", "tok").agg(
+      F.sum(F.when(F.col("grp") === "a", 1L).otherwise(0L)).as("c_a"),
+      F.sum(F.when(F.col("grp") === "b", 1L).otherwise(0L)).as("c_b"))
+    val tot = counts.groupBy("lang").agg(
+      F.sum("c_a").as("n_a"), F.sum("c_b").as("n_b"))
+    counts.join(F.broadcast(tot), "lang")
+      .groupBy("lang", "n_a", "n_b")
+      .agg(F.count(F.lit(1)).as("vocab"),
+        F.sum(F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")))
+          .as("tv_num"))
+      .withColumn("tv_pm",
+        F.expr("CAST(tv_num * 1000 DIV (2 * n_a * n_b) AS BIGINT)"))
+      .select("lang", "n_a", "n_b", "vocab", "tv_num", "tv_pm")
+      .orderBy("lang")
+  }
+
   /** Integer readability profile ([[TextOps.readability]]) — sentence count
     * over the same augmented text as [[textSentences]] (the raw synthetic
     * corpus has no terminators), word/vowel-group/long-word counts over the
