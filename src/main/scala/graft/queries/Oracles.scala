@@ -623,6 +623,32 @@ object Oracles {
          |SELECT CAST(a AS BIGINT) AS id,
          |  CAST(least(a, min(b)) AS BIGINT) AS component
          |FROM reach GROUP BY a""".stripMargin,
+    // cluster-size histogram: same closure, sizes -> histogram + the
+    // relationally-derived singleton row
+    "q_dedup_cluster_stats" ->
+      s"""WITH RECURSIVE pairs AS (
+         |${HashSql.minhashLshSql(k = 3, threshold = 0.6, maxBucket = 1000)}
+         |),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION
+         |  SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b),
+         |comp AS (SELECT CAST(a AS BIGINT) AS id,
+         |    CAST(least(a, min(b)) AS BIGINT) AS component
+         |  FROM reach GROUP BY a),
+         |sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+         |  FROM comp GROUP BY 1),
+         |hist AS (SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM sizes GROUP BY 1
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT),
+         |    (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp))
+         |SELECT size, n_clusters, size * n_clusters AS n_docs FROM hist""".stripMargin,
+
     // cluster representative selection: same pair relation + closure as
     // q_dedup_clusters, then longest-member-min-id per component plus all
     // singletons (engine: algebraic struct-max, never a window)
@@ -1723,6 +1749,42 @@ object Oracles {
     // same fold inside one codegen'd scalar; this oracle materializes the
     // feature relation instead — same semantics, value-exact.
     "q_quality_classify" -> qualityClassifySql,
+
+    // classifier-vs-C4 confusion: the filter rule as pseudo-label against
+    // the hashed-linear keep verdict (token-less docs predict false)
+    "q_quality_confusion" ->
+      s"""WITH lang AS ($langIdSql),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(${tokCountSql("text")} AS BIGINT) AS n_tokens,
+         |    round(
+         |      least(length(text) / 500.0, 1.0) * 0.4 +
+         |      (CASE WHEN length(text) > 0 THEN
+         |         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+         |       ELSE 0.0 END) * 0.4 +
+         |      (CASE WHEN ${tokCountSql("text")} > 0 THEN
+         |         ${stopHitsSql("text", "en")} * 1.0 / ${tokCountSql("text")}
+         |       ELSE 0.0 END) * 0.2,
+         |    6) AS quality
+         |  FROM documents),
+         |lab AS (SELECT m.doc_id,
+         |    (m.n_tokens >= 20 AND m.quality >= 0.5 AND lang.pred_lang = 'en')
+         |      AS label
+         |  FROM m JOIN lang ON lang.doc_id = m.doc_id),
+         |qc AS (SELECT * FROM ($qualityClassifySql)),
+         |j AS (SELECT lab.doc_id, lab.label,
+         |    coalesce(qc.keep, FALSE) AS pred
+         |  FROM lab LEFT JOIN qc ON qc.doc_id = lab.doc_id),
+         |c AS (SELECT
+         |    CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM j)
+         |SELECT tp, fp, fn, tn,
+         |  CAST(tp * 1000 // greatest(tp + fp, 1) AS BIGINT) AS precision_pm,
+         |  CAST(tp * 1000 // greatest(tp + fn, 1) AS BIGINT) AS recall_pm
+         |FROM c""".stripMargin,
 
     // DSIR importance weights: feature relation + learned micro-nat bucket
     // table materialized relationally (the engine folds the same table as a

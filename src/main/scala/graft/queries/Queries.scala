@@ -405,6 +405,62 @@ object Queries {
       .orderBy("id")
   }
 
+  /** Near-dup cluster-size histogram — the dedup observability rollup a
+    * curation report needs (how much of the corpus sits in how-big
+    * clusters): component sizes from the same LSH + connected-components
+    * path as [[dedupClusters]], plus the singleton row derived
+    * relationally (total docs − clustered docs; no driver collect). Group
+    * spaces: components, then distinct sizes — both tiny.
+    */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashLsh(docs(spark, dir), "doc_id", "text", k = 3, threshold = 0.6)
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(F.col("id").cast("long").as("id"))
+    val sizes = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .groupBy(F.col("component")).agg(F.count(F.lit(1)).as("size"))
+    val hist = sizes.groupBy(F.col("size").cast("long").as("size"))
+      .agg(F.count(F.lit(1)).as("n_clusters"))
+    val singles = docs(spark, dir).agg(F.count(F.lit(1)).as("n"))
+      .crossJoin(comp.agg(F.count(F.lit(1)).as("m")))
+      .select(F.lit(1L).as("size"), (F.col("n") - F.col("m")).as("n_clusters"))
+    hist.unionByName(singles)
+      .withColumn("n_docs", F.col("size") * F.col("n_clusters"))
+      .orderBy("size")
+  }
+
+  /** Classifier-vs-heuristic confusion — the eval loop a learned quality
+    * filter needs against the rule-based C4 gate it would replace: per doc,
+    * the hashed-linear classifier's keep verdict (score > 0; token-less
+    * docs predict false) against the [[textFilter]] rule as pseudo-label,
+    * rolled into one confusion row with integer per-mille precision and
+    * recall. One doc-keyed 1:1 join + a single algebraic rollup.
+    */
+  def qualityConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.textops.HashedLinearScore
+    val lab = TextOps.withDocMetrics(docs(spark, dir), "text")
+      .select(F.col("doc_id"),
+        (F.col("n_tokens") >= 20 && F.col("quality") >= 0.5 &&
+          F.col("pred_lang") === "en").as("label"))
+    val scored = docs(spark, dir)
+      .select(F.col("doc_id"), TextOps.tokens(F.col("text")).as("toks"))
+      .filter(F.size(F.col("toks")) > 0)
+      .select(F.col("doc_id"),
+        (HashedLinearScore.column(F.col("toks"),
+          HashedLinearScore.DefaultBuckets, HashedLinearScore.DefaultSeed) > 0)
+          .as("pred"))
+    lab.join(scored, Seq("doc_id"), "left")
+      .withColumn("pred", F.coalesce(F.col("pred"), F.lit(false)))
+      .agg(
+        F.sum(F.when(F.col("pred") && F.col("label"), 1L).otherwise(0L)).as("tp"),
+        F.sum(F.when(F.col("pred") && !F.col("label"), 1L).otherwise(0L)).as("fp"),
+        F.sum(F.when(!F.col("pred") && F.col("label"), 1L).otherwise(0L)).as("fn"),
+        F.sum(F.when(!F.col("pred") && !F.col("label"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision_pm",
+        F.expr("CAST(tp * 1000 DIV greatest(tp + fp, 1) AS BIGINT)"))
+      .withColumn("recall_pm",
+        F.expr("CAST(tp * 1000 DIV greatest(tp + fn, 1) AS BIGINT)"))
+  }
+
   /** Keep-one selection over the same LSH clusters as q_dedup_clusters:
     * longest member per cluster (ties → min id) plus all singletons.
     */
