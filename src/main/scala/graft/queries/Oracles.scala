@@ -493,6 +493,22 @@ object Oracles {
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
 
+    // dead-letter replay: the corrupted lines reconstructed byte-for-byte
+    // from the k%13 / k%3 rule (backslash literal in single quotes)
+    "q_rdf_dead_letter" ->
+      """WITH k AS (SELECT doc_id AS k FROM documents WHERE doc_id % 13 = 0),
+        |l AS (SELECT k,
+        |    CASE WHEN k % 3 = 0 THEN '<http://ex.org/s/' || k
+        |        || '> <http://ex.org/p/p' || (k % 7) || '> "doc ' || k || '"'
+        |      WHEN k % 3 = 1 THEN '<http://ex.org/s/' || k
+        |        || ' <http://ex.org/p/x> "y" .'
+        |      ELSE '<http://ex.org/s/' || k
+        |        || '> <http://ex.org/p/x> "doc BSLASH' || k || '" .'
+        |    END AS line
+        |  FROM k)
+        |SELECT md5(line) AS line_md5, CAST(length(line) AS BIGINT) AS line_len
+        |FROM l""".stripMargin.replace("BSLASH", "\\"),
+
     // KG-construction path: bit-exact splitmix page-corpus replication (KgSql)
     "q_html_extract" -> KgSql.extractSql,
     "q_kg_mentions" -> KgSql.mentionsSql,

@@ -252,6 +252,38 @@ object Queries {
     * typed literals, anonymous bnodes and collections (S2 dispatch + S4 decl
     * capture). The DuckDB oracle pins the expected triple multiset.
     */
+  /** Dead-letter channel for the RDF line formats
+    * ([[graft.rdf.RdfSource.readNTriplesLenient]]): the corpus writes an
+    * N-Triples file whose every 13th line is corrupted under a closed-form
+    * rule (k%3 picks missing-dot / space-in-IRIREF / invalid literal
+    * escape), the LENIENT scan routes exactly those lines aside instead of
+    * failing the job — the at-crawl-scale contract: one corrupt line in a
+    * million-file scan must cost one dead-letter row, not the job — and
+    * the oracle reconstructs each routed line byte-for-byte (md5 + length)
+    * from the rule. RdfSpec pins that the lenient good side equals the
+    * strict parse of the clean subset.
+    */
+  def rdfDeadLetter(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rdf-dl").toString
+    val k = F.col("doc_id")
+    val good = F.concat(F.lit("<http://ex.org/s/"), k.cast("string"),
+      F.lit("> <http://ex.org/p/p"), (k % 7).cast("string"),
+      F.lit("> \"doc "), k.cast("string"), F.lit("\""))
+    val line = F.when(k % 13 =!= 0, F.concat(good, F.lit(" .")))
+      .otherwise(F.when(k % 3 === 0, good)
+        .when(k % 3 === 1, F.concat(F.lit("<http://ex.org/s/"), k.cast("string"),
+          F.lit(" <http://ex.org/p/x> \"y\" .")))
+        .otherwise(F.concat(F.lit("<http://ex.org/s/"), k.cast("string"),
+          F.lit("> <http://ex.org/p/x> \"doc \\"), k.cast("string"),
+          F.lit("\" ."))))
+    docs(spark, dir).select(line.as("value")).write.mode("overwrite").text(tmp)
+    val (_, bad) = graft.rdf.RdfSource.readNTriplesLenient(spark, Seq(tmp))
+    bad.toDF()
+      .select(F.md5(F.col("line")).as("line_md5"),
+        F.length(F.col("line")).cast("long").as("line_len"))
+      .orderBy("line_md5")
+  }
+
   def rdfParse(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-rdf-fixture")
     val ntGz = tmp.resolve("data.nt.gz")

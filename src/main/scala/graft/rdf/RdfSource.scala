@@ -40,6 +40,40 @@ object RdfSource {
       .flatMap { case (f, line) => NTriples.parseLine(line, f) }
   }
 
+  /** One routed-aside malformed input line — the dead-letter record. */
+  final case class BadRecord(src: String, line: String, msg: String)
+
+  /** Lenient N-Triples scan with a DEAD-LETTER channel: malformed lines
+    * route to a [[BadRecord]] side output instead of killing the job —
+    * at crawl scale a single corrupt line MUST NOT fail a million-file
+    * scan (the `badRecordsPath` contract of the built-in sources, here
+    * for the RDF line formats). [[readNTriples]] stays the strict form
+    * (fail fast — the right default for curated inputs); both share one
+    * parser, so accepted lines are bit-identical between them. Each side
+    * is a filter over the same one-pass parse relation — callers that
+    * consume both should cache/checkpoint the input split to avoid a
+    * second scan.
+    */
+  def readNTriplesLenient(
+      spark: SparkSession, paths: Seq[String]
+  ): (Dataset[Triple], Dataset[BadRecord]) = {
+    import spark.implicits._
+    val parsed = spark.read
+      .textFile(paths: _*)
+      .select(
+        org.apache.spark.sql.functions.input_file_name().as("f"),
+        org.apache.spark.sql.functions.col("value"))
+      .as[(String, String)]
+      .map { case (f, line) =>
+        try (NTriples.parseLine(line, f), Option.empty[BadRecord])
+        catch {
+          case e: NTriples.ParseError =>
+            (Option.empty[Triple], Some(BadRecord(f, line, e.getMessage)))
+        }
+      }
+    (parsed.flatMap(_._1), parsed.flatMap(_._2))
+  }
+
   /** Per-file scan of Turtle files; returns triples + captured prefix decls.
     *
     * Each file streams through [[TurtleStream]] (statement-boundary chunker

@@ -328,4 +328,33 @@ class RdfSpec extends AnyFunSuite {
       "<http://dbpedia.org/resource/Ada_Lovelace> " +
       "<http://www.w3.org/2000/01/rdf-schema#label> \"Ada Lovelace\"@en .")
   }
+
+  test("lenient N-Triples scan: bad lines dead-letter, good side equals " +
+    "the strict parse of the clean subset") {
+    val spark = SparkSuite.spark
+    val tmp = java.nio.file.Files.createTempDirectory("rdf-lenient")
+    val lines = Seq(
+      "<http://a/s1> <http://a/p> <http://a/o> .",
+      "<http://a/s2> <http://a/p> \"ok\" .",
+      "<http://a/s3> <http://a/p> \"no dot\"",          // missing terminator
+      "<http://a/s4 <http://a/p> \"y\" .",              // space in IRIREF
+      "<http://a/s5> <http://a/p> \"bad \\q esc\" .", // invalid escape
+      "# comment",
+      "")
+    java.nio.file.Files.write(tmp.resolve("mixed.nt"),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(tmp.resolve("clean.nt"),
+      lines.take(2).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (good, bad) = graft.rdf.RdfSource.readNTriplesLenient(
+      spark, Seq(tmp.resolve("mixed.nt").toString))
+    val strict = graft.rdf.RdfSource.readNTriples(
+      spark, Seq(tmp.resolve("clean.nt").toString))
+    def canon(d: org.apache.spark.sql.Dataset[graft.model.Triple]) =
+      d.collect().map(t => t.copy(srcUrl = "")).toSet
+    assert(canon(good) == canon(strict))
+    val badLines = bad.collect().map(_.line).toSet
+    assert(badLines == lines.slice(2, 5).toSet, s"got $badLines")
+    // every dead-letter carries a parse message
+    assert(bad.collect().forall(_.msg.nonEmpty))
+  }
 }
