@@ -523,6 +523,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"unexpected join in plan:\n$plan")
   }
 
+  test("corpus drift: one (lang, token) partial aggregation — no window, " +
+    "no Expand, totals broadcast") {
+    val plan = planOf(Queries.corpusDrift(spark, dir))
+    assert(!plan.contains("Window"), s"window in plan:\n$plan")
+    assert(!plan.contains("Expand"), s"Expand in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"totals not broadcast:\n$plan")
+  }
+
   test("salted join: shuffled join on the salted key, never broadcast") {
     val plan = planOf(Queries.saltedJoin(spark, dir))
     assert(!plan.contains("BroadcastHashJoin"),

@@ -930,6 +930,23 @@ class TrainOpsSpec extends AnyFunSuite {
     assert(!rows.contains((1L, 3L)) && !rows.contains((2L, 3L)))
   }
 
+  test("shingleContainmentPairs: the df cap excludes boilerplate shingles " +
+    "from intersections (blocking stays bounded on a shared-banner corpus)") {
+    // every doc shares one banner trigram; with maxDf below the corpus
+    // size that shingle may not create candidate pairs, so only the two
+    // genuinely-overlapping docs survive
+    val d = (0L until 30L).map { i =>
+      (i, s"banner line here unique$i token$i word$i extra$i")
+    } :+ (100L, "banner line here unique5 token5 word5 extra5")
+    val df = d.toDF("doc_id", "text")
+    val rows = Dedup.shingleContainmentPairs(df, "doc_id", "text",
+      thresholdPm = 500L, maxDf = 5)
+    val pairs = rows.collect().map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // docs 5 and 100 share their whole shingle set minus the capped banner
+    assert(pairs == Set((5L, 100L)), s"got $pairs")
+  }
+
   test("ngramDecontaminate: shared k-gram drops, short-doc fallback, subset of exact") {
     import graft.dedup.Dedup
     val corpus = Seq(
