@@ -512,7 +512,12 @@ object Dedup {
     val elems = withToks
       .select(F.col("id"), F.explode(F.array_distinct(shingles)).as("tok"))
     val capped = capBuckets(elems, Seq("tok"), maxDf)
-    val sizes = capped.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
+    // containment denominators |A| from the UNCAPPED distinct-shingle
+    // relation (ADVICE r5): the df cap bounds only the blocking/join side —
+    // a capped denominator would shrink |A| and inflate cont_pm whenever a
+    // shingle's df exceeds maxDf, diverging from Broder containment and the
+    // oracle
+    val sizes = elems.groupBy("id").agg(F.count(F.lit(1)).as("sz"))
     val l = capped.as("l")
     val r = capped.as("r")
     val inter = l.join(r,

@@ -115,4 +115,36 @@ $paras
     val base = if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
     base.map(id => page(id, seed))
   }
+
+  /** The (url, text) projection of page `id` WITHOUT building the HTML
+    * payload. html is the fattest field of the page row, and an opaque typed
+    * `map` cannot be column-pruned by Catalyst — so consumers whose plans
+    * provably never read html (the OpenIE extraction path projects
+    * (url, text); PlanSpec pins the pruned ReadSchema) would otherwise pay
+    * full page construction per row (guide §1.2: don't compute what you
+    * throw away). Derives through [[pageSpec]]/[[textOf]], so the values are
+    * byte-identical to `page(id).url` / `page(id).text` by construction.
+    */
+  def pageUrlText(id: Long, seed: Long = 42L): (String, String) = {
+    val spec = pageSpec(id, seed)
+    (spec.url, textOf(spec))
+  }
+
+  def pagesUrlText(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.range(n).map(id => pageUrlText(id, seed))
+  }
+
+  /** The (url, warc_ts) projection of page `id` without text/html
+    * construction — the capture-history consumers (latest-capture, SCD2,
+    * fact intervals) read exactly these two fields. Derives through
+    * [[pageSpec]], so values are identical to `page(id)` by construction.
+    */
+  def pagesUrlTs(spark: SparkSession, n: Long, seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val spec = pageSpec(id, seed)
+      (spec.url, new java.sql.Timestamp(spec.tsMs))
+    }.toDF("url", "warc_ts")
+  }
 }

@@ -178,14 +178,29 @@ object UrlOps {
     require(concurrency >= 1, "concurrency must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    // per-partition counts fold into the checkpoint materialization pass
+    // (same accumulator shape as TextOps.selectToBudget — one job, not two)
+    val cntAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("crawlSchedule-partition-counts")
     val rows = df
       .select(F.col(hostCol).as("host"), F.col(urlCol).as("url"))
       .repartitionByRange(F.col("host").asc, F.col("url").asc)
       .sortWithinPartitions(F.col("host").asc, F.col("url").asc)
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val ctx = org.apache.spark.TaskContext.get()
+        var cnt = 0L
+        ctx.addTaskCompletionListener[Unit] { c =>
+          if (!c.isFailed() && !c.isInterrupted()) cntAcc.add((c.partitionId(), cnt))
+        }
+        it.map { r => cnt += 1; r }
+      }
+      .toDF("host", "url")
       .localCheckpoint()
-    val perPart = rows.select(F.spark_partition_id().as("pid"))
-      .groupBy("pid").agg(F.count(F.lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val perPart = {
+      import scala.jdk.CollectionConverters._
+      cntAcc.value.asScala.toMap.toSeq.sortBy(_._1)
+    }
     val offsets = new java.util.HashMap[Int, Long]()
     var acc = 0L
     perPart.foreach { case (pid, cnt) => offsets.put(pid, acc); acc += cnt }

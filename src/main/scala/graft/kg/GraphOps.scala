@@ -579,9 +579,15 @@ object GraphOps {
       .union(edges.select(F.col("o").as("node")))
       .distinct().localCheckpoint()
     def maxNorm(df: DataFrame, col: String): DataFrame = {
-      val mx = math.max(df.agg(F.max(col)).collect()(0).getLong(0), 1L)
+      // materialize the half-round ONCE, then take the scalar max from the
+      // checkpointed blocks: collecting the max straight off the lazy plan
+      // and then checkpointing the same plan ran the join+agg twice per
+      // half-round (guide §1.2 — don't compute things twice); the projection
+      // over the checkpoint keeps lineage flat for the next round.
+      val cp = df.localCheckpoint(true)
+      val mx = math.max(cp.agg(F.max(col)).collect()(0).getLong(0), 1L)
       // integer `div`, not `/` (which Spark widens to double division)
-      df.select(F.col("node"),
+      cp.select(F.col("node"),
         F.expr(s"($col * 1000000L) div ${mx}L").as(col))
     }
     var hub = nodes.withColumn("hub", F.lit(1000000L))
@@ -592,13 +598,13 @@ object GraphOps {
             .groupBy(F.col("o").as("node")).agg(F.sum("hub").as("auth")),
           Seq("node"), "left")
         .select(F.col("node"), F.coalesce(F.col("auth"), F.lit(0L)).as("auth"))
-      auth = maxNorm(aRaw, "auth").localCheckpoint()
+      auth = maxNorm(aRaw, "auth")
       val hRaw = nodes.join(
           edges.join(auth.withColumnRenamed("node", "o"), "o")
             .groupBy(F.col("s").as("node")).agg(F.sum("auth").as("hub")),
           Seq("node"), "left")
         .select(F.col("node"), F.coalesce(F.col("hub"), F.lit(0L)).as("hub"))
-      hub = maxNorm(hRaw, "hub").localCheckpoint()
+      hub = maxNorm(hRaw, "hub")
     }
     hub.join(auth, "node").select("node", "hub", "auth")
   }
@@ -656,14 +662,29 @@ object GraphOps {
   private def rankDense(freq: DataFrame): DataFrame = {
     val spark = freq.sparkSession
     import spark.implicits._
+    // per-partition counts fold into the checkpoint materialization pass
+    // (same accumulator shape as TextOps.selectToBudget — one job, not two)
+    val cntAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("rankDense-partition-counts")
     val rows = freq
       .select(F.col("term"), F.col("freq").cast("long").as("freq"))
       .repartitionByRange(F.col("freq").desc, F.col("term").asc)
       .sortWithinPartitions(F.col("freq").desc, F.col("term").asc)
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val ctx = org.apache.spark.TaskContext.get()
+        var cnt = 0L
+        ctx.addTaskCompletionListener[Unit] { c =>
+          if (!c.isFailed() && !c.isInterrupted()) cntAcc.add((c.partitionId(), cnt))
+        }
+        it.map { r => cnt += 1; r }
+      }
+      .toDF("term", "freq")
       .localCheckpoint()
-    val perPart = rows.select(F.spark_partition_id().as("pid"))
-      .groupBy("pid").agg(F.count(F.lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val perPart = {
+      import scala.jdk.CollectionConverters._
+      cntAcc.value.asScala.toMap.toSeq.sortBy(_._1)
+    }
     val offsets = new java.util.HashMap[Int, Long]()
     var acc = 0L
     perPart.foreach { case (pid, cnt) => offsets.put(pid, acc); acc += cnt }
@@ -777,8 +798,11 @@ object GraphOps {
       numCands: Int
   ): DataFrame = {
     require(dim >= 1 && numCands >= 1, "dim and numCands must be >= 1")
+    // NULL-safe on an empty encoded relation (ADVICE r5: max() is NULL there
+    // — getLong threw NPE; on empty input the aggregation below is empty and
+    // the UDF never evaluates, so the placeholder nEnt is never used)
     val nEnt = encoded
-      .select(F.greatest(F.max("h_id"), F.max("t_id")).as("m"))
+      .select(F.coalesce(F.greatest(F.max("h_id"), F.max("t_id")), F.lit(-1L)).as("m"))
       .collect()(0).getLong(0) + 1L
     def emb(seed: Long, id: Long, d: Int): Long =
       java.lang.Long.remainderUnsigned(
@@ -836,8 +860,9 @@ object GraphOps {
       numCands: Int
   ): DataFrame = {
     require(dim >= 1 && numCands >= 1, "dim and numCands must be >= 1")
+    // NULL-safe on empty input — same rationale as [[linkPredictionEval]]
     val nEnt = encoded
-      .select(F.greatest(F.max("h_id"), F.max("t_id")).as("m"))
+      .select(F.coalesce(F.greatest(F.max("h_id"), F.max("t_id")), F.lit(-1L)).as("m"))
       .collect()(0).getLong(0) + 1L
     def emb(seed: Long, id: Long, d: Int): Long =
       java.lang.Long.remainderUnsigned(

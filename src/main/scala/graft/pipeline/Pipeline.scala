@@ -95,8 +95,18 @@ object Pipeline {
   def extractTriples(pages: Dataset[Page]): Dataset[Triple] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.select($"url", $"text").as[(String, String)]
-      .flatMap { case (url, text) => OpenIE.extract(url, text) }
+    extractTriplesUrlText(pages.select($"url", $"text").as[(String, String)])
+  }
+
+  /** Stage A over an already-projected (url, text) relation — the shape the
+    * generator-backed queries feed directly (Synth.pagesUrlText) so the
+    * opaque page `map` never constructs the html payload the extractor
+    * provably ignores. Identical per-row logic to [[extractTriples]].
+    */
+  def extractTriplesUrlText(urlText: Dataset[(String, String)]): Dataset[Triple] = {
+    val spark = urlText.sparkSession
+    import spark.implicits._
+    urlText.flatMap { case (url, text) => OpenIE.extract(url, text) }
   }
 
   /** Stage A for corpora WITHOUT a trusted extracted-text column: re-derives

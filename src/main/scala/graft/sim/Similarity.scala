@@ -93,7 +93,115 @@ object Similarity {
   /** Brute-force top-k cosine neighbors for the query rows (queries broadcast;
     * the big side streams — one pass, no shuffle of the corpus).
     */
+  /** Exact replica of Spark 4's `round(double, 6)` (RoundBase, HALF_UP):
+    * NaN/Infinity pass through; otherwise `scala.math.BigDecimal(d)` (the
+    * shortest-decimal valueOf representation) rescaled HALF_UP. Verified
+    * against the bytecode of `RoundBase.nullSafeEval`'s DoubleType branch;
+    * parity with `F.round(_, 6)` is spec-pinned (TrainOpsSpec).
+    */
+  private[sim] def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else scala.math.BigDecimal(d)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The exact (sim DESC with NaN largest and -0.0 == 0.0, neighbor ASC)
+    * order [[TopKAgg]] uses — shared so the map-side pre-selection below
+    * provably keeps every row the final top-k can need.
+    */
+  private[sim] def scoredBetter(simA: Double, idA: Long, simB: Double, idB: Long): Boolean = {
+    def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+    // A ranks before B ⟺ TopKAgg's ord.compare(A, B) < 0, where compare =
+    // Double.compare(norm(B.sim), norm(A.sim)) (desc; NaN largest)
+    val c = java.lang.Double.compare(norm(simB), norm(simA))
+    if (c != 0) c < 0 else idA < idB
+  }
+
   def bruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // The queries already rode a driver-built broadcast in the former
+    // crossJoin(broadcast(q)) plan; materializing them once as primitive
+    // arrays is the same data movement. The per-pair work then runs as ONE
+    // tight primitive loop per partition (guide §1.2 step 2): each corpus
+    // vector deserializes once (the BroadcastNestedLoopJoin form converted
+    // both ArrayDatas per pair), the cosine fold replicates [[CosineSim]]'s
+    // index-order double arithmetic exactly, and a per-(partition, query)
+    // bounded insertion keeps only k candidates under [[TopKAgg]]'s total
+    // order — so the downstream [[topKPerQuery]] merge sees
+    // ≤ k·|queries|·#partitions rows instead of |corpus|·|queries|, and the
+    // final top-k is IDENTICAL (top-k distributes over union).
+    // `round(·,6)` (BigDecimal — the former plan paid it on every pair) is
+    // only evaluated when a candidate's raw sim is within the 6e-7 rounding
+    // margin of the current kth threshold; everything below is provably
+    // outside the rounded top-k. NaN (zero-norm vectors) skips the margin
+    // test and ranks first, exactly as before.
+    val qArr: Array[(Long, Array[Float])] = queries
+      .select(F.col(idCol).cast("long"), F.col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val partial = corpus.select(F.col(idCol).cast("long"), F.col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        val nQ = qs.length
+        // per-query bounded buffers: parallel arrays sorted best-first
+        val bufSim = Array.fill(nQ)(new Array[Double](k))
+        val bufId = Array.fill(nQ)(new Array[Long](k))
+        val bufN = new Array[Int](nQ)
+        it.foreach { case (nid, cv) =>
+          var qi = 0
+          while (qi < nQ) {
+            val (qid, qv) = qs(qi)
+            if (qid != nid) {
+              val n = math.min(qv.length, cv.length)
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              while (i < n) {
+                val xi = qv(i).toDouble
+                val yi = cv(i).toDouble
+                dot += xi * yi; na += xi * xi; nb += yi * yi
+                i += 1
+              }
+              val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+              val cnt = bufN(qi)
+              val worst = if (cnt == k) bufSim(qi)(k - 1) else Double.NaN
+              // margin skip: round(raw) <= raw + 5e-7 < worst ⇒ strictly
+              // out (NaN raw or NaN worst compares false ⇒ no skip)
+              if (!(cnt == k && raw + 6e-7 < worst)) {
+                val sim = round6(raw)
+                if (cnt < k || scoredBetter(sim, nid, bufSim(qi)(k - 1), bufId(qi)(k - 1))) {
+                  var pos = if (cnt < k) cnt else k - 1
+                  while (pos > 0 && scoredBetter(sim, nid, bufSim(qi)(pos - 1), bufId(qi)(pos - 1))) {
+                    bufSim(qi)(pos) = bufSim(qi)(pos - 1)
+                    bufId(qi)(pos) = bufId(qi)(pos - 1)
+                    pos -= 1
+                  }
+                  bufSim(qi)(pos) = sim
+                  bufId(qi)(pos) = nid
+                  if (cnt < k) bufN(qi) = cnt + 1
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        (0 until nQ).iterator.flatMap { qi =>
+          (0 until bufN(qi)).iterator.map(j => (qs(qi)._1, bufId(qi)(j), bufSim(qi)(j)))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "sim")
+    topKPerQuery(partial, k)
+  }
+
+  /** The former crossJoin(broadcast)+round+aggregate form of [[bruteTopK]] —
+    * kept as the independently-planned parity reference (spec-pinned equal).
+    */
+  def bruteTopKJoin(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,

@@ -503,17 +503,31 @@ object TextOps {
     // ContextCleaner once the result is unreferenced — an explicit persist
     // here leaked a cached dataset per call for the session's lifetime
     // (ADVICE r4).
+    // pass 1 folds into the checkpoint materialization (same accumulator
+    // shape as [[selectToBudget]] — one job, not two); RangePartitioner
+    // assigns ascending key ranges to ascending pids
+    val totalsAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("packSequences-partition-totals")
     val toks = df
       .select(F.col(idCol).cast("long").as("id"),
         tokenCount(F.col(textCol)).cast("long").as("n_tokens"))
       .repartitionByRange(F.col("id"))
       .sortWithinPartitions("id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val ctx = org.apache.spark.TaskContext.get()
+        var total = 0L
+        ctx.addTaskCompletionListener[Unit] { c =>
+          if (!c.isFailed() && !c.isInterrupted()) totalsAcc.add((c.partitionId(), total))
+        }
+        it.map { r => total += r._2; r }
+      }
+      .toDF("id", "n_tokens")
       .localCheckpoint()
-    // pass 1: per-partition totals, driver scan into exclusive offsets
-    // (RangePartitioner assigns ascending key ranges to ascending pids)
-    val perPart = toks.select(F.spark_partition_id().as("pid"), $"n_tokens")
-      .groupBy("pid").agg(F.sum("n_tokens").as("total"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val perPart = {
+      import scala.jdk.CollectionConverters._
+      totalsAcc.value.asScala.toMap.toSeq.sortBy(_._1)
+    }
     val offsets = new java.util.HashMap[Int, Long]()
     var acc = 0L
     perPart.foreach { case (pid, total) => offsets.put(pid, acc); acc += total }
@@ -778,15 +792,30 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     require(blockSize > 0, "blockSize must be positive")
+    // per-partition totals fold into the checkpoint materialization pass
+    // (same accumulator shape as [[selectToBudget]] — one job, not two)
+    val totalsAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("chunkBlocks-partition-totals")
     val toks = df
       .select(F.col(idCol).cast("long").as("id"),
         tokenCount(F.col(textCol)).cast("long").as("n_tokens"))
       .repartitionByRange(F.col("id"))
       .sortWithinPartitions("id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val ctx = org.apache.spark.TaskContext.get()
+        var total = 0L
+        ctx.addTaskCompletionListener[Unit] { c =>
+          if (!c.isFailed() && !c.isInterrupted()) totalsAcc.add((c.partitionId(), total))
+        }
+        it.map { r => total += r._2; r }
+      }
+      .toDF("id", "n_tokens")
       .localCheckpoint()
-    val perPart = toks.select(F.spark_partition_id().as("pid"), $"n_tokens")
-      .groupBy("pid").agg(F.sum("n_tokens").as("total"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val perPart = {
+      import scala.jdk.CollectionConverters._
+      totalsAcc.value.asScala.toMap.toSeq.sortBy(_._1)
+    }
     val offsets = new java.util.HashMap[Int, Long]()
     var acc = 0L
     perPart.foreach { case (pid, total) => offsets.put(pid, acc); acc += total }
@@ -844,17 +873,38 @@ object TextOps {
     import spark.implicits._
     require(budget > 0, "budget must be positive")
     // localCheckpoint, not persist — same layout-pinning role and cleaner-
-    // managed lifetime as in [[packSequences]] (ADVICE r4 leak fix)
+    // managed lifetime as in [[packSequences]] (ADVICE r4 leak fix).
+    // Per-partition token totals fold into the SAME pass that materializes
+    // the checkpoint (VERDICT r5 #4): a collection accumulator receives each
+    // partition's total as the checkpoint job streams its rows, replacing
+    // the separate per-partition aggregation job (and its full re-scan of
+    // the checkpointed relation). Task retries cannot corrupt the totals:
+    // the post-shuffle partition contents are deterministic, entries are
+    // deduplicated by pid, and failed/killed attempts are filtered out.
+    val totalsAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("selectToBudget-partition-totals")
     val rows = df
       .select(F.col(idCol).cast("long").as("id"),
         F.col(scoreCol).cast("double").as("score"),
         F.col(tokenCol).cast("long").as("n_tokens"))
       .repartitionByRange(F.col("score").desc, F.col("id").asc)
       .sortWithinPartitions(F.col("score").desc, F.col("id").asc)
+      .as[(Long, Double, Long)]
+      .mapPartitions { it =>
+        val ctx = org.apache.spark.TaskContext.get()
+        var total = 0L
+        ctx.addTaskCompletionListener[Unit] { c =>
+          if (!c.isFailed() && !c.isInterrupted())
+            totalsAcc.add((c.partitionId(), total))
+        }
+        it.map { r => total += r._3; r }
+      }
+      .toDF("id", "score", "n_tokens")
       .localCheckpoint()
-    val perPart = rows.select(F.spark_partition_id().as("pid"), $"n_tokens")
-      .groupBy("pid").agg(F.sum("n_tokens").as("total"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val perPart = {
+      import scala.jdk.CollectionConverters._
+      totalsAcc.value.asScala.toMap.toSeq.sortBy(_._1) // dedupe by pid
+    }
     val offsets = new java.util.HashMap[Int, Long]()
     var acc = 0L
     perPart.foreach { case (pid, total) => offsets.put(pid, acc); acc += total }
@@ -890,15 +940,30 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     require(k > 0, "k must be positive")
+    // per-partition counts fold into the checkpoint materialization pass
+    // (same accumulator shape as [[selectToBudget]] — one job, not two)
+    val cntAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("rankBuckets-partition-counts")
     val rows = df
       .select(F.col(idCol).cast("long").as("id"),
         F.col(scoreCol).cast("double").as("score"))
       .repartitionByRange(F.col("score").asc, F.col("id").asc)
       .sortWithinPartitions(F.col("score").asc, F.col("id").asc)
+      .as[(Long, Double)]
+      .mapPartitions { it =>
+        val ctx = org.apache.spark.TaskContext.get()
+        var cnt = 0L
+        ctx.addTaskCompletionListener[Unit] { c =>
+          if (!c.isFailed() && !c.isInterrupted()) cntAcc.add((c.partitionId(), cnt))
+        }
+        it.map { r => cnt += 1; r }
+      }
+      .toDF("id", "score")
       .localCheckpoint()
-    val perPart = rows.select(F.spark_partition_id().as("pid"))
-      .groupBy("pid").agg(F.count(F.lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val perPart = {
+      import scala.jdk.CollectionConverters._
+      cntAcc.value.asScala.toMap.toSeq.sortBy(_._1)
+    }
     val offsets = new java.util.HashMap[Int, Long]()
     var acc = 0L
     perPart.foreach { case (pid, cnt) => offsets.put(pid, acc); acc += cnt }
@@ -998,15 +1063,30 @@ object TextOps {
     val bcMeta = spark.sparkContext.broadcast(meta)
     val mixU = F.udf((id: Long) => java.lang.Long.remainderUnsigned(
       graft.extract.Synth.mix64(seed ^ id), 1000000000L))
+    // per-partition counts fold into the checkpoint materialization pass
+    // (same accumulator shape as [[selectToBudget]] — one job, not two)
+    val cntAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("temperatureMix-partition-counts")
     val rows = df
       .select(F.col(idCol).cast("long").as("id"), F.col(langCol).as("lang"))
       .withColumn("mxr", mixU(F.col("id")))
       .repartitionByRange(F.col("lang").asc, F.col("mxr").asc, F.col("id").asc)
       .sortWithinPartitions(F.col("lang").asc, F.col("mxr").asc, F.col("id").asc)
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val ctx = org.apache.spark.TaskContext.get()
+        var cnt = 0L
+        ctx.addTaskCompletionListener[Unit] { c =>
+          if (!c.isFailed() && !c.isInterrupted()) cntAcc.add((c.partitionId(), cnt))
+        }
+        it.map { r => cnt += 1; r }
+      }
+      .toDF("id", "lang", "mxr")
       .localCheckpoint()
-    val perPart = rows.select(F.spark_partition_id().as("pid"))
-      .groupBy("pid").agg(F.count(F.lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val perPart = {
+      import scala.jdk.CollectionConverters._
+      cntAcc.value.asScala.toMap.toSeq.sortBy(_._1)
+    }
     val offsets = new java.util.HashMap[Int, Long]()
     var acc = 0L
     perPart.foreach { case (pid, cnt) => offsets.put(pid, acc); acc += cnt }
@@ -1399,19 +1479,16 @@ object TextOps {
     * at least one other document. Used to score training docs against a held
     * corpus (here: the corpus itself) before dedup/decontamination decisions.
     *
-    * Scale shape: per-doc distinct shingles (one shuffle keyed on
-    * (doc, shingle) with partial agg), then a shingle-keyed count — because
-    * the first distinct emits each shingle once per doc, `count(*)` IS the
-    * containing-doc count — joined back and folded per doc.
-    *
-    * HOT-SHINGLE TWO-PHASE (VERDICT r4 #6): the freq join is 1:1 per row,
-    * but a zipf-head shingle ("all rights reserved" in 10^9 docs) would
-    * route all its instance rows through one join reducer. Shingles with
-    * `n_docs > hotDf` are split out: they are shared by definition
-    * (n_docs >= 2), so their instances take a MAP-SIDE broadcast semi join
-    * (the hot set is tiny by construction, <= total/hotDf rows) and never
-    * shuffle; only the cold remainder — every key bounded by hotDf — takes
-    * the shuffle join against the freq table.
+    * Scale shape (r6 rewrite — guide §2.4, remove shuffles outright): the
+    * former shingle-keyed join of instances back to the df table (and the
+    * r4 hot-shingle broadcast split that join required) is GONE. Shared
+    * count per doc = n_shingles − (# of the doc's df==1 shingles), and a
+    * df==1 shingle names its unique owner as `min(doc_id)` inside the same
+    * df aggregation — so the whole operator is the distinct + two algebraic
+    * aggregations + one 1:1 doc-keyed join of two doc-sized aggregates. A
+    * zipf-head shingle ("all rights reserved" in 10^9 docs) collapses
+    * map-side in the df aggregation; no key ever fans out, so no hot path
+    * is needed (SkewStressSpec keeps the parity pin).
     *
     * `hashShingles = true` is the at-scale wire format: shingles shuffle as
     * `xxhash64` 8-byte keys instead of trigram strings (~10x less wire,
@@ -1431,19 +1508,28 @@ object TextOps {
         F.explode(
           if (hashShingles) F.transform(grams, g => F.xxhash64(g)) else grams).as("sh"))
       .distinct()
-    val freq = sh.groupBy("sh").agg(F.count(F.lit(1)).as("n_docs"))
-    val hot = freq.filter(F.col("n_docs") > hotDf).select("sh")
-    val hotShared = sh.join(F.broadcast(hot), Seq("sh"), "left_semi")
-      .select(F.col("doc_id"), F.lit(true).as("shared"))
-    val coldShared = sh.join(F.broadcast(hot), Seq("sh"), "left_anti")
-      .join(freq, "sh")
-      .select(F.col("doc_id"), (F.col("n_docs") >= 2).as("shared"))
-    hotShared.union(coldShared)
-      .groupBy("doc_id")
-      .agg(F.count(F.lit(1)).as("n_shingles"),
+    // A doc's shingle is "shared" iff its df >= 2, so the shared count per
+    // doc equals n_shingles minus the doc's df==1 shingles — and a df==1
+    // shingle belongs to exactly ONE doc, recoverable as min(doc_id) inside
+    // the same df aggregation. That removes the former shingle-keyed join
+    // back to `sh` (and with it the hot-shingle broadcast split and its df
+    // pre-pass): both remaining aggregations are algebraic with map-side
+    // partials, so a boilerplate shingle in 10^9 docs collapses before the
+    // exchange — no skew surface exists at all (guide §2.4: remove shuffles
+    // outright). The doc-keyed totals⟕uniques join is 1:1 on doc_id.
+    // `hotDf` is retained for signature stability; no hot path remains.
+    val _ = hotDf
+    val uniq = sh.groupBy("sh")
+      .agg(F.count(F.lit(1)).as("n_docs"), F.min("doc_id").as("doc_id"))
+      .filter(F.col("n_docs") === 1)
+      .groupBy("doc_id").agg(F.count(F.lit(1)).as("n_unique"))
+    sh.groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("n_shingles"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(F.col("doc_id"), F.col("n_shingles"),
         // raw double ratio of exact counts (see repetitionMetrics note)
-        (F.sum(F.when(F.col("shared"), 1L).otherwise(0L)).cast("double") /
-          F.count(F.lit(1))).as("overlap_frac"))
+        ((F.col("n_shingles") - F.coalesce(F.col("n_unique"), F.lit(0L)))
+          .cast("double") / F.col("n_shingles")).as("overlap_frac"))
   }
 
   /** PII patterns (lower-case corpora): email, NNN-NNNN phone, dotted-quad
@@ -1499,15 +1585,30 @@ object TextOps {
     ps.foreach { case (_, num, den) =>
       require(den > 0 && num >= 0 && num <= den, s"quantile $num/$den out of [0,1]")
     }
+    // per-partition counts fold into the checkpoint materialization pass
+    // (same accumulator shape as [[selectToBudget]] — one job, not two)
+    val cntAcc = spark.sparkContext
+      .collectionAccumulator[(Int, Long)]("exactQuantiles-partition-counts")
     val rows = df
       .select(F.col(idCol).cast("long").as("id"),
         F.col(valueCol).cast("long").as("value"))
       .repartitionByRange(F.col("value").asc, F.col("id").asc)
       .sortWithinPartitions(F.col("value").asc, F.col("id").asc)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val ctx = org.apache.spark.TaskContext.get()
+        var cnt = 0L
+        ctx.addTaskCompletionListener[Unit] { c =>
+          if (!c.isFailed() && !c.isInterrupted()) cntAcc.add((c.partitionId(), cnt))
+        }
+        it.map { r => cnt += 1; r }
+      }
+      .toDF("id", "value")
       .localCheckpoint()
-    val perPart = rows.select(F.spark_partition_id().as("pid"))
-      .groupBy("pid").agg(F.count(F.lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val perPart = {
+      import scala.jdk.CollectionConverters._
+      cntAcc.value.asScala.toMap.toSeq.sortBy(_._1)
+    }
     val offsets = new java.util.HashMap[Int, Long]()
     var acc = 0L
     perPart.foreach { case (pid, cnt) => offsets.put(pid, acc); acc += cnt }

@@ -34,6 +34,16 @@ class ExtractSpec extends AnyFunSuite {
     assert((100000L until 102018L).exists(id => Synth.page(id).text.contains("Tachyon Spool")))
   }
 
+  test("pageUrlText: projection parity with the full page (no-html fast path)") {
+    // the r6 extraction prefix skips html construction for consumers that
+    // provably never read it — the projection must stay byte-identical
+    ((0L until 500L) ++ (100000L until 100200L)).foreach { id =>
+      val p = Synth.page(id)
+      val (url, text) = Synth.pageUrlText(id)
+      assert(url == p.url && text == p.text, s"page $id url/text projection drift")
+    }
+  }
+
   test("synthesis is deterministic across calls") {
     val a = Synth.page(123L)
     val b = Synth.page(123L)

@@ -49,10 +49,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), s"no codegen in:\n$plan")
   }
 
-  test("brute-force top-k broadcasts the query side, not the corpus") {
+  test("brute-force top-k: corpus streams once, queries ride a broadcast, no join of the corpus") {
+    // r6 shape: the query vectors ride a spark broadcast into ONE per-corpus-
+    // partition scoring+selection pass (MapPartitions); the corpus is never
+    // joined, shuffled or broadcast — only k·|queries| candidates per
+    // partition reach the top-k aggregation
     val plan = planOf(Queries.simTopK(spark, dir))
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-      s"queries not broadcast:\n$plan")
+    assert(plan.contains("MapPartitions"), s"scoring pass missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Join"),
+      s"corpus unexpectedly joined:\n$plan")
   }
 
   test("top-k selection is a bounded partial aggregation, not a per-query window") {

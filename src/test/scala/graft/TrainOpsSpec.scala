@@ -86,6 +86,43 @@ class TrainOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bruteTopK map-side pre-selection: bit parity with the crossJoin+round reference") {
+    // the r6 fast path computes cosine + Spark-replica round(.,6) in a
+    // per-partition bounded selection; it must equal the independently
+    // planned crossJoin + F.round + aggregate form row-for-row (same sims,
+    // same neighbors, same ranks), including on degenerate inputs
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      // sims compared by BIT PATTERN: NaN != NaN would make set equality
+      // fail on identical outputs
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(canon(Similarity.bruteTopK(emb, emb, "vec_id", "embedding", 5)) ==
+      canon(Similarity.bruteTopKJoin(emb, emb, "vec_id", "embedding", 5)))
+    // zero-norm vector (NaN sims) and exact-duplicate vectors
+    import spark.implicits._
+    val weird = Seq(
+      (0L, Array(1.0f, 2.0f)), (1L, Array(1.0f, 2.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(-1.0f, -2.0f)), (4L, Array(2.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    assert(canon(Similarity.bruteTopK(weird, weird, "vec_id", "embedding", 3)) ==
+      canon(Similarity.bruteTopKJoin(weird, weird, "vec_id", "embedding", 3)))
+  }
+
+  test("round6 replica: parity with Spark's round(double, 6) on cosine-range values") {
+    import spark.implicits._
+    val vals = (-2000 to 2000).map(i => i / 1999.0) ++
+      Seq(Double.NaN, 0.1234565, 0.12345649999, -0.9999995, 1.0000005, -0.0, 5e-7, -5e-7)
+    val df = vals.toDF("x").withColumn("r", F.round(F.col("x"), 6))
+    df.collect().foreach { row =>
+      val x = row.getDouble(0)
+      val want = row.getDouble(1)
+      val got = graft.sim.SimilarityTestHook.round6(x)
+      assert(java.lang.Double.compare(got, want) == 0 || (want.isNaN && got.isNaN),
+        s"round6($x): got $got want $want")
+    }
+  }
+
   test("LSH neighbor recall vs brute force is reasonable on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter(F.col("vec_id") < 200)
