@@ -88,14 +88,21 @@ object GraphOps {
 
     var ranks = nodes.withColumn("rank", F.lit(1000000L))
     for (_ <- 1 to iters) {
+      // one exchange per iteration (r6): the former
+      //   contrib.groupBy(node) → nodes ⟕ contrib
+      // shape paid a groupBy exchange plus a node-keyed left join (two more
+      // exchanges under AQE). Union-in a zero contribution for every node
+      // instead: the single aggregation both sums the contributions and
+      // keeps zero-in-degree nodes alive — integer sum + 0 is exact, so the
+      // emitted ranks are bit-identical.
       val contrib = edgesOd
         .join(ranks.withColumnRenamed("node", "s"), "s")
         .select(F.col("o").as("node"),
           F.expr("(`rank` * 17) div (20 * outdeg)").as("c"))
-        .groupBy("node").agg(F.sum("c").as("inc"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(F.col("node"),
-          (F.lit(150000L) + F.coalesce(F.col("inc"), F.lit(0L))).as("rank"))
+      ranks = contrib
+        .unionByName(nodes.select(F.col("node"), F.lit(0L).as("c")))
+        .groupBy("node")
+        .agg((F.lit(150000L) + F.sum("c")).as("rank"))
         .localCheckpoint()
     }
     ranks
@@ -138,15 +145,19 @@ object GraphOps {
     var ranks = nodes.select(F.col("node"),
       F.when(F.col("is_seed"), 1000000L).otherwise(0L).as("rank"))
     for (_ <- 1 to iters) {
+      // same one-exchange union shape as [[pageRank]] (r6): the restart term
+      // re-derives from the pure `isSeed` predicate on the grouping key, so
+      // no node-keyed left join is needed; integer sum + 0 is exact and the
+      // ranks stay bit-identical.
       val contrib = edgesOd
         .join(ranks.withColumnRenamed("node", "s"), "s")
         .select(F.col("o").as("node"),
           F.expr("(`rank` * 17) div (20 * outdeg)").as("c"))
-        .groupBy("node").agg(F.sum("c").as("inc"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(F.col("node"),
-          (F.when(F.col("is_seed"), 150000L).otherwise(0L) +
-            F.coalesce(F.col("inc"), F.lit(0L))).as("rank"))
+      ranks = contrib
+        .unionByName(nodes.select(F.col("node"), F.lit(0L).as("c")))
+        .groupBy("node")
+        .agg((F.when(isSeed(F.col("node")), 150000L).otherwise(0L) +
+          F.sum("c")).as("rank"))
         .localCheckpoint()
     }
     ranks
@@ -297,10 +308,44 @@ object GraphOps {
   def resolveByLabel(
       pairs: DataFrame,
       labelCol: String = "surface",
-      entityCol: String = "entityIri"
+      entityCol: String = "entityIri",
+      driverThreshold: Long = 100000L
   ): DataFrame = {
     val pe = pairs.select(F.col(labelCol).as("label"),
       F.col(entityCol).as("entity")).distinct().localCheckpoint()
+    val n = pe.count()
+    if (n <= driverThreshold) {
+      // scale-adaptive cutover (the Dedup.connectedComponents precedent):
+      // the DISTINCT label↔entity relation is alias-vocabulary-sized here,
+      // so star-edge construction + min-root union-find run on the driver in
+      // one collect — replacing the ~5-jobs-per-stage distributed path
+      // (reps agg, edge join, CC's own persist/count/collect, mapping join)
+      // with one job. Semantics identical: canon = min entity of the
+      // label-connected component (min-root union-find), entities outside
+      // any merge map to themselves.
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val rows = pe.collect().map(r => (r.getString(0), r.getString(1)))
+      val parent = scala.collection.mutable.Map.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      def union(a: String, b: String): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      rows.groupBy(_._1).foreach { case (_, es) =>
+        val ents = es.map(_._2)
+        val rep = ents.min
+        ents.foreach(e => if (e != rep) union(e, rep))
+      }
+      val mapping = rows.map(_._2).distinct.sorted.map(e => (e, find(e)))
+      return mapping.toSeq.toDF("entity", "canon")
+    }
     val reps = pe.groupBy("label").agg(F.min("entity").as("rep"))
     val edges = pe.join(reps, "label")
       .filter(F.col("entity") =!= F.col("rep"))
@@ -578,33 +623,49 @@ object GraphOps {
     val nodes = edges.select(F.col("s").as("node"))
       .union(edges.select(F.col("o").as("node")))
       .distinct().localCheckpoint()
-    def maxNorm(df: DataFrame, col: String): DataFrame = {
-      // materialize the half-round ONCE, then take the scalar max from the
-      // checkpointed blocks: collecting the max straight off the lazy plan
-      // and then checkpointing the same plan ran the join+agg twice per
-      // half-round (guide §1.2 — don't compute things twice); the projection
-      // over the checkpoint keeps lineage flat for the next round.
-      val cp = df.localCheckpoint(true)
-      val mx = math.max(cp.agg(F.max(col)).collect()(0).getLong(0), 1L)
+    val spark = triples.sparkSession
+    import spark.implicits._
+    // One exchange + one checkpoint job per half-round (r6): contributions
+    // union a zero row per node (keeping isolated-side nodes alive without
+    // the former node-keyed left join and its extra exchanges), the single
+    // aggregation sums them, and the per-partition MAX folds into the same
+    // pass that materializes the checkpoint (accumulator — the separate
+    // max-collect job per half-round is gone; duplicated task-retry entries
+    // are harmless under max). Integer sums + max are order-independent, so
+    // scores stay bit-identical.
+    def halfRound(contrib: DataFrame, out: String): DataFrame = {
+      val maxAcc = spark.sparkContext.collectionAccumulator[Long](s"hits-$out-max")
+      val cp = contrib
+        .unionByName(nodes.select(F.col("node"), F.lit(0L).as("v")))
+        .groupBy("node").agg(F.sum("v").as(out))
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          val ctx = org.apache.spark.TaskContext.get()
+          var mx = Long.MinValue
+          ctx.addTaskCompletionListener[Unit] { c =>
+            if (!c.isFailed() && !c.isInterrupted() && mx != Long.MinValue) maxAcc.add(mx)
+          }
+          it.map { r => if (r._2 > mx) mx = r._2; r }
+        }
+        .toDF("node", out)
+        .localCheckpoint(true)
+      val mx = {
+        import scala.jdk.CollectionConverters._
+        val vs = maxAcc.value.asScala
+        math.max(if (vs.isEmpty) 1L else vs.max, 1L)
+      }
       // integer `div`, not `/` (which Spark widens to double division)
-      cp.select(F.col("node"),
-        F.expr(s"($col * 1000000L) div ${mx}L").as(col))
+      cp.select(F.col("node"), F.expr(s"($out * 1000000L) div ${mx}L").as(out))
     }
     var hub = nodes.withColumn("hub", F.lit(1000000L))
     var auth: DataFrame = null
     for (_ <- 1 to rounds) {
-      val aRaw = nodes.join(
-          edges.join(hub.withColumnRenamed("node", "s"), "s")
-            .groupBy(F.col("o").as("node")).agg(F.sum("hub").as("auth")),
-          Seq("node"), "left")
-        .select(F.col("node"), F.coalesce(F.col("auth"), F.lit(0L)).as("auth"))
-      auth = maxNorm(aRaw, "auth")
-      val hRaw = nodes.join(
-          edges.join(auth.withColumnRenamed("node", "o"), "o")
-            .groupBy(F.col("s").as("node")).agg(F.sum("auth").as("hub")),
-          Seq("node"), "left")
-        .select(F.col("node"), F.coalesce(F.col("hub"), F.lit(0L)).as("hub"))
-      hub = maxNorm(hRaw, "hub")
+      auth = halfRound(
+        edges.join(hub.withColumnRenamed("node", "s"), "s")
+          .select(F.col("o").as("node"), F.col("hub").as("v")), "auth")
+      hub = halfRound(
+        edges.join(auth.withColumnRenamed("node", "o"), "o")
+          .select(F.col("s").as("node"), F.col("auth").as("v")), "hub")
     }
     hub.join(auth, "node").select("node", "hub", "auth")
   }
@@ -647,6 +708,25 @@ object GraphOps {
       .join(entIds.select(F.col("term").as("o"), F.col("id").as("t_id")), "o")
       .select(F.col("h_id"), F.col("r_id"), F.col("t_id"),
         F.col("s").as("h"), F.col("p").as("r"), F.col("o").as("t"))
+  }
+
+  /** The encoded entity-pair relation only — [[encodeForEmbedding]] minus
+    * the relation dictionary, for consumers that discard `r_id` entirely
+    * (random walks traverse (h_id, t_id) edges): building and joining the
+    * relation-id dictionary there was pure thrown-away work (guide §1.2).
+    * Entity ids are assigned by the identical (freq desc, term asc) rank, so
+    * the (h_id, t_id) pairs are bit-identical to the full encoding's.
+    */
+  def encodeEntityPairs(triples: DataFrame): DataFrame = {
+    val et = distinctNodeTriples(triples).localCheckpoint()
+    val entFreq = et.select(F.col("s").as("term"))
+      .union(et.select(F.col("o").as("term")))
+      .groupBy("term").agg(F.count(F.lit(1)).as("freq"))
+    val entIds = rankDense(entFreq)
+    et.select("s", "o").distinct()
+      .join(entIds.select(F.col("term").as("s"), F.col("id").as("h_id")), "s")
+      .join(entIds.select(F.col("term").as("o"), F.col("id").as("t_id")), "o")
+      .select(F.col("h_id"), F.col("t_id"))
   }
 
   /** The DISTINCT node-node (IRI/blank endpoints) triple relation. */
@@ -970,12 +1050,17 @@ object GraphOps {
     var frontier = adj.select(F.col("src").as("start_id"), F.col("src").as("node_id"))
     var out = frontier.withColumn("step", F.lit(0))
     for (t <- 1 to len) {
+      // checkpoint each frontier (r6): step t feeds BOTH the output union
+      // and step t+1 — un-materialized, the final union re-derived step 1
+      // `len` times and step 2 `len-1` times (triangular recompute of the
+      // walk joins); with the checkpoint every step's join runs exactly once
       val nxt = frontier
         .join(adj, frontier("node_id") === adj("src"))
         .select(F.col("start_id"),
           F.element_at(F.col("nbrs"),
             pick(F.col("node_id"), F.col("start_id"), F.lit(t),
               F.size(F.col("nbrs"))) + 1).as("node_id"))
+        .localCheckpoint(true)
       out = out.unionByName(nxt.withColumn("step", F.lit(t)))
       frontier = nxt
     }

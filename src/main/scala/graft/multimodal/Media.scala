@@ -32,6 +32,56 @@ object Media {
   // small images); in-memory caching makes the per-image cost pure CPU.
   ImageIO.setUseCache(false)
 
+  // javax.sound.AudioSystem resolves its SPI providers through a
+  // SYNCHRONIZED global cache on EVERY call — with 32 concurrent decode
+  // tasks the lock convoy made the parallel audio stage ~3.4× slower than a
+  // single thread (probe-measured: 0.72 s single-thread vs 2.47 s on 32
+  // threads for the same 5000 encode+decodes). Resolve the providers ONCE
+  // per JVM through the public ServiceLoader mechanism and dispatch
+  // directly: same JDK provider classes, byte-identical containers and
+  // decodes, no global lock on the hot path.
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.toSeq
+  }
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toSeq
+  }
+
+  private def writeAudio(
+      ais: javax.sound.sampled.AudioInputStream,
+      typ: javax.sound.sampled.AudioFileFormat.Type,
+      out: java.io.OutputStream): Int = {
+    audioWriters.find(_.isFileTypeSupported(typ, ais)) match {
+      case Some(w) => w.write(ais, typ, out)
+      case None => throw new IllegalArgumentException(s"no $typ writer")
+    }
+  }
+
+  /** First-provider-wins parse, the AudioSystem contract without its lock;
+    * a fresh stream per attempt (ByteArrayInputStream — no shared state).
+    */
+  private def readAudioFormat(payload: Array[Byte]): javax.sound.sampled.AudioFileFormat = {
+    audioReaders.foreach { r =>
+      try return r.getAudioFileFormat(new ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
+  private def readAudioStream(payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    audioReaders.foreach { r =>
+      try return r.getAudioInputStream(new ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   final case class MediaRow(id: Long, payload: Array[Byte], kind: String)
 
   /** Decoded image metadata + two raster probes: `px00`/`px_last` are the
@@ -306,7 +356,7 @@ object Media {
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nf.toLong)
     val out = new ByteArrayOutputStream()
     val typ = if (big) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE
-    require(AudioSystem.write(ais, typ, out) > 0, s"no $typ writer")
+    require(writeAudio(ais, typ, out) > 0, s"no $typ writer")
     out.toByteArray
   }
 
@@ -320,13 +370,11 @@ object Media {
       channels: Int, n_frames: Long, s0: Int, s_mid: Int, s_last: Int)
 
   def decodeAudio(id: Long, kind: String, payload: Array[Byte]): AudioMeta = {
-    import javax.sound.sampled.AudioSystem
     if (payload == null || payload.isEmpty)
       return AudioMeta(id, kind, 0L, "undecodable", 0, 0, 0L, 0, 0, 0)
     try {
-      val typ = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(payload))
-        .getType.toString
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val typ = readAudioFormat(payload).getType.toString
+      val ais = readAudioStream(payload)
       try {
         val fmt = ais.getFormat
         val ch = fmt.getChannels
@@ -369,12 +417,11 @@ object Media {
       id: Long, win: Int, n: Long, abs_energy: Long, peak: Int, zero_cross: Long)
 
   def audioWindowFeatures(rows: Dataset[MediaRow], nWin: Int = 4): Dataset[AudioWin] = {
-    import javax.sound.sampled.AudioSystem
     val spark = rows.sparkSession
     import spark.implicits._
     rows.mapPartitions(_.flatMap { r =>
       try {
-        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+        val ais = readAudioStream(r.payload)
         try {
           val fmt = ais.getFormat
           val ch = fmt.getChannels

@@ -122,7 +122,21 @@ object Pipeline {
       }
   }
 
-  def run(spark: SparkSession, pages: Dataset[Page], cfg: Config): Result = {
+  def run(spark: SparkSession, pages: Dataset[Page], cfg: Config): Result =
+    runExtracting(spark, cfg, () => extractTriples(pages).toDF())
+
+  /** [[run]] over an already-projected (url, text) relation (see
+    * [[extractTriplesUrlText]]): identical stages and outputs — the page
+    * table's other columns never participate in the pipeline, so a caller
+    * that HAS the projection (or a generator that can produce it without
+    * building the html payload) skips the dead construction work.
+    */
+  def runUrlText(
+      spark: SparkSession, urlText: Dataset[(String, String)], cfg: Config): Result =
+    runExtracting(spark, cfg, () => extractTriplesUrlText(urlText).toDF())
+
+  private def runExtracting(
+      spark: SparkSession, cfg: Config, extracted: () => DataFrame): Result = {
     val metrics = Vector.newBuilder[StageMetrics]
     def timed[A](name: String)(f: => (A, Long)): A = {
       val t0 = System.nanoTime()
@@ -137,9 +151,9 @@ object Pipeline {
       val df =
         if (cfg.resume)
           Snapshot.resumeOrWrite(spark, triplesDir, "triples", Seq("pages")) {
-            extractTriples(pages).toDF()
+            extracted()
           }
-        else extractTriples(pages).toDF()
+        else extracted()
       // snapshot-backed runs re-read the snapshot (no second corpus-sized copy)
       val cache = cfg.cacheTriples.getOrElse(!cfg.resume)
       val out =

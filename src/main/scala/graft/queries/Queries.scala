@@ -990,7 +990,9 @@ object Queries {
     */
   def kgWalks(spark: SparkSession, dir: String): DataFrame =
     graft.kg.GraphOps.randomWalks(
-        graft.kg.GraphOps.encodeForEmbedding(kgTriples(spark, dir)),
+        // entity-pair encoding only: walks never read r_id, and the ids are
+        // bit-identical to encodeForEmbedding's (same rank, same et relation)
+        graft.kg.GraphOps.encodeEntityPairs(kgTriples(spark, dir)),
         seed = 17L, len = 3, maxDeg = 8)
       .orderBy("start_id", "step", "node_id")
 
@@ -1136,10 +1138,10 @@ object Queries {
     */
   def kgSummary(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft-kg-summary").toString
-    val pages = graft.extract.Synth.pages(spark, kgPageCount(spark, dir))
     val cfg = graft.pipeline.Pipeline.Config(outDir = out, minOccurs = 5,
       minNsSize = 100, minDomainOccurs = 10, resume = false)
-    graft.pipeline.Pipeline.run(spark, pages, cfg).summary
+    graft.pipeline.Pipeline.runUrlText(spark,
+      graft.extract.Synth.pagesUrlText(spark, kgPageCount(spark, dir)), cfg).summary
   }
 
   /** Per-predicate namespace-level domain/range induction (schema discovery
@@ -1155,10 +1157,10 @@ object Queries {
     */
   def kgDomainRange(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft-kg-dr").toString
-    val pages = graft.extract.Synth.pages(spark, kgPageCount(spark, dir))
     val cfg = graft.pipeline.Pipeline.Config(outDir = out, minOccurs = 5,
       minNsSize = 100, minDomainOccurs = 10, resume = false)
-    val res = graft.pipeline.Pipeline.run(spark, pages, cfg)
+    val res = graft.pipeline.Pipeline.runUrlText(spark,
+      graft.extract.Synth.pagesUrlText(spark, kgPageCount(spark, dir)), cfg)
     val bc = spark.sparkContext.broadcast(res.registry)
     val norm = Normalize.normalize(res.triples, bc).select("p", "s_ns", "o_ns")
     def argmaxSide(col: String, outNs: String, outN: String): DataFrame =

@@ -481,7 +481,10 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val q = quantizeInt8(df, idCol, vecCol).select("id", "codes")
+    // checkpoint the quantized codes (r6): count, centroid sums and the
+    // scoring query are three separate actions — each re-ran the int8
+    // quantization without the materialization
+    val q = quantizeInt8(df, idCol, vecCol).select("id", "codes").localCheckpoint()
     val n = q.count()
     val sums = q.select(F.posexplode(F.col("codes")).as(Seq("pos", "c")))
       .groupBy("pos").agg(F.sum(F.col("c").cast("long")).as("s"))

@@ -45,10 +45,16 @@ object Bm25 {
   ): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
     require(k > 0, "k must be positive")
+    // materialize the (doc, term, tf) relation ONCE (r6): the stats and
+    // per-term-df collects below are separate actions, so without the
+    // checkpoint each re-ran the corpus tokenize + aggregation — three full
+    // corpus passes per call (guide §1.2). The materialized bytes are the
+    // same order as the aggregation's own shuffle output.
     val docTok = df
       .select(F.col(idCol).cast("long").as("id"),
         F.explode(TextOps.tokens(F.col(textCol))).as("tok"))
       .groupBy("id", "tok").agg(F.count(F.lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = docTok.groupBy("id").agg(F.sum("tf").as("dl"))
 
     val stats = dl.agg(F.count(F.lit(1)).as("n"), F.sum("dl").as("total"))

@@ -1240,10 +1240,14 @@ object TextOps {
       k: Int
   ): org.apache.spark.sql.DataFrame = {
     require(k > 0, "k must be positive")
+    // checkpoint the (doc, term, tf) relation (r6): the nDocs count below is
+    // a separate action — without the materialization it re-ran the corpus
+    // tokenize + aggregation that the scoring query then ran again
     val docTok = df
       .select(F.col(idCol).cast("long").as("doc_id"),
         F.explode(tokens(F.col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(F.count(F.lit(1)).as("tf"))
+      .localCheckpoint()
     val nDocs = docTok.select("doc_id").distinct().count()
     val idf = docTok.groupBy("term").agg(F.count(F.lit(1)).as("df"))
       .select(F.col("term"),

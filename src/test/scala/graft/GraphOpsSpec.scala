@@ -193,6 +193,12 @@ class GraphOpsSpec extends AnyFunSuite {
       "D" -> "D",
       "E" -> "E", "F" -> "E"
     ))
+    // r6 driver cutover parity: the alias-vocabulary-sized fast path (one
+    // collect + driver union-find) must equal the distributed
+    // reps→edges→pointer-jumping path row-for-row
+    val dist = GraphOps.resolveByLabel(mentions, driverThreshold = 0L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist == got)
   }
 
   test("canonicalLabels: vote count, tie on label asc, unmapped entity self-canon") {
