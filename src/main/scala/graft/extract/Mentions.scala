@@ -71,10 +71,24 @@ object Mentions {
 
   /** Link a detected surface to its best entity IRI within a context:
     * highest score wins, ties break on lexicographically smallest IRI.
+    * Linear argmax (r6): the former sortBy over the candidate list allocated
+    * tuple arrays per call on the extraction hot path — same total order
+    * (score desc via Double total ordering, IRI asc), one pass, zero
+    * allocation beyond the result.
     */
   def link(surface: String, contextWords: Set[String]): Option[(String, Double)] =
     Dict.entities.get(surface).map { cands =>
-      cands.map(c => (c.iri, score(c, contextWords))).sortBy { case (iri, s) => (-s, iri) }.head
+      var bestIri: String = null
+      var bestScore = 0.0
+      cands.foreach { c =>
+        val s = score(c, contextWords)
+        val cmp = java.lang.Double.compare(s, bestScore)
+        if (bestIri == null || cmp > 0 || (cmp == 0 && c.iri < bestIri)) {
+          bestIri = c.iri
+          bestScore = s
+        }
+      }
+      (bestIri, bestScore)
     }
 
   /** Mentions of a page text with linked entities and scores. */

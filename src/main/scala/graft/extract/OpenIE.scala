@@ -38,8 +38,10 @@ object OpenIE {
     var blankCounter = 0
 
     sents.foreach { sent =>
-      val words = Mentions.sentenceWords(sent)
       val ms = Mentions.detect(sent)
+      // the word set only feeds link scoring — skip building it for
+      // mention-free sentences (r6; at crawl scale most sentences are)
+      val words = if (ms.isEmpty) Set.empty[String] else Mentions.sentenceWords(sent)
       val linked = ms.flatMap(f => Mentions.link(f.surface, words).map(l => (f, l._1)))
 
       if (firstMention.isEmpty && linked.nonEmpty)

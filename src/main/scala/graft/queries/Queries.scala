@@ -138,7 +138,10 @@ object Queries {
     val docId = F.substring_index(F.col("srcUrl"), ":", -1).cast("long")
     val bc = registryBc(spark)
     val prevDir = java.nio.file.Files.createTempDirectory("graft-incr-prev").toString
+    // checkpoint before count+write (r6): the two actions otherwise each
+    // re-ran the normalize+summarize over the even half
     val prevSum = Normalize.summarize(Normalize.normalize(t.filter(docId % 2 === 0), bc))
+      .localCheckpoint()
     graft.sinks.Snapshot.writeSmall(prevSum, prevDir, "summary",
       Seq("derived[even]"), prevSum.count())
     graft.pipeline.Pipeline
@@ -1140,8 +1143,13 @@ object Queries {
     val out = java.nio.file.Files.createTempDirectory("graft-kg-summary").toString
     val cfg = graft.pipeline.Pipeline.Config(outDir = out, minOccurs = 5,
       minNsSize = 100, minDomainOccurs = 10, resume = false)
-    graft.pipeline.Pipeline.runUrlText(spark,
-      graft.extract.Synth.pagesUrlText(spark, kgPageCount(spark, dir)), cfg).summary
+    val res = graft.pipeline.Pipeline.runUrlText(spark,
+      graft.extract.Synth.pagesUrlText(spark, kgPageCount(spark, dir)), cfg)
+    // the summary DataFrame is already local rows (summarizeWithGroups
+    // collects the group space); drop the pipeline's triple cache so
+    // repeated invocations don't accrete CacheManager entries
+    res.triples.unpersist()
+    res.summary
   }
 
   /** Per-predicate namespace-level domain/range induction (schema discovery
@@ -1159,10 +1167,20 @@ object Queries {
     val out = java.nio.file.Files.createTempDirectory("graft-kg-dr").toString
     val cfg = graft.pipeline.Pipeline.Config(outDir = out, minOccurs = 5,
       minNsSize = 100, minDomainOccurs = 10, resume = false)
-    val res = graft.pipeline.Pipeline.runUrlText(spark,
-      graft.extract.Synth.pagesUrlText(spark, kgPageCount(spark, dir)), cfg)
-    val bc = spark.sparkContext.broadcast(res.registry)
-    val norm = Normalize.normalize(res.triples, bc).select("p", "s_ns", "o_ns")
+    // registry contract unchanged (same triples, same inference config), but
+    // computed only as far as this query needs: extraction (checkpointed
+    // once — inference round 1 and the normalize pass both read it) + the
+    // inference rounds. The former Pipeline.run also paid the batch
+    // summarize stage and all four sinks, whose outputs this query never
+    // reads (guide §1.2).
+    val triples = graft.pipeline.Pipeline
+      .extractTriplesUrlText(
+        graft.extract.Synth.pagesUrlText(spark, kgPageCount(spark, dir)))
+      .toDF().localCheckpoint()
+    val reg = graft.pipeline.Pipeline.runInference(
+      triples, Registry.community(), cfg, Vector.newBuilder)._1
+    val bc = spark.sparkContext.broadcast(reg)
+    val norm = Normalize.normalize(triples, bc).select("p", "s_ns", "o_ns")
     def argmaxSide(col: String, outNs: String, outN: String): DataFrame =
       norm.groupBy(F.col("p"), F.col(col).as(outNs))
         .agg(F.count(F.lit(1)).as(outN))
