@@ -1342,10 +1342,18 @@ object TextOps {
       textCol: String,
       hotDf: Long = 100000L
   ): org.apache.spark.sql.DataFrame = {
+    // checkpoint both count relations (r6): the ctx/voc/hot BROADCAST
+    // subqueries below each materialize as their own job, and without the
+    // checkpoints every one of them re-ran the corpus tokenize+aggregation
+    // (job-probe: three ~0.7-1.0 s jobs for one corpus's worth of work).
+    // docBig is the (doc, bigram, count) aggregation output — materializing
+    // it costs the same order as its own shuffle — and `big` is the
+    // bigram-vocabulary LM count table every consumer derives from.
     val docBig = df.select(F.col(idCol).as("id"),
         F.explode(bigramsCol(tokens(F.col(textCol)))).as("bg"))
       .groupBy("id", "bg").agg(F.count(F.lit(1)).as("cnt"))
-    val big = docBig.groupBy("bg").agg(F.sum("cnt").as("c12"))
+      .localCheckpoint()
+    val big = docBig.groupBy("bg").agg(F.sum("cnt").as("c12")).localCheckpoint()
     val w1 = F.substring_index(F.col("bg"), " ", 1)
     val w2 = F.substring_index(F.col("bg"), " ", -1)
     val ctx = big.groupBy(w1.as("w1")).agg(F.sum("c12").as("c1"))
